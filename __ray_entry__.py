@@ -1,44 +1,468 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 query) on
+/root/testdata/sf0.001. ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one (same column names on both sides; float-summing
+aggregates are integer cents on both sides so order of addition cannot flip
+the value hash). Non-SQL-expressible entries (index build, BM25 top-k, sketch
+dedups) are rows-only by design and are oracle-checked in tests/ instead
+(exact BM25 oracle, DuckDB comparisons with robust float handling).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
 
+
+# --------------------------------------------------------------------- entry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: read sf0.001 documents → build inverted index (tokenize →
+    doc-shard groupby → actor-pool segment write) → BM25 top-10 for a fixed
+    query set via the shard actor pool. Returns one row per (query, rank)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = tempfile.mkdtemp(prefix="edih_entry_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
+        compute_sha=True,
+    )
+    eng = QueryEngine(index_dir)
+    queries_ = [
+        {"text": "system data time", "mode": "or"},
+        {"text": "error network user", "mode": "or"},
+        {"text": "the and", "mode": "and"},
+    ]
+    try:
+        results = eng.search_many(queries_, k=10, method="bmw")
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append(
+                {"query_idx": qi, "rank": rank, "doc_id": int(doc_id), "score": round(score, 6)}
+            )
+    return pa.Table.from_pylist(rows)
+
+
+# ------------------------------------------------------------------- queries
+def _doc_sha(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import sha256_batch_table
+
+    return table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        sha256_batch_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _doc_fingerprint(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import fingerprint_batch
+
+    return table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _token_count(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import token_count_batch
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "lang", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs")
+    )
+
+
+def _quality(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import quality_batch
+
+    return table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _lang_id(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import LangId
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    return ds.groupby("predicted_lang").aggregate(Count(alias_name="n"))
+
+
+def _dedup_exact(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _dedup_minhash(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+    )
+
+
+def _dedup_simhash(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(
+        table(sf_dir, "documents", columns=["doc_id", "text"]), max_hamming=3
+    )
+
+
+def _ngram_jaccard(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"]).filter(expr="doc_id < 100")
+    return ngram_jaccard_pairs(ds, threshold=0.2)
+
+
+def _queries_embeddings(sf_dir: str, k=5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = np.array(t["vec_id"].to_numpy(zero_copy_only=False)) < 5
+    qt = t.filter(pa.array(mask))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    return qids, qm
+
+
+def _ann_bruteforce(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import knn_bruteforce
+
+    qids, qm = _queries_embeddings(sf_dir)
+    return knn_bruteforce(table(sf_dir, "embeddings"), qids, qm, k=5).select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    )
+
+
+def _ann_lsh(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import knn_lsh
+
+    qids, qm = _queries_embeddings(sf_dir)
+    return knn_lsh(table(sf_dir, "embeddings"), qids, qm, k=5)
+
+
+def _embed_neardup(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(table(sf_dir, "embeddings"), threshold=0.5)
+
+
+def _term_df_whitespace(sf_dir: str):
+    """Whitespace-analyzer global term df, top-100 — checks the tokenize →
+    groupby(term) df logic against a pure-SQL oracle."""
+    from ray.data.aggregate import Count
+
+    from elasticsearch_data_import_handler_ray.functions.analysis import get_analyzer, term_frequencies
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    az = get_analyzer("whitespace")
+
+    def tok(t: pa.Table) -> pa.Table:
+        post, _ = term_frequencies(az, t["doc_id"].combine_chunks().cast(pa.uint64()), t["text"].combine_chunks())
+        return post.select(["term"])
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("term").aggregate(Count(alias_name="df"))
+    return out.sort(["df", "term"], descending=[True, False]).limit(100)
+
+
+def _term_df_salted(sf_dir: str):
+    """Same result via the term-partitioned SALTED shuffle path (B9)."""
+    from elasticsearch_data_import_handler_ray.index.postings_global import term_df_salted
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    return term_df_salted(table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _bm25_topk(sf_dir: str):
+    """Index the documents table and return BM25 top-10 rows for a fixed query
+    set (rows-only: BM25 is oracle-checked by tests/test_index.py)."""
+    return entry() if sf_dir.rstrip("/").endswith("sf0.001") else _bm25_on(sf_dir)
+
+
+def _bm25_on(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_q_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
+    )
+    eng = QueryEngine(index_dir)
+    try:
+        results = eng.search_many(
+            [{"text": "system data time", "mode": "or"}, {"text": "error network user", "mode": "or"}],
+            k=10,
+            method="bmw",
+        )
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id), "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
+def _multimodal(sf_dir: str):
+    """Binary media plumbing: synthesize payloads from documents, decode with
+    the deterministic stub decoder in an actor-pool stage (rows-only)."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.multimodal import (
+        MediaFeatureStage,
+        synthesize_media_dataset,
+    )
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    media = synthesize_media_dataset(pa.Table.from_pandas(docs), "doc_id", "text")
+    ds = ray.data.from_arrow(media)
+    return ds.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from elasticsearch_data_import_handler_ray.pipelines.relational import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = dict(QUERIES)
+    out.update(
+        {
+            "doc_sha256": _doc_sha,
+            "doc_fingerprint": _doc_fingerprint,
+            "token_count": _token_count,
+            "quality_score": _quality,
+            "lang_id": _lang_id,
+            "dedup_exact": _dedup_exact,
+            "dedup_minhash": _dedup_minhash,
+            "dedup_simhash": _dedup_simhash,
+            "ngram_jaccard": _ngram_jaccard,
+            "ann_bruteforce": _ann_bruteforce,
+            "ann_lsh": _ann_lsh,
+            "embed_neardup": _embed_neardup,
+            "term_df_whitespace": _term_df_whitespace,
+            "term_df_salted": _term_df_salted,
+            "bm25_topk": _bm25_on,
+            "multimodal_decode": _multimodal,
+        }
+    )
+    return out
+
+
+# ---------------------------------------------------------------- oracle SQL
+_TERM_DF_SQL = """
+WITH toks AS (
+    SELECT DISTINCT doc_id, tok.t AS term
+    FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS tok(t)
+    WHERE tok.t <> ''
+)
+SELECT term, count(*)::BIGINT AS df
+FROM toks GROUP BY term
+ORDER BY df DESC, term LIMIT 100
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+        """,
+        "string_fns": """
+            SELECT c_custkey,
+                   lower(c_name) AS name_lower,
+                   upper(c_mktsegment) AS seg_upper,
+                   substr(c_name, 1, 8) AS name_prefix,
+                   c_mktsegment || ':' || c_name AS seg_name,
+                   regexp_extract(c_name, '([0-9]+)', 1) AS name_num
+            FROM customer
+        """,
+        "date_fns": """
+            SELECT year(o_orderdate)::BIGINT AS o_year,
+                   month(o_orderdate)::BIGINT AS o_month,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "math_case": """
+            SELECT l_returnflag,
+                   CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS qty_class,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   SUM(CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT)) AS sum_k,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type
+        """,
+        "join_broadcast": """
+            SELECT r.r_name,
+                   count(*)::BIGINT AS n_customers,
+                   SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "join_hash": """
+            SELECT c.c_mktsegment,
+                   count(*)::BIGINT AS n_orders,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS totalprice_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1995-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "global_agg": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   MIN(l_shipdate) AS min_ship,
+                   MAX(l_shipdate) AS max_ship,
+                   count(DISTINCT l_orderkey)::BIGINT AS n_orders
+            FROM lineitem
+        """,
+        "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "dedup_first": """
+            SELECT user_id, event_type, event_id, ts FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ) AS rn FROM events
+            ) WHERE rn = 1
+        """,
+        "sort_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "topk_per_group": """
+            SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (
+                    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                ) AS rn FROM customer
+            ) WHERE rn <= 3
+        """,
+        "union_all": """
+            SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+        """,
+        "intersect": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "except": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "window_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*)::BIGINT AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
+        "doc_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "doc_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "token_count": """
+            SELECT lang,
+                   SUM(len(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+                   ROUND(len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                         / GREATEST(length(text), 1), 4) AS punct_ratio,
+                   ROUND(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b'))::DOUBLE
+                         / GREATEST(len(regexp_extract_all(text, '\\S+')), 1), 4) AS stop_ratio
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+            SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rank FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                       ) AS rn
+                FROM q, embeddings e WHERE e.vec_id <> q.qid
+            ) WHERE rn <= 5
+        """,
+        "term_df_whitespace": _TERM_DF_SQL,
+        "term_df_salted": _TERM_DF_SQL,
+        # rows-only (non-SQL-expressible; oracle-checked in tests/):
+        #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,
+        #   ann_lsh, embed_neardup, bm25_topk, multimodal_decode
+    }

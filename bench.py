@@ -1,0 +1,241 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Plain run: executes the headline pipeline — full inverted-index build over the
+deterministic synthetic code corpus (FIXTURES.md §1, bench scale) + BM25
+top-10 latency over the reference query set — plus a set of relational/dedup
+pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), then prints
+ONE JSON line::
+
+    {"metric": "index_build_s", "value": <headline seconds>, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+     "docs_per_s": ..., "query_p50_ms": ..., "query_p95_ms": ...}
+
+``--scaling``: runs the SAME job in two fresh subprocesses at
+``num_cpus=8`` and ``num_cpus=32`` (the sandbox substitute for N vs 4N nodes,
+BASELINE.json:14) and prints throughputs + scaling efficiency.
+
+This script OWNS its Ray session (ray.init/shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "60000"))
+CORPUS_DIR = f"/tmp/edih_bench_corpus_{BENCH_DOCS}"
+INDEX_DIR = f"/tmp/edih_bench_index_{BENCH_DOCS}_{NUM_CPUS}"
+
+
+def ensure_corpus() -> str:
+    marker = os.path.join(CORPUS_DIR, ".complete")
+    if not os.path.exists(marker):
+        from fixtures.gen_corpus import generate_corpus
+
+        generate_corpus(
+            BENCH_DOCS, CORPUS_DIR, seed=42, min_tokens=30, max_tokens=300, n_files=32
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return CORPUS_DIR
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import shutil
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+    from fixtures.queries import generate_queries
+
+    corpus = ensure_corpus()
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for f in os.listdir(corpus):
+        with open(os.path.join(corpus, f), "rb") as fh:
+            fh.read()
+
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    t0 = time.monotonic()
+    res = build_index(
+        corpus,
+        INDEX_DIR,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=16),
+        segment_concurrency=max(2, NUM_CPUS // 2),
+        compute_sha=True,
+    )
+    build_s = time.monotonic() - t0
+
+    # query latency: per-query round trips (p50/p95), BMW
+    eng = QueryEngine(INDEX_DIR)
+    qs = generate_queries(seed=42)
+    eng.search_many(qs[:5], k=10, method="bmw")  # warm actors / page cache
+    lat = []
+    for q in qs:
+        t0 = time.monotonic()
+        eng.search_many([q], k=10, method="bmw")
+        lat.append((time.monotonic() - t0) * 1000)
+    p50 = statistics.median(lat)
+    p95 = sorted(lat)[int(0.95 * len(lat)) - 1]
+    t0 = time.monotonic()
+    eng.search_many(qs, k=10, method="exhaustive")
+    exhaustive_batch_s = time.monotonic() - t0
+    eng.close()
+
+    # relational / data-pipeline stage timings over SF_DIR
+    import __ray_entry__ as entrymod
+
+    q_times: dict[str, float] = {}
+    picks = [
+        "groupby_agg",
+        "join_hash",
+        "join_broadcast",
+        "window_tumbling",
+        "dedup_first",
+        "sort_topk",
+        "term_df_whitespace",
+        "dedup_minhash",
+        "ann_bruteforce",
+        "token_count",
+    ]
+    allq = entrymod.queries()
+    for name in picks:
+        t0 = time.monotonic()
+        out = allq[name](SF_DIR)
+        if hasattr(out, "materialize"):
+            out.materialize()
+        q_times[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "index_build_s",
+        "value": round(build_s, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": res.n_docs,
+        "n_postings": res.n_postings,
+        "docs_per_s": round(res.n_docs / build_s, 1),
+        "query_p50_ms": round(p50, 2),
+        "query_p95_ms": round(p95, 2),
+        "exhaustive_batch_s": round(exhaustive_batch_s, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 (BASELINE.md protocol)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY_BUILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    r_lo, r_hi = lo["docs_per_s"], hi["docs_per_s"]
+    eff = (r_hi / r_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_s_8": r_lo,
+        "docs_per_s_32": r_hi,
+        "build_s_8": lo["value"],
+        "build_s_32": hi["value"],
+        "query_p50_ms_8": lo["query_p50_ms"],
+        "query_p50_ms_32": hi["query_p50_ms"],
+        "query_p95_ms_8": lo["query_p95_ms"],
+        "query_p95_ms_32": hi["query_p95_ms"],
+        "n_docs": hi["n_docs"],
+    }
+
+
+def run_build_only() -> dict:
+    """Subprocess mode for --scaling: headline build + query latency only."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import shutil
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+    from fixtures.queries import generate_queries
+
+    corpus = ensure_corpus()
+    for f in os.listdir(corpus):
+        with open(os.path.join(corpus, f), "rb") as fh:
+            fh.read()
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    t0 = time.monotonic()
+    res = build_index(
+        corpus,
+        INDEX_DIR,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=16),
+        segment_concurrency=max(2, NUM_CPUS // 2),
+        compute_sha=True,
+    )
+    build_s = time.monotonic() - t0
+    eng = QueryEngine(INDEX_DIR)
+    qs = generate_queries(seed=42)
+    eng.search_many(qs[:5], k=10, method="bmw")
+    lat = []
+    for q in qs:
+        t0 = time.monotonic()
+        eng.search_many([q], k=10, method="bmw")
+        lat.append((time.monotonic() - t0) * 1000)
+    eng.close()
+    out = {
+        "metric": "index_build_s",
+        "value": round(build_s, 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": res.n_docs,
+        "docs_per_s": round(res.n_docs / build_s, 1),
+        "query_p50_ms": round(statistics.median(lat), 2),
+        "query_p95_ms": round(sorted(lat)[int(0.95 * len(lat)) - 1], 2),
+    }
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_ONLY_BUILD"):
+        print(json.dumps(run_build_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,123 @@
+"""Code-aware text analysis (SURVEY.md §2.B1/§2.B7).
+
+The reference shipped documents to Elasticsearch and let ES analyzers tokenize
+them; here the analyzer is first-class and runs fully vectorized on Arrow
+string arrays with ``pyarrow.compute`` kernels — no per-row Python in the hot
+path.
+
+``CodeAnalyzer`` (the default, matching the corpus of source code mandated by
+BASELINE.json:15):
+  1. camelCase / PascalCase boundaries become spaces
+     (``fooBar`` → ``foo Bar``, ``HTTPServer`` → ``HTTP Server``)
+  2. lowercase
+  3. split on any non ``[a-z0-9_]`` run, then split ``snake_case`` on ``_``
+  4. drop empty tokens
+
+``WhitespaceAnalyzer``: lowercase + split on whitespace — SQL-expressible, used
+by the DuckDB-oracle-checked term-frequency query (``__ray_entry__.py``).
+
+The SAME analyzer object must process both documents and query text or ranks
+diverge (SURVEY.md §2.B7); ``analyze_query`` reuses ``tokens_of``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CAMEL_1 = r"([a-z0-9])([A-Z])"  # fooBar -> foo Bar
+_CAMEL_2 = r"([A-Z]+)([A-Z][a-z])"  # HTTPServer -> HTTP Server
+
+
+class Analyzer:
+    """Base: subclasses implement ``tokens_of`` returning a ListArray of tokens."""
+
+    name = "base"
+
+    def tokens_of(self, content: pa.ChunkedArray | pa.Array) -> pa.Array:
+        raise NotImplementedError
+
+    def analyze_query(self, text: str) -> list[str]:
+        """Tokenize one query string with the exact same kernel pipeline."""
+        arr = self.tokens_of(pa.array([text], type=pa.large_string()))
+        toks = arr.to_pylist()[0] or []
+        return [t for t in toks if t]
+
+
+class CodeAnalyzer(Analyzer):
+    name = "code"
+
+    def tokens_of(self, content):
+        s = content
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.replace_substring_regex(s, pattern=_CAMEL_2, replacement=r"\1 \2")
+        s = pc.replace_substring_regex(s, pattern=_CAMEL_1, replacement=r"\1 \2")
+        s = pc.utf8_lower(s)
+        return pc.split_pattern_regex(s, pattern=r"[^a-z0-9]+")
+
+
+class WhitespaceAnalyzer(Analyzer):
+    name = "whitespace"
+
+    def tokens_of(self, content):
+        s = content
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.utf8_lower(s)
+        return pc.split_pattern_regex(s, pattern=r"\s+")
+
+
+ANALYZERS: dict[str, type[Analyzer]] = {
+    CodeAnalyzer.name: CodeAnalyzer,
+    WhitespaceAnalyzer.name: WhitespaceAnalyzer,
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    return ANALYZERS[name]()
+
+
+def term_frequencies(
+    analyzer: Analyzer, doc_ids: pa.Array, content: pa.ChunkedArray | pa.Array
+) -> tuple[pa.Table, pa.Table]:
+    """Vectorized (doc, term, tf) explosion + per-doc lengths for one batch.
+
+    Returns ``(postings, doclens)`` where postings has columns
+    ``doc_id:uint64, term:large_string, tf:uint32`` and doclens has
+    ``doc_id:uint64, doc_len:uint32``. Term counting uses Arrow's C++ hash
+    group-by (``Table.group_by``) — no Python loop over tokens.
+    """
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    tok_list = analyzer.tokens_of(content)
+    flat = pc.list_flatten(tok_list)
+    parent = pc.list_parent_indices(tok_list)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    pairs = pa.table(
+        {
+            "doc_id": doc_ids.take(parent),
+            "term": pc.cast(flat, pa.large_string()),
+        }
+    )
+    tf = pairs.group_by(["doc_id", "term"], use_threads=False).aggregate(
+        [("term", "count")]
+    )
+    postings = pa.table(
+        {
+            "doc_id": pc.cast(tf["doc_id"], pa.uint64()),
+            "term": tf["term"],
+            "tf": pc.cast(tf["term_count"], pa.uint32()),
+        }
+    )
+    dl = postings.group_by(["doc_id"], use_threads=False).aggregate([("tf", "sum")])
+    doclens = pa.table(
+        {
+            "doc_id": pc.cast(dl["doc_id"], pa.uint64()),
+            "doc_len": pc.cast(dl["tf_sum"], pa.uint32()),
+        }
+    )
+    return postings, doclens

@@ -1,0 +1,221 @@
+"""Varbyte + delta posting-list codec (SURVEY.md §2.B3).
+
+The reference delegated posting-list storage to Elasticsearch/Lucene; this is a
+from-scratch equivalent sized for the north rule (BASELINE.json:6): docID delta
+encoding + varbyte (LEB128, LSB-first) compression, blocked with per-block
+metadata (first_doc, max_tf, min_dl, payload length) so a scorer can do
+block-max WAND skipping without decoding payloads.
+
+All encode/decode paths are vectorized numpy — no per-value Python loops. The
+only Python-level loops are over 7-bit byte positions (≤10 iterations for
+uint64) and over blocks (length/128).
+
+Blob layout per term (all integers varbyte unless noted)::
+
+    df                      total number of docs for this term in the blob
+    repeated blocks:
+        n                   docs in this block (<= BLOCK_SIZE)
+        first_doc           absolute doc_id of the first doc in the block
+        max_tf              max term frequency within the block
+        min_dl              min doc length within the block
+        payload_len         byte length of the payload that follows
+        payload:
+            gaps            n-1 values: doc_id deltas (strictly positive)
+            tfs             n values
+            dls             n values  (doc lengths inlined: scoring needs no
+                            side lookup — scales to corpora where a global
+                            doc_id->len map cannot be broadcast)
+
+Invariants (tested in tests/test_codec.py, property-based):
+  * decode(encode(x)) == x for any sorted strictly-increasing uint64 doc_ids
+  * doc_ids strictly increasing within a blob; df == total docs
+  * block metadata are true bounds (max_tf >= every tf, min_dl <= every dl)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U64_7 = np.uint64(7)
+_U64_0x7F = np.uint64(0x7F)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: number of 7-bit groups (>=1)
+    nb = np.ones(n, dtype=np.int64)
+    tmp = v >> _U64_7
+    while tmp.any():
+        nb += tmp != 0
+        tmp = tmp >> _U64_7
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(nb[:-1], out=starts[1:])
+    out = np.zeros(int(starts[-1] + nb[-1]), dtype=np.uint8)
+    maxnb = int(nb.max())
+    for j in range(maxnb):
+        sel = nb > j
+        b = ((v[sel] >> np.uint64(7 * j)) & _U64_0x7F).astype(np.uint8)
+        cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
+        out[starts[sel] + j] = b | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode → uint64 array. ``count`` is a sanity check."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    term = (b & 0x80) == 0  # terminal byte of each value
+    nvals = int(term.sum())
+    if count is not None and nvals != count:
+        raise ValueError(f"varbyte_decode: expected {count} values, found {nvals}")
+    # value index per byte
+    vid = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(term[:-1], out=vid[1:])
+    # byte position within its value
+    starts = np.flatnonzero(np.concatenate(([True], term[:-1])))
+    pos = np.arange(len(b), dtype=np.int64) - starts[vid]
+    vals = np.zeros(nvals, dtype=np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (pos.astype(np.uint64) * _U64_7)
+    np.add.at(vals, vid, contrib)  # disjoint bit ranges per value → add == or
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing uint64 ids → first value + positive gaps."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    out = np.empty_like(ids)
+    if len(ids):
+        out[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(deltas, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    """Encode one term's posting list (sorted, strictly-increasing doc_ids)."""
+    n = len(doc_ids)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    parts = [varbyte_encode(np.array([n], dtype=np.uint64))]
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        ids = doc_ids[s:e]
+        gaps = ids[1:] - ids[:-1]
+        payload = (
+            varbyte_encode(gaps) + varbyte_encode(tfs[s:e]) + varbyte_encode(dls[s:e])
+        )
+        header = varbyte_encode(
+            np.array(
+                [e - s, ids[0], tfs[s:e].max(), dls[s:e].min(), len(payload)],
+                dtype=np.uint64,
+            )
+        )
+        parts.append(header)
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def _read_varbytes(b: np.ndarray, off: int, k: int) -> tuple[np.ndarray, int]:
+    """Read exactly k varbyte values starting at byte offset off."""
+    # find end: the k-th terminal byte
+    seen = 0
+    i = off
+    vals = np.empty(k, dtype=np.uint64)
+    # fast path: scan terminal flags vectorized
+    term_idx = np.flatnonzero((b[off:] & 0x80) == 0)
+    end = off + int(term_idx[k - 1]) + 1 if k > 0 else off
+    if k > 0:
+        vals = varbyte_decode(b[off:end], count=k)
+    del seen, i
+    return vals, end
+
+
+class PostingBlocks:
+    """Lazily-decodable view over one term's posting blob (for WAND skipping).
+
+    ``first_docs`` / ``max_tfs`` / ``min_dls`` / block offsets are decoded
+    eagerly (block headers only); payloads decode on demand per block.
+    """
+
+    __slots__ = ("df", "n", "first_docs", "max_tfs", "min_dls", "counts", "_buf", "_pay_off", "_pay_len")
+
+    def __init__(self, blob: bytes | np.ndarray):
+        b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+        self._buf = b
+        (df,), off = _read_varbytes(b, 0, 1)
+        self.df = int(df)
+        counts, firsts, maxtfs, mindls, poffs, plens = [], [], [], [], [], []
+        remaining = self.df
+        while remaining > 0:
+            hdr, off = _read_varbytes(b, off, 5)
+            n_blk = int(hdr[0])
+            counts.append(n_blk)
+            firsts.append(hdr[1])
+            maxtfs.append(hdr[2])
+            mindls.append(hdr[3])
+            plens.append(int(hdr[4]))
+            poffs.append(off)
+            off += int(hdr[4])
+            remaining -= n_blk
+        self.n = len(counts)
+        self.counts = np.array(counts, dtype=np.int64)
+        self.first_docs = np.array(firsts, dtype=np.uint64)
+        self.max_tfs = np.array(maxtfs, dtype=np.uint64)
+        self.min_dls = np.array(mindls, dtype=np.uint64)
+        self._pay_off = np.array(poffs, dtype=np.int64)
+        self._pay_len = np.array(plens, dtype=np.int64)
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """→ (doc_ids, tfs, dls) of block i."""
+        n = int(self.counts[i])
+        s = int(self._pay_off[i])
+        payload = self._buf[s : s + int(self._pay_len[i])]
+        vals = varbyte_decode(payload, count=3 * n - 1)
+        gaps, tfs, dls = vals[: n - 1], vals[n - 1 : 2 * n - 1], vals[2 * n - 1 :]
+        ids = np.empty(n, dtype=np.uint64)
+        ids[0] = self.first_docs[i]
+        if n > 1:
+            np.cumsum(gaps, out=ids[1:])
+            ids[1:] += self.first_docs[i]
+        return ids, tfs, dls
+
+
+def decode_posting(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode → (doc_ids, tfs, dls)."""
+    pb = PostingBlocks(blob)
+    if pb.n == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    ids, tfs, dls = [], [], []
+    for i in range(pb.n):
+        a, b, c = pb.decode_block(i)
+        ids.append(a)
+        tfs.append(b)
+        dls.append(c)
+    return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+
+
+def merge_postings(blobs: list[bytes | np.ndarray]) -> bytes:
+    """k-way merge of posting blobs for the SAME term over DISJOINT doc sets
+    (segment merge, SURVEY.md §2.B5). Doc ids from different runs interleave
+    (they are hashes), so merge decodes, merge-sorts and re-encodes.
+    Deterministic: output depends only on the union of postings."""
+    ids, tfs, dls = zip(*(decode_posting(b) for b in blobs))
+    all_ids = np.concatenate(ids)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    if len(all_ids) > 1 and (all_ids[1:] == all_ids[:-1]).any():
+        raise ValueError("merge_postings: duplicate doc_id across segments")
+    return encode_posting(all_ids, np.concatenate(tfs)[order], np.concatenate(dls)[order])

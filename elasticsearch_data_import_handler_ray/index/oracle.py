@@ -1,0 +1,80 @@
+"""Naive exact BM25 oracle (SURVEY.md §5.2 item 3).
+
+Scores EVERY matching document with no index, no pruning, no Ray — the
+correctness target for the distributed engine. Rank identity (BASELINE.json:2)
+demands bit-identical float sequences, so the oracle shares the analyzer
+(functions/analysis.py) and the scoring kernels (functions/bm25.py) with the
+engine, and accumulates per-document contributions in the same
+ascending-unique-term order the engine uses.
+
+Definitions shared with the engine:
+  * N = number of documents with >= 1 token
+  * avgdl = sum(doc_len) / N  (float64)
+  * duplicate query terms are collapsed (unique, sorted)
+  * ties in top-k broken by ascending doc_id
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import bm25
+from ..functions.analysis import Analyzer, term_frequencies
+
+
+class BM25Oracle:
+    def __init__(self, analyzer: Analyzer, doc_ids: np.ndarray, content: pa.Array):
+        """doc_ids: uint64 per row; content: Arrow string array (same length)."""
+        postings, doclens = term_frequencies(
+            analyzer, pa.array(doc_ids, type=pa.uint64()), content
+        )
+        self.analyzer = analyzer
+        # per-term postings dict: term -> (doc_ids sorted, tfs)
+        terms = postings["term"].to_numpy(zero_copy_only=False)
+        p_doc = postings["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p_tf = postings["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((p_doc, terms))
+        terms, p_doc, p_tf = terms[order], p_doc[order], p_tf[order]
+        uniq, starts = np.unique(terms, return_index=True)
+        bounds = np.append(starts, len(terms))
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {
+            t: (p_doc[s:e], p_tf[s:e]) for t, s, e in zip(uniq, bounds[:-1], bounds[1:])
+        }
+        d_ids = doclens["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d_len = doclens["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        o = np.argsort(d_ids)
+        self.all_docs = d_ids[o]  # sorted; docs with >=1 token
+        self.doc_lens = d_len[o]
+        self.N = len(self.all_docs)
+        self.avgdl = float(self.doc_lens.sum()) / self.N if self.N else 0.0
+
+    def df(self, term: str) -> int:
+        p = self.postings.get(term)
+        return 0 if p is None else len(p[0])
+
+    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        terms_all = sorted(set(self.analyzer.analyze_query(text)))
+        terms = [t for t in terms_all if t in self.postings]
+        if mode == "and" and len(terms) < len(terms_all):
+            return []  # AND with an unknown term matches nothing
+        if not terms:
+            return []
+        scores = np.zeros(self.N, dtype=np.float64)
+        hits = np.zeros(self.N, dtype=np.int32)
+        for t in terms:  # ascending-term accumulation order (shared w/ engine)
+            ids, tfs = self.postings[t]
+            pos = np.searchsorted(self.all_docs, ids)
+            dls = self.doc_lens[pos]
+            scores[pos] += bm25.contribution(
+                bm25.idf(self.N, len(ids)), tfs, dls, self.avgdl
+            )
+            hits[pos] += 1
+        if mode == "and":
+            mask = hits == len(terms)
+        else:
+            mask = hits > 0
+        cand_scores = scores[mask]
+        cand_docs = self.all_docs[mask]
+        top = bm25.topk_indices(cand_scores, cand_docs, k)
+        return [(int(cand_docs[i]), float(cand_scores[i])) for i in top]

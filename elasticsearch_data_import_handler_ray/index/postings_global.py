@@ -1,0 +1,146 @@
+"""Term-partitioned posting construction — the north star's literal
+``groupby(term).aggregate`` shape with salted shuffles + hot-term splitting
+(BASELINE.json:6; SURVEY.md §2.B3/§2.B9).
+
+The flagship serving index is document-partitioned (index/build.py — see its
+docstring for why). This module is the complementary TERM-partitioned path,
+used for global posting export and global term statistics, and it is where
+Zipfian skew actually bites: a bare ``groupby("term")`` ships a hot term's
+entire posting list (30% of the corpus for the planted ``hot_term_*``) to one
+reducer.
+
+Skew handling:
+  1. a cheap sampled pre-pass estimates df per term (``ds.limit`` over the
+     exploded postings — deterministic);
+  2. terms whose estimated df exceeds ``hot_threshold`` are SALTED:
+     shuffle key becomes (term, doc_id % num_salts) so the hot term's postings
+     are built by ``num_salts`` parallel reducers;
+  3. a second, tiny ``groupby(term)`` merges the salted sub-postings
+     (functions/codec.merge_postings re-sorts by doc_id — sub-posting doc sets
+     are disjoint residue classes, so the merge is safe and deterministic).
+
+Cold terms take the 1-group fast path, so the extra round only touches the
+few hot terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.codec import decode_posting, encode_posting, merge_postings
+
+
+def explode_postings(
+    ds: ray.data.Dataset, *, analyzer: str = "code", doc_id_col: str = "doc_id", content_col: str = "text"
+) -> ray.data.Dataset:
+    """corpus → (doc_id, term, tf, dl) rows (the tokenize stage, reused)."""
+    from .build import _tokenize_batch
+
+    out = ds.map_batches(
+        _tokenize_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(
+            analyzer_name=analyzer,
+            num_segments=1,
+            id_cols=("repo", "path", "commit"),
+            doc_id_col=doc_id_col,
+            content_col=content_col,
+            docmap_dir=None,
+            compute_sha=False,
+        ),
+    )
+    return out.drop_columns(["seg"])
+
+
+def estimate_hot_terms(
+    postings: ray.data.Dataset, *, sample_rows: int = 100_000, hot_threshold: int = 5_000
+) -> set[str]:
+    """Deterministic sampled df estimate: scan the first ``sample_rows``
+    posting rows; a term is hot when its extrapolated df exceeds the
+    threshold. (At scale: replace limit() with a seeded per-block sample.)"""
+    total = postings.count()
+    if total == 0:
+        return set()
+    sample = postings.limit(min(sample_rows, total)).select_columns(["term"]).to_pandas()
+    frac = max(len(sample) / total, 1e-12)
+    counts = sample["term"].value_counts()
+    est = counts / frac
+    return set(est[est > hot_threshold].index)
+
+
+def build_term_postings(
+    postings: ray.data.Dataset,
+    *,
+    hot_terms: set[str] | None = None,
+    hot_threshold: int = 5_000,
+    num_salts: int = 8,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """(doc_id, term, tf, dl) rows → one row per term:
+    (term, df, sum_tf, posting blob). Salted two-stage shuffle as above."""
+    if hot_terms is None:
+        hot_terms = estimate_hot_terms(postings, hot_threshold=hot_threshold)
+    hot_ref = ray.put(hot_terms)
+
+    class Salt:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            terms = t["term"].to_numpy(zero_copy_only=False)
+            docs = t["doc_id"].to_numpy(zero_copy_only=False)
+            salt = np.zeros(len(t), dtype=np.int32)
+            if self.hot:
+                is_hot = np.isin(terms, list(self.hot))
+                salt[is_hot] = (docs[is_hot] % np.uint64(num_salts)).astype(np.int32)
+            return t.append_column("salt", pa.array(salt))
+
+    salted = postings.map_batches(Salt, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+    def encode_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tfs = g["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dls = g["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        o = np.argsort(ids)
+        blob = encode_posting(ids[o], tfs[o], dls[o])
+        return pa.table(
+            {
+                "term": pa.array([g["term"][0].as_py()], type=pa.large_string()),
+                "df": pa.array([len(ids)], type=pa.int64()),
+                "sum_tf": pa.array([int(tfs.sum())], type=pa.int64()),
+                "blob": pa.array([blob], type=pa.large_binary()),
+            }
+        )
+
+    parts = salted.groupby(["term", "salt"]).map_groups(encode_group, batch_format="pyarrow")
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        blobs = [b.as_py() for b in g["blob"]]
+        merged = merge_postings(blobs) if len(blobs) > 1 else blobs[0]
+        return pa.table(
+            {
+                "term": pa.array([g["term"][0].as_py()], type=pa.large_string()),
+                "df": pa.array([int(sum(g["df"].to_pylist()))], type=pa.int64()),
+                "sum_tf": pa.array([int(sum(g["sum_tf"].to_pylist()))], type=pa.int64()),
+                "blob": pa.array([merged], type=pa.large_binary()),
+            }
+        )
+
+    return parts.groupby("term").map_groups(merge_group, batch_format="pyarrow")
+
+
+def term_df_salted(
+    ds: ray.data.Dataset, *, analyzer: str = "whitespace", content_col: str = "text", top_n: int = 100
+) -> ray.data.Dataset:
+    """Global (term, df) via the salted two-stage shuffle, top-N by
+    (df desc, term asc) — the DuckDB-oracle-checked entry for this path."""
+    postings = explode_postings(ds, analyzer=analyzer, content_col=content_col)
+    full = build_term_postings(postings, hot_threshold=200)
+    out = full.select_columns(["term", "df"])
+    return out.sort(["df", "term"], descending=[True, False]).limit(top_n)

@@ -1,0 +1,343 @@
+"""BM25 top-k query engine (SURVEY.md §2.B7/B8/§3.3).
+
+NOT a Dataset pipeline: a pool of ``QueryShard`` actors, one per doc-shard
+(= per ``seg_id``), each holding its segments' term dictionaries in memory and
+postings memory-mapped — the "stateful stages are actor pools" requirement
+(BASELINE.json:15). A query runs in two scatter/gather rounds:
+
+  1. scatter the analyzed terms → each shard returns local df per term;
+     the driver sums to GLOBAL df and computes idf with global N/avgdl
+     (so scores are identical regardless of sharding / parallelism level);
+  2. scatter (terms, idfs, k, mode) → each shard returns its local top-k
+     (score, doc_id); the driver merges by (score desc, doc_id asc).
+
+Two scorers, both rank-identical to the oracle (tests assert equality):
+
+* ``exhaustive``: decode full postings, vectorized numpy accumulation, term
+  contributions added in ascending-term order (bit-exact with the oracle).
+* ``bmw``: document-at-a-time block-max WAND (Broder et al. 2003; Ding & Suel
+  SIGIR'11): term-level upper bounds pick the pivot, block-level
+  (max_tf, min_dl) bounds skip blocks, full evaluation only when a doc could
+  beat the running threshold θ. Candidate evaluation also accumulates in
+  ascending-term order, so surviving scores are bit-identical to exhaustive.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+import ray
+
+from ..functions import bm25
+from ..functions.analysis import get_analyzer
+from ..functions.codec import PostingBlocks, decode_posting
+from ..state.manifest import Manifest
+from .segment import SegmentReader
+
+_EXHAUSTED = 1 << 64
+
+
+class _TermIter:
+    """Cursor over one term's posting blocks within one segment."""
+
+    __slots__ = ("pb", "idf", "ub_blocks", "ub_global", "bi", "pos", "ids", "tfs", "dls")
+
+    def __init__(self, pb: PostingBlocks, idf_t: float, avgdl: float):
+        self.pb = pb
+        self.idf = idf_t
+        self.ub_blocks = bm25.block_upper_bound(idf_t, pb.max_tfs, pb.min_dls, avgdl)
+        self.ub_global = float(self.ub_blocks.max())
+        self.bi = 0
+        self.pos = 0
+        self._load_block()
+
+    def _load_block(self):
+        if self.bi < self.pb.n:
+            self.ids, self.tfs, self.dls = self.pb.decode_block(self.bi)
+        else:
+            self.ids = None
+
+    @property
+    def curr_doc(self) -> int:
+        return _EXHAUSTED if self.ids is None else int(self.ids[self.pos])
+
+    @property
+    def curr_block_ub(self) -> float:
+        return 0.0 if self.ids is None else float(self.ub_blocks[self.bi])
+
+    def block_last_possible(self) -> int:
+        """Largest doc_id the current block could contain (next block's
+        first_doc − 1; for the decoded last block, its actual last doc)."""
+        if self.ids is None:
+            return _EXHAUSTED
+        if self.bi + 1 < self.pb.n:
+            return int(self.pb.first_docs[self.bi + 1]) - 1
+        return int(self.ids[-1])
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc >= target."""
+        if self.ids is None:
+            return
+        if target >= _EXHAUSTED:
+            self.bi = self.pb.n
+            self.ids = None
+            return
+        # skip whole blocks using first_docs (block i covers [first_i, first_{i+1}))
+        if target > int(self.ids[-1]):
+            nbi = int(np.searchsorted(self.pb.first_docs, np.uint64(target), side="right")) - 1
+            nbi = max(nbi, self.bi + 1)
+            if nbi != self.bi:
+                self.bi = nbi
+                self.pos = 0
+                self._load_block()
+                if self.ids is None:
+                    return
+        p = int(np.searchsorted(self.ids, np.uint64(target), side="left"))
+        if p >= len(self.ids):
+            self.bi += 1
+            self.pos = 0
+            self._load_block()
+            if self.ids is not None and int(self.ids[0]) < target:
+                self.seek(target)
+        else:
+            self.pos = p
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.ids is not None and self.pos >= len(self.ids):
+            self.bi += 1
+            self.pos = 0
+            self._load_block()
+
+    def contribution_at_current(self, avgdl: float) -> float:
+        return float(
+            bm25.contribution(
+                self.idf,
+                np.float64(self.tfs[self.pos]),
+                np.float64(self.dls[self.pos]),
+                avgdl,
+            )
+        )
+
+
+def _heap_push(heap: list, k: int, score: float, doc_id: int) -> None:
+    """Min-heap of (score, -doc_id): worst = lowest score, then largest doc_id.
+    DAAT visits ascending doc_id, so equal-score later docs are correctly
+    rejected by the strict > comparison."""
+    item = (score, -doc_id)
+    if len(heap) < k:
+        heapq.heappush(heap, item)
+    elif item > heap[0]:
+        heapq.heapreplace(heap, item)
+
+
+def _theta(heap: list, k: int) -> float:
+    return heap[0][0] if len(heap) == k else -1.0
+
+
+def _score_exhaustive(
+    readers: list[SegmentReader],
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    mode: str,
+    heap: list,
+) -> None:
+    """Vectorized full scoring of one shard (docs disjoint across readers)."""
+    for rd in readers:
+        per_term = []
+        for t in terms:  # terms pre-sorted ascending
+            blob = rd.posting_blob(t)
+            if blob is not None:
+                per_term.append((t, *decode_posting(blob)))
+        if not per_term:
+            continue
+        union = np.unique(np.concatenate([ids for _, ids, _, _ in per_term]))
+        scores = np.zeros(len(union), dtype=np.float64)
+        hits = np.zeros(len(union), dtype=np.int32)
+        for t, ids, tfs, dls in per_term:  # ascending-term accumulation order
+            pos = np.searchsorted(union, ids)
+            scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl)
+            hits[pos] += 1
+        if mode == "and":
+            m = hits == len(terms)
+            union, scores = union[m], scores[m]
+        for s, d in zip(scores, union):
+            _heap_push(heap, k, float(s), int(d))
+
+
+def _score_bmw(
+    readers: list[SegmentReader],
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    heap: list,
+) -> None:
+    """Block-max WAND over each segment, θ shared across segments via `heap`."""
+    for rd in readers:
+        iters: list[tuple[str, _TermIter]] = []
+        for t in terms:
+            blob = rd.posting_blob(t)
+            if blob is not None:
+                iters.append((t, _TermIter(PostingBlocks(blob), idfs[t], avgdl)))
+        if not iters:
+            continue
+        while True:
+            live = [(ti.curr_doc, t, ti) for t, ti in iters if ti.ids is not None]
+            if not live:
+                break
+            live.sort(key=lambda x: x[0])
+            theta = _theta(heap, k)
+            # term-level WAND pivot
+            acc = 0.0
+            pivot_idx = -1
+            for i, (_, _, ti) in enumerate(live):
+                acc += ti.ub_global
+                if acc > theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx < 0:
+                break  # no doc can beat θ
+            pivot_doc = live[pivot_idx][0]
+            if pivot_doc == _EXHAUSTED:
+                break
+            # extend the pivot prefix over every term at the same doc — their
+            # contributions must be counted before pivot_doc may be skipped
+            while pivot_idx + 1 < len(live) and live[pivot_idx + 1][0] == pivot_doc:
+                pivot_idx += 1
+            if live[0][0] == pivot_doc:
+                # align blocks, then block-max check
+                block_ub = 0.0
+                for d, _, ti in live[: pivot_idx + 1]:
+                    if d < pivot_doc:
+                        ti.seek(pivot_doc)
+                    block_ub += ti.curr_block_ub if ti.curr_doc != _EXHAUSTED else 0.0
+                if block_ub <= theta:
+                    # skip to the nearest block boundary beyond pivot_doc —
+                    # capped at the first unaccounted term's current doc
+                    # (its contribution is not in block_ub)
+                    nxt = min(
+                        ti.block_last_possible() for _, _, ti in live[: pivot_idx + 1]
+                    ) + 1
+                    if pivot_idx + 1 < len(live):
+                        nxt = min(nxt, live[pivot_idx + 1][0])
+                    nxt = max(nxt, pivot_doc + 1)
+                    for _, _, ti in live[: pivot_idx + 1]:
+                        if ti.curr_doc < nxt:
+                            ti.seek(nxt)
+                    continue
+                # full evaluation in ascending-TERM order (bit-exact w/ oracle)
+                score = 0.0
+                for t, ti in iters:
+                    if ti.ids is not None and ti.curr_doc == pivot_doc:
+                        score += ti.contribution_at_current(avgdl)
+                for t, ti in iters:
+                    if ti.ids is not None and ti.curr_doc == pivot_doc:
+                        ti.advance()
+                _heap_push(heap, k, score, pivot_doc)
+            else:
+                # advance the lagging terms to the pivot
+                for d, _, ti in live[:pivot_idx]:
+                    if d < pivot_doc:
+                        ti.seek(pivot_doc)
+
+
+class QueryShard:
+    """One actor per doc-shard: loads every run's segment for its seg_id."""
+
+    def __init__(self, seg_dirs: list[str]):
+        self.readers = [SegmentReader(d) for d in seg_dirs]
+
+    def dfs(self, terms: list[str]) -> list[int]:
+        return [int(sum(r.df(t) for r in self.readers)) for t in terms]
+
+    def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
+        """queries: [{terms (sorted), idfs, avgdl, k, mode, method}] →
+        per query, local top-k as (score, doc_id)."""
+        out = []
+        for q in queries:
+            heap: list = []
+            terms, idfs, avgdl, k = q["terms"], q["idfs"], q["avgdl"], q["k"]
+            if q["mode"] == "and" or q["method"] == "exhaustive" or len(terms) == 0:
+                _score_exhaustive(self.readers, terms, idfs, avgdl, k, q["mode"], heap)
+            else:
+                _score_bmw(self.readers, terms, idfs, avgdl, k, heap)
+            out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])
+        return out
+
+
+class QueryEngine:
+    """Driver-side facade. Spawns the shard actor pool lazily on first use and
+    reuses it across queries (mmap'd postings stay warm). Never calls
+    ray.init (driver contract)."""
+
+    def __init__(self, index_dir: str, *, actor_num_cpus: float = 0.25):
+        # actors are memory-resident posting servers, mostly idle between
+        # scatter calls: a small CPU reservation lets one engine per shard
+        # coexist with other stages (a 1.0 reservation deadlocks actor
+        # creation when num_segments approaches the cluster's CPU count)
+        self.man = Manifest.load(index_dir)
+        self.analyzer = get_analyzer(self.man.config.analyzer)
+        self.N = self.man.n_docs
+        self.avgdl = self.man.avgdl
+        self._actors = []
+        remote = ray.remote(num_cpus=actor_num_cpus)(QueryShard)
+        for seg_id in range(self.man.config.num_segments):
+            dirs = self.man.segment_dirs(seg_id)
+            if dirs:
+                self._actors.append(remote.remote(dirs))
+
+    def analyze(self, text: str) -> list[str]:
+        return sorted(set(self.analyzer.analyze_query(text)))
+
+    def global_dfs(self, terms: list[str]) -> np.ndarray:
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        per = ray.get([a.dfs.remote(terms) for a in self._actors])
+        return np.sum(np.array(per, dtype=np.int64), axis=0)
+
+    def search(self, text: str, k: int = 10, mode: str = "or", method: str = "bmw"):
+        return self.search_many([{"text": text, "mode": mode}], k=k, method=method)[0]
+
+    def search_many(
+        self, queries: list[dict], k: int = 10, method: str = "bmw"
+    ) -> list[list[tuple[int, float]]]:
+        """Batch API: 2 RPC rounds total for any number of queries."""
+        all_terms = sorted({t for q in queries for t in self.analyze(q["text"])})
+        dfs = self.global_dfs(all_terms)
+        df_map = dict(zip(all_terms, dfs.tolist()))
+        prepared = []
+        for q in queries:
+            terms_all = self.analyze(q["text"])
+            terms = [t for t in terms_all if df_map.get(t, 0) > 0]
+            mode = q.get("mode", "or")
+            if mode == "and" and len(terms) < len(terms_all):
+                terms = []  # AND with unknown term matches nothing
+            idfs = {t: float(bm25.idf(self.N, df_map[t])) for t in terms}
+            prepared.append(
+                {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
+                 "mode": mode, "method": method}
+            )
+        shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
+        out = []
+        for qi in range(len(queries)):
+            cand: list[tuple[float, int]] = []
+            for sr in shard_results:
+                cand.extend(sr[qi])
+            if not cand:
+                out.append([])
+                continue
+            scores = np.array([c[0] for c in cand], dtype=np.float64)
+            docs = np.array([c[1] for c in cand], dtype=np.uint64)
+            top = bm25.topk_indices(scores, docs, k)
+            out.append([(int(docs[i]), float(scores[i])) for i in top])
+        return out
+
+    def close(self) -> None:
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []

@@ -1,0 +1,148 @@
+"""Immutable index segment files (SURVEY.md §2.B4).
+
+A segment holds ALL terms for a disjoint subset of documents
+(document-partitioned, like the reference's Elasticsearch/Lucene shards — this
+is what makes top-k query fan-out/merge exact and cheap, and it makes segment
+building embarrassingly parallel with NO term-keyed global shuffle; the
+term-partitioned ``groupby(term)`` posting path also exists, see
+postings_global.py, with salting for hot terms).
+
+On-disk layout (``seg_<id>/``)::
+
+    terms.parquet    term:large_string (sorted), df:uint64, sum_tf:uint64,
+                     offset:int64, length:int64   — the term dictionary
+    postings.bin     concatenated posting blobs (functions/codec.py format)
+    meta.json        {"seg_id", "n_terms", "n_docs", "sum_dl", "n_postings",
+                      "postings_bytes"}  — NO timestamps: segment bytes are a
+                     pure function of their postings (merge idempotence,
+                     BASELINE.json:6)
+
+Writes are atomic: build into ``<dir>.tmp-<nonce>`` then ``os.rename``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.codec import encode_posting
+
+
+def build_segment_arrays(
+    terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[pa.Table, bytes, dict]:
+    """Encode one segment from unsorted posting rows (vectorized sort + per-term
+    numpy slicing; the only Python loop is over distinct terms).
+
+    Returns (term_dict_table, postings_blob, meta).
+    """
+    order = np.lexsort((doc_ids, terms))
+    terms = terms[order]
+    doc_ids = doc_ids[order].astype(np.uint64)
+    tfs = tfs[order].astype(np.uint64)
+    dls = dls[order].astype(np.uint64)
+
+    uniq_terms, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, len(terms))
+    blobs: list[bytes] = []
+    offsets = np.empty(len(uniq_terms), dtype=np.int64)
+    lengths = np.empty(len(uniq_terms), dtype=np.int64)
+    dfs = (bounds[1:] - bounds[:-1]).astype(np.uint64)
+    sum_tfs = np.empty(len(uniq_terms), dtype=np.uint64)
+    off = 0
+    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        ids = doc_ids[s:e]
+        if len(ids) > 1 and (ids[1:] <= ids[:-1]).any():
+            raise ValueError(
+                f"duplicate doc_id in postings of term {uniq_terms[i]!r}: "
+                "dedup by id (SURVEY.md §2.A14) before indexing"
+            )
+        blob = encode_posting(ids, tfs[s:e], dls[s:e])
+        blobs.append(blob)
+        offsets[i] = off
+        lengths[i] = len(blob)
+        off += len(blob)
+        sum_tfs[i] = tfs[s:e].sum()
+
+    # doc stats over DISTINCT docs of this segment
+    _, first_idx = np.unique(doc_ids, return_index=True)
+    n_docs = len(first_idx)
+    sum_dl = int(dls[first_idx].sum())
+
+    term_table = pa.table(
+        {
+            "term": pa.array(uniq_terms, type=pa.large_string()),
+            "df": pa.array(dfs, type=pa.uint64()),
+            "sum_tf": pa.array(sum_tfs, type=pa.uint64()),
+            "offset": pa.array(offsets, type=pa.int64()),
+            "length": pa.array(lengths, type=pa.int64()),
+        }
+    )
+    blob = b"".join(blobs)
+    meta = {
+        "n_terms": int(len(uniq_terms)),
+        "n_docs": int(n_docs),
+        "sum_dl": sum_dl,
+        "n_postings": int(len(terms)),
+        "postings_bytes": len(blob),
+    }
+    return term_table, blob, meta
+
+
+def write_segment(seg_dir: str, seg_id: int, term_table: pa.Table, blob: bytes, meta: dict) -> dict:
+    """Atomic write: tmp dir + rename. Re-running with identical inputs yields
+    byte-identical files (deterministic parquet, no timestamps)."""
+    meta = dict(meta, seg_id=int(seg_id))
+    tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(term_table, os.path.join(tmp, "terms.parquet"))
+    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    if os.path.exists(seg_dir):
+        shutil.rmtree(tmp)
+    else:
+        os.rename(tmp, seg_dir)
+    return meta
+
+
+class SegmentReader:
+    """Query-side view of one segment: term dictionary in memory (numpy sorted
+    array → binary search), postings.bin memory-mapped (blobs slice lazily)."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        self.terms = t["term"].to_numpy(zero_copy_only=False)
+        self.dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.offsets = t["offset"].to_numpy(zero_copy_only=False)
+        self.lengths = t["length"].to_numpy(zero_copy_only=False)
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r") \
+            if self.meta["postings_bytes"] else np.empty(0, dtype=np.uint8)
+
+    def lookup(self, term: str) -> int:
+        """Index of term in dictionary or -1."""
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def df(self, term: str) -> int:
+        i = self.lookup(term)
+        return 0 if i < 0 else int(self.dfs[i])
+
+    def posting_blob(self, term: str) -> np.ndarray | None:
+        i = self.lookup(term)
+        if i < 0:
+            return None
+        s = int(self.offsets[i])
+        return self._post[s : s + int(self.lengths[i])]

@@ -1,0 +1,425 @@
+"""Relational / ETL operators over the driver testdata tables (SURVEY.md §2.A).
+
+The reference expressed all of these as Spark SQL in its import statements;
+here each is an idiomatic Ray Data pipeline: vectorized ``map_batches`` bodies
+over zero-copy Arrow batches, broadcast lookups for small dimension sides,
+``Dataset.join`` for the large hash join, ``groupby().aggregate`` /
+``map_groups`` for the wide steps.
+
+Every public ``q_*`` function takes an ``sf_dir`` and returns a
+``ray.data.Dataset`` (or small pyarrow Table); the paired ANSI-SQL oracle lives
+in ``__ray_entry__.oracle_sql``. Float-summing aggregates are computed in
+integer cents on BOTH sides so order-of-addition differences cannot flip the
+driver's value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..sources.catalog import table
+
+# how many partitions wide shuffles use at test scale; sized ~2× CPUs at bench
+_NPART = 8
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """round(x*100) as int64 — order-independent exact summation."""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+# ---------------------------------------------------------------- A4/A5: filter + project
+def q_filter_project(sf_dir: str):
+    """WHERE + SELECT list with parquet column pruning (A4/A5)."""
+    ds = table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.02)),
+                pc.less_equal(t["l_discount"], pa.scalar(0.06)),
+            ),
+        )
+        return t.filter(m).select(["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- A6: string fns
+def q_string_fns(sf_dir: str):
+    ds = table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def f(t: pa.Table) -> pa.Table:
+        name = t["c_name"]
+        num = pc.struct_field(pc.extract_regex(name, r"(?P<d>[0-9]+)"), "d")
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "name_lower": pc.utf8_lower(name),
+                "seg_upper": pc.utf8_upper(t["c_mktsegment"]),
+                "name_prefix": pc.utf8_slice_codeunits(name, 0, 8),
+                "seg_name": pc.binary_join_element_wise(t["c_mktsegment"], name, ":"),
+                "name_num": num,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- A7: date fns
+def q_date_fns(sf_dir: str):
+    ds = table(sf_dir, "orders", columns=["o_orderdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_year": pc.year(t["o_orderdate"]), "o_month": pc.month(t["o_orderdate"])}
+        )
+
+    from ray.data.aggregate import Count
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby(["o_year", "o_month"]).aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------- A8: math + CASE
+def q_math_case(sf_dir: str):
+    ds = table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        revenue = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        qty_class = pc.if_else(
+            pc.greater(t["l_quantity"], pa.scalar(25.0)), pa.scalar("high"), pa.scalar("low")
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty_class": qty_class,
+                "revenue_cents": _cents(revenue),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby(["l_returnflag", "qty_class"]).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n")
+    )
+
+
+# ---------------------------------------------------------------- A9: JSON extraction
+def q_json_extract(sf_dir: str):
+    """props is a JSON string like '{"k": 87}' — extracted with a vectorized
+    RE2 kernel, not per-row json.loads (A9)."""
+    ds = table(sf_dir, "events", columns=["event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        k = pc.struct_field(pc.extract_regex(t["props"], r'"k": *(?P<k>-?[0-9]+)'), "k")
+        return pa.table(
+            {"event_type": t["event_type"], "k": pc.cast(k, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count(alias_name="n")
+    )
+
+
+# ---------------------------------------------------------------- A10: broadcast join
+def q_join_broadcast(sf_dir: str):
+    """customer ⋈ nation ⋈ region with BOTH small sides broadcast once via
+    ray.put and looked up vectorized inside map_batches — no shuffle (A10)."""
+    nation = table(sf_dir, "nation").to_pandas()
+    region = table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(
+        dict(zip(dim["n_nationkey"].astype(np.int64), dim["r_name"]))
+    )
+
+    class JoinDims:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            r_name = pa.array([self.lookup[int(k)] for k in keys], type=pa.string())
+            return pa.table({"r_name": r_name, "acctbal_cents": _cents(t["c_acctbal"])})
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    out = ds.map_batches(JoinDims, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    return out.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents")
+    )
+
+
+# ---------------------------------------------------------------- A10: hash join (both sides large)
+def q_join_hash(sf_dir: str):
+    """orders ⋈ customer via Dataset.join (hash-partitioned shuffle join)."""
+    orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=_NPART, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_mktsegment": t["c_mktsegment"], "totalprice_cents": _cents(t["o_totalprice"])}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("totalprice_cents", alias_name="totalprice_cents")
+    )
+
+
+# ---------------------------------------------------------------- A11: semi / anti join
+def _customer_order_filter(sf_dir: str, keep_with_orders: bool):
+    """Broadcast the (small) distinct key set; vectorized pc.is_in mask —
+    a semi/anti join with no shuffle (A11). For a large key side this becomes
+    a Bloom filter broadcast (same shape)."""
+    custkeys = table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    keys_ref = ray.put(np.array(sorted(custkeys), dtype=np.int64))
+
+    class Filter:
+        def __init__(self):
+            self.keys = pa.array(ray.get(keys_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.is_in(t["c_custkey"], value_set=self.keys)
+            if not keep_with_orders:
+                m = pc.invert(m)
+            return t.filter(m)
+
+    ds = table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+
+def q_semi_join(sf_dir: str):
+    return _customer_order_filter(sf_dir, True)
+
+
+def q_anti_join(sf_dir: str):
+    return _customer_order_filter(sf_dir, False)
+
+
+# ---------------------------------------------------------------- A12: grouped aggregate (TPC-H Q1 shape)
+def q_groupby_agg(sf_dir: str):
+    ds = table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-12-01"))))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "base_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Mean, Sum
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    agg = out.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="sum_base_cents"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+
+    def r(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("avg_qty"), "avg_qty", pc.round(t["avg_qty"], ndigits=6)
+        )
+
+    return agg.map_batches(r, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- A13: global aggregate
+def q_global_agg(sf_dir: str):
+    ds = table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_shipdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "price_cents": _cents(t["l_extendedprice"]),
+                "l_shipdate": t["l_shipdate"],
+            }
+        )
+
+    pre = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    n_rows = pre.count()
+    total = pre.sum("price_cents")
+    min_ship = pre.min("l_shipdate")
+    max_ship = pre.max("l_shipdate")
+    n_orders = len(pre.unique("l_orderkey"))
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], type=pa.int64()),
+            "sum_price_cents": pa.array([total], type=pa.int64()),
+            "min_ship": pa.array([min_ship], type=pa.timestamp("us")),
+            "max_ship": pa.array([max_ship], type=pa.timestamp("us")),
+            "n_orders": pa.array([n_orders], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- A14: distinct
+def q_distinct(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="_n"))
+    return agg.select_columns(["l_returnflag", "l_linestatus"])
+
+
+# ---------------------------------------------------------------- A14: dedup first-by-key
+def q_dedup_first(sf_dir: str):
+    """Exact dedup keeping the earliest row per (user_id, event_type):
+    shuffle key = dedup key, per-group vectorized first (A14)."""
+    ds = table(sf_dir, "events", columns=["user_id", "event_type", "event_id", "ts"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- A15/A16: sort + top-k
+def q_sort_topk(sf_dir: str):
+    ds = table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------- A16: per-group top-k
+def q_topk_per_group(sf_dir: str):
+    ds = table(sf_dir, "customer", columns=["c_mktsegment", "c_custkey", "c_acctbal"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort").head(3)
+
+    return ds.groupby("c_mktsegment").map_groups(top3, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- A17: union all
+def q_union_all(sf_dir: str):
+    ev = table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    return clicks.union(purchases)
+
+
+# ---------------------------------------------------------------- A18: intersect / except
+def _user_sets(sf_dir: str):
+    ev = table(sf_dir, "events", columns=["user_id", "event_type"])
+    click = set(ev.filter(expr="event_type == 'click'").unique("user_id"))
+    purch = set(ev.filter(expr="event_type == 'purchase'").unique("user_id"))
+    return click, purch
+
+
+def q_intersect(sf_dir: str):
+    click, purch = _user_sets(sf_dir)
+    both = sorted(click & purch)
+    return pa.table({"user_id": pa.array(both, type=pa.int64())})
+
+
+def q_except(sf_dir: str):
+    click, purch = _user_sets(sf_dir)
+    only = sorted(click - purch)
+    return pa.table({"user_id": pa.array(only, type=pa.int64())})
+
+
+# ---------------------------------------------------------------- C7: tumbling time window
+def q_window_tumbling(sf_dir: str):
+    """Tumbling 1-hour window per event_type: groupby(truncated ts) — the
+    batch-incremental window model of the reference (§2.C7)."""
+    ds = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents")
+    )
+
+
+# ---------------------------------------------------------------- A19: nested-doc construction
+def q_nested_build(sf_dir: str):
+    """collect_list(struct(...)) — orders with their lineitems as a sorted
+    list<struct> column (A19). Non-SQL-expressible result shape → rows-only
+    driver check; exact equality vs DuckDB asserted in tests/test_relational.py."""
+    li = table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_linenumber", kind="mergesort")
+        items = [
+            {"l_linenumber": int(a), "l_quantity": float(b), "l_extendedprice": float(c)}
+            for a, b, c in zip(g["l_linenumber"], g["l_quantity"], g["l_extendedprice"])
+        ]
+        return pd.DataFrame(
+            {"o_orderkey": [int(g["l_orderkey"].iloc[0])], "n_items": [len(items)], "items": [items]}
+        )
+
+    return li.groupby("l_orderkey").map_groups(build, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- A20: deterministic hash sample
+def q_sample_hash(sf_dir: str):
+    """Deterministic 5% sample by key hash (reproducible sampling, A20)."""
+    ds = table(sf_dir, "events", columns=["event_id", "user_id"])
+    return ds.filter(expr="event_id % 20 == 0")
+
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "string_fns": q_string_fns,
+    "date_fns": q_date_fns,
+    "math_case": q_math_case,
+    "json_extract": q_json_extract,
+    "join_broadcast": q_join_broadcast,
+    "join_hash": q_join_hash,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "groupby_agg": q_groupby_agg,
+    "global_agg": q_global_agg,
+    "distinct": q_distinct,
+    "dedup_first": q_dedup_first,
+    "sort_topk": q_sort_topk,
+    "topk_per_group": q_topk_per_group,
+    "union_all": q_union_all,
+    "intersect": q_intersect,
+    "except": q_except,
+    "window_tumbling": q_window_tumbling,
+    "nested_build": q_nested_build,
+    "sample_hash": q_sample_hash,
+}

@@ -1,0 +1,45 @@
+"""Named-Dataset catalog — the Ray-Data replacement for the reference's
+Spark temp views (SURVEY.md §2.A1/A2: `sources.jdbc` / `sources.filesystem`
+config blocks registered via createOrReplaceTempView).
+
+A ``Catalog`` maps names to lazily-read ``ray.data.Dataset``s; reads prune
+columns at the source (parquet column projection / row-group pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+
+class Catalog:
+    def __init__(self, base_dir: str | None = None):
+        self.base_dir = base_dir
+        self._datasets: dict[str, ray.data.Dataset] = {}
+
+    def register(self, name: str, ds: ray.data.Dataset) -> None:
+        self._datasets[name] = ds
+
+    def register_parquet(self, name: str, path: str | None = None, columns: list[str] | None = None) -> None:
+        path = path or os.path.join(self.base_dir or "", f"{name}.parquet")
+        self._datasets[name] = ray.data.read_parquet(path, columns=columns)
+
+    def register_csv(self, name: str, path: str) -> None:
+        self._datasets[name] = ray.data.read_csv(path)
+
+    def register_json(self, name: str, path: str) -> None:
+        self._datasets[name] = ray.data.read_json(path)
+
+    def __getitem__(self, name: str) -> ray.data.Dataset:
+        if name not in self._datasets and self.base_dir:
+            self.register_parquet(name)
+        return self._datasets[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._datasets)
+
+
+def table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read one driver-provided testdata table with column pruning."""
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)

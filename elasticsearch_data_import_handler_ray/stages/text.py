@@ -1,0 +1,104 @@
+"""Text-analysis stages for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All vectorized
+(pyarrow.compute RE2 kernels / numpy); stateful pieces (compiled vocabularies)
+live in callable classes → actor pools.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language stopword lists for the n-gram/stopword langid heuristic
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "que", "de", "en", "una", "por", "con"],
+}
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per row — one vectorized RE2 scan."""
+    n = pc.count_substring_regex(t[text_col], pattern=r"\S+")
+    return t.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality signals: length, token count, punctuation ratio, stopword ratio.
+    Ratios are rounded to 4 decimals (both here and in the SQL oracle) so the
+    driver's value hash is insensitive to last-ulp differences."""
+    text = t[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(
+            pc.utf8_lower(text), pattern=r"\b(the|and|of|to|in|is)\b"
+        ),
+        pa.int64(),
+    )
+    punct_ratio = pc.round(
+        pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())),
+        ndigits=4,
+    )
+    stop_ratio = pc.round(
+        pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())),
+        ndigits=4,
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+        }
+    )
+
+
+class LangId:
+    """Stopword-hit language ID — stateful stage: the per-language RE2
+    patterns are compiled once per actor in __init__ (BASELINE.json:15
+    actor-pool requirement), scored vectorized per batch."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = sorted(_LANG_STOPWORDS)
+        self.patterns = {
+            lang: r"\b(" + "|".join(_LANG_STOPWORDS[lang]) + r")\b" for lang in self.langs
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t[self.text_col])
+        counts = np.stack(
+            [
+                pc.count_substring_regex(low, pattern=self.patterns[lang])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for lang in self.langs
+            ]
+        )
+        best = counts.argmax(axis=0)  # ties → first (sorted lang order), deterministic
+        none = counts.max(axis=0) == 0
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[none] = "unknown"
+        return t.append_column("predicted_lang", pa.array(pred, type=pa.string()))
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text —
+    exactly reproducible in SQL (md5(regexp_replace(lower(text),'\\s+',' ','g')))
+    so the oracle can check it, and stable across runs/partitionings."""
+    norm = pc.replace_substring_regex(pc.utf8_lower(t[text_col]), pattern=r"\s+", replacement=" ")
+    fps = [hashlib.md5(v.encode()).hexdigest() for v in norm.to_pylist()]
+    return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())})
+
+
+def sha256_batch_table(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-row sha256 (the A22/BASELINE.json:15 invariant op, SQL-checkable)."""
+    shas = [hashlib.sha256(v.encode()).hexdigest() for v in t[text_col].to_pylist()]
+    return pa.table({"doc_id": t["doc_id"], "sha256": pa.array(shas, type=pa.string())})

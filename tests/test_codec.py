@@ -1,0 +1,74 @@
+"""Property-based + unit tests for the varbyte/delta posting codec
+(SURVEY.md §5.2 item 1, posting-list correctness per BASELINE.json:6)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_data_import_handler_ray.functions import codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert (codec.varbyte_decode(codec.varbyte_encode(arr), count=len(arr)) == arr).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63), min_size=1, max_size=400, unique=True),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_posting_roundtrip(ids, data):
+    ids = np.sort(np.array(ids, dtype=np.uint64))
+    n = len(ids)
+    tfs = np.array(data.draw(st.lists(st.integers(1, 10_000), min_size=n, max_size=n)), dtype=np.uint64)
+    dls = np.array(data.draw(st.lists(st.integers(1, 100_000), min_size=n, max_size=n)), dtype=np.uint64)
+    blob = codec.encode_posting(ids, tfs, dls)
+    a, b, c = codec.decode_posting(blob)
+    assert (a == ids).all() and (b == tfs).all() and (c == dls).all()
+    pb = codec.PostingBlocks(blob)
+    assert pb.df == n
+    # block invariants: true bounds, block-aligned firsts
+    off = 0
+    for i in range(pb.n):
+        bi, bt, bd = pb.decode_block(i)
+        assert (bt <= pb.max_tfs[i]).all()
+        assert (bd >= pb.min_dls[i]).all()
+        assert bi[0] == pb.first_docs[i]
+        assert (np.diff(bi.astype(np.uint64)) > 0).all() if len(bi) > 1 else True
+        off += len(bi)
+    assert off == n
+
+
+def test_delta_roundtrip():
+    ids = np.array([5, 6, 100, 2**40, 2**63], dtype=np.uint64)
+    assert (codec.delta_decode(codec.delta_encode(ids)) == ids).all()
+
+
+def test_merge_postings_disjoint():
+    a = codec.encode_posting(
+        np.array([1, 5, 9], np.uint64), np.array([1, 2, 3], np.uint64), np.array([7, 8, 9], np.uint64)
+    )
+    b = codec.encode_posting(
+        np.array([2, 6], np.uint64), np.array([4, 5], np.uint64), np.array([1, 2], np.uint64)
+    )
+    ids, tfs, dls = codec.decode_posting(codec.merge_postings([a, b]))
+    assert ids.tolist() == [1, 2, 5, 6, 9]
+    assert tfs.tolist() == [1, 4, 2, 5, 3]
+    assert dls.tolist() == [7, 1, 8, 2, 9]
+    # merge of a single blob is byte-identical (idempotence building block)
+    assert codec.merge_postings([a]) == a
+
+
+def test_merge_postings_duplicate_doc_raises():
+    a = codec.encode_posting(np.array([1], np.uint64), np.array([1], np.uint64), np.array([1], np.uint64))
+    with pytest.raises(ValueError):
+        codec.merge_postings([a, a])
+
+
+def test_encode_empty():
+    assert codec.varbyte_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert len(codec.varbyte_decode(b"")) == 0

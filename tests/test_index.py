@@ -1,0 +1,108 @@
+"""End-to-end: build → query, rank-identical vs the exact BM25 oracle
+(SURVEY.md §5.2 items 3/5; BASELINE.json:6 "BM25 rank equality")."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_data_import_handler_ray.functions.analysis import CodeAnalyzer
+from elasticsearch_data_import_handler_ray.functions.hashing import doc_ids_batch
+from elasticsearch_data_import_handler_ray.index.build import build_index, verify_hashes
+from elasticsearch_data_import_handler_ray.index.oracle import BM25Oracle
+from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+from fixtures.gen_corpus import corpus_files
+from fixtures.queries import generate_queries
+
+
+@pytest.fixture(scope="module")
+def built(tiny_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index") / "tiny")
+    res = build_index(
+        tiny_corpus,
+        index_dir,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=4),
+    )
+    assert res.n_docs > 0 and res.n_postings > 0
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus):
+    tables = [pq.read_table(f) for f in corpus_files(tiny_corpus)]
+    t = pa.concat_tables(tables)
+    doc_ids = doc_ids_batch(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), t["commit"].combine_chunks()
+    )
+    return BM25Oracle(CodeAnalyzer(), doc_ids, t["content"].combine_chunks())
+
+
+@pytest.fixture(scope="module")
+def engine(built):
+    eng = QueryEngine(built)
+    yield eng
+    eng.close()
+
+
+def test_manifest_stats_match_oracle(built, oracle):
+    from elasticsearch_data_import_handler_ray.state.manifest import Manifest
+
+    man = Manifest.load(built)
+    assert man.n_docs == oracle.N
+    assert man.avgdl == pytest.approx(oracle.avgdl, rel=0, abs=0)
+
+
+def test_sha256_invariant(built, tiny_corpus):
+    n = verify_hashes(built, os.path.join(tiny_corpus, "corpus_sha256.parquet"))
+    assert n == 1000
+
+
+def test_global_df_matches_oracle(engine, oracle):
+    terms = ["hot_term_0", "foo", "bar", "nonexistent_term_xyz"]
+    dfs = engine.global_dfs(terms)
+    for t, df in zip(terms, dfs):
+        assert df == oracle.df(t), t
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "bmw"])
+def test_rank_identical_topk(engine, oracle, method):
+    queries = generate_queries(seed=42)
+    results = engine.search_many(queries, k=10, method=method)
+    n_nonempty = 0
+    for q, got in zip(queries, results):
+        want = oracle.search(q["text"], k=10, mode=q["mode"])
+        assert [d for d, _ in got] == [d for d, _ in want], (method, q)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == ws, (method, q)  # bit-identical scores
+        n_nonempty += bool(want)
+    assert n_nonempty >= 40  # the query set actually exercises scoring
+
+
+def test_and_mode_semantics(engine, oracle):
+    res = engine.search("hot_term_0 hot_term_1", k=10, mode="and")
+    want = oracle.search("hot_term_0 hot_term_1", k=10, mode="and")
+    assert [d for d, _ in res] == [d for d, _ in want]
+    assert engine.search("hot_term_0 zzzunknownterm", k=5, mode="and") == []
+
+
+def test_rank_identity_across_parallelism(tiny_corpus, built, oracle, tmp_path_factory):
+    """Same corpus, different segment count → identical top-k (BASELINE.json:2:
+    results must not depend on partitioning)."""
+    index2 = str(tmp_path_factory.mktemp("index") / "tiny2")
+    build_index(
+        tiny_corpus, index2, mode="full", config=IndexConfig(analyzer="code", num_segments=7)
+    )
+    eng2 = QueryEngine(index2)
+    try:
+        queries = generate_queries(seed=42)[:20]
+        r2 = eng2.search_many(queries, k=10, method="bmw")
+        for q, got in zip(queries, r2):
+            want = oracle.search(q["text"], k=10, mode=q["mode"])
+            assert [(d, s) for d, s in got] == [(d, s) for d, s in want]
+    finally:
+        eng2.close()
