@@ -331,20 +331,20 @@ def oracle_sql() -> dict[str, str]:
         "math_case": """
             SELECT l_returnflag,
                    CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS qty_class,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS revenue_cents,
                    count(*)::BIGINT AS n
             FROM lineitem GROUP BY 1, 2
         """,
         "json_extract": """
             SELECT event_type,
-                   SUM(CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT)) AS sum_k,
+                   SUM(CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT))::BIGINT AS sum_k,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type
         """,
         "join_broadcast": """
             SELECT r.r_name,
                    count(*)::BIGINT AS n_customers,
-                   SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+                   SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -353,7 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "join_hash": """
             SELECT c.c_mktsegment,
                    count(*)::BIGINT AS n_orders,
-                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS totalprice_cents
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))::BIGINT AS totalprice_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
@@ -363,12 +363,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         "groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,
                    ROUND(AVG(l_quantity), 6) AS avg_qty,
                    count(*)::BIGINT AS count_order
             FROM lineitem
@@ -377,7 +377,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "global_agg": """
             SELECT count(*)::BIGINT AS n_rows,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
                    MIN(l_shipdate) AS min_ship,
                    MAX(l_shipdate) AS max_ship,
                    count(DISTINCT l_orderkey)::BIGINT AS n_orders
@@ -420,7 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*)::BIGINT AS n,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",

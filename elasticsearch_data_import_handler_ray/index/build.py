@@ -200,7 +200,13 @@ def build_index(
     reference's `{lastRun}` timestamp predicate generalized to file lineage.
     """
     assert mode in ("full", "incremental")
-    config = config or IndexConfig()
+    if config is None:
+        # incremental on an existing index inherits its stored config
+        manifest_path = os.path.join(index_dir, "manifest.json")
+        if mode == "incremental" and os.path.exists(manifest_path):
+            config = Manifest.load(index_dir).config
+        else:
+            config = IndexConfig()
     t0 = time.monotonic()
     files = _resolve_files(corpus)
 
@@ -292,7 +298,11 @@ def verify_hashes(index_dir: str, sidecar_path: str) -> int:
             dm_dirs.append(os.path.join(index_dir, d))
     if not dm_dirs:
         raise ValueError("index was built without docmap; cannot verify")
-    ours = ray.data.read_parquet(dm_dirs, columns=["doc_id", "sha256"])
+    # expand to files: read_parquet accepts one directory, not a list of them
+    dm_files = [
+        os.path.join(d, f) for d in dm_dirs for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    ours = ray.data.read_parquet(dm_files, columns=["doc_id", "sha256"])
     ref = ray.data.read_parquet(sidecar_path).rename_columns({"sha256": "ref_sha256"})
     joined = ours.join(ref, join_type="inner", num_partitions=8, on=("doc_id",))
     bad = joined.filter(expr="sha256 != ref_sha256").count()

@@ -262,7 +262,10 @@ class QueryShard:
         for q in queries:
             heap: list = []
             terms, idfs, avgdl, k = q["terms"], q["idfs"], q["avgdl"], q["k"]
-            if q["mode"] == "and" or q["method"] == "exhaustive" or len(terms) == 0:
+            if k <= 0 or len(terms) == 0:
+                out.append([])
+                continue
+            if q["mode"] == "and" or q["method"] == "exhaustive":
                 _score_exhaustive(self.readers, terms, idfs, avgdl, k, q["mode"], heap)
             else:
                 _score_bmw(self.readers, terms, idfs, avgdl, k, heap)

@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.rounding import pa_round_half_away
 from ..sources.catalog import table
 
 # how many partitions wide shuffles use at test scale; sized ~2× CPUs at bench
@@ -30,8 +31,20 @@ _NPART = 8
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """round(x*100) as int64 — order-independent exact summation."""
-    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+    """round(x*100) as int64 — order-independent exact summation; half-away
+    rounding matches DuckDB ROUND for exact .5 cents."""
+    return pc.cast(pa_round_half_away(pc.multiply(arr, pa.scalar(100.0)), 0), pa.int64())
+
+
+def _add_bucket(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:
+    """Stable hash bucket over key columns — the 'bucketed group' pattern:
+    ``groupby(bucket)`` gives O(num_buckets) Python group calls with all
+    per-key logic vectorized pandas inside the bucket, instead of one Python
+    call per distinct key (ray_guide.md 'Joins and lookups')."""
+    h = pd.util.hash_pandas_object(df[list(key_cols)], index=False).to_numpy()
+    out = df.copy()
+    out["_bucket"] = (h % num_buckets).astype(np.int32)
+    return out
 
 
 # ---------------------------------------------------------------- A4/A5: filter + project
@@ -187,33 +200,39 @@ def q_join_hash(sf_dir: str):
 
 
 # ---------------------------------------------------------------- A11: semi / anti join
-def _customer_order_filter(sf_dir: str, keep_with_orders: bool):
+def _key_filter(ds, key_col: str, keys_ref, keep: bool):
     """Broadcast the (small) distinct key set; vectorized pc.is_in mask —
     a semi/anti join with no shuffle (A11). For a large key side this becomes
     a Bloom filter broadcast (same shape)."""
-    custkeys = table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    keys_ref = ray.put(np.array(sorted(custkeys), dtype=np.int64))
 
     class Filter:
         def __init__(self):
             self.keys = pa.array(ray.get(keys_ref))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.is_in(t["c_custkey"], value_set=self.keys)
-            if not keep_with_orders:
+            m = pc.is_in(t[key_col], value_set=self.keys)
+            if not keep:
                 m = pc.invert(m)
             return t.filter(m)
 
-    ds = table(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
 
 
 def q_semi_join(sf_dir: str):
-    return _customer_order_filter(sf_dir, True)
+    custkeys = table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    keys_ref = ray.put(np.array(sorted(custkeys), dtype=np.int64))
+    return _key_filter(table(sf_dir, "customer", columns=["c_custkey", "c_name"]), "c_custkey", keys_ref, True)
 
 
 def q_anti_join(sf_dir: str):
-    return _customer_order_filter(sf_dir, False)
+    """Customers with no order above 300k (NOT IN over a filtered subquery —
+    the plain anti-joins are all empty in this data, which would drop the
+    result schema)."""
+    big = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000"
+    )
+    keys_ref = ray.put(np.array(sorted(big.unique("o_custkey")), dtype=np.int64))
+    return _key_filter(table(sf_dir, "customer", columns=["c_custkey", "c_name"]), "c_custkey", keys_ref, False)
 
 
 # ---------------------------------------------------------------- A12: grouped aggregate (TPC-H Q1 shape)
@@ -247,7 +266,7 @@ def q_groupby_agg(sf_dir: str):
 
     def r(t: pa.Table) -> pa.Table:
         return t.set_column(
-            t.schema.get_field_index("avg_qty"), "avg_qty", pc.round(t["avg_qty"], ndigits=6)
+            t.schema.get_field_index("avg_qty"), "avg_qty", pa_round_half_away(t["avg_qty"], 6)
         )
 
     return agg.map_batches(r, batch_format="pyarrow")
@@ -295,13 +314,19 @@ def q_distinct(sf_dir: str):
 # ---------------------------------------------------------------- A14: dedup first-by-key
 def q_dedup_first(sf_dir: str):
     """Exact dedup keeping the earliest row per (user_id, event_type):
-    shuffle key = dedup key, per-group vectorized first (A14)."""
+    shuffle key = hash-bucket of the dedup key (A14). Inside each bucket the
+    per-key 'first' is one vectorized sort + drop_duplicates — O(buckets)
+    Python calls instead of one per distinct key."""
     ds = table(sf_dir, "events", columns=["user_id", "event_type", "event_id", "ts"])
+    bucketed = ds.map_batches(
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id", "event_type"], num_buckets=32)
+    )
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return g.drop_duplicates(["user_id", "event_type"], keep="first").drop(columns="_bucket")
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pandas")
+    return bucketed.groupby("_bucket").map_groups(first, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- A15/A16: sort + top-k
@@ -380,24 +405,40 @@ def q_nested_build(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
     )
 
+    bucketed = li.map_batches(
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["l_orderkey"], num_buckets=32)
+    )
+
     def build(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("l_linenumber", kind="mergesort")
-        items = [
-            {"l_linenumber": int(a), "l_quantity": float(b), "l_extendedprice": float(c)}
-            for a, b, c in zip(g["l_linenumber"], g["l_quantity"], g["l_extendedprice"])
-        ]
+        # (orderkey, linenumber) is NOT unique in this data — sort on the full
+        # tuple for a deterministic total order of the nested list
+        g = g.sort_values(
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"], kind="mergesort"
+        )
+        keys, starts = np.unique(g["l_orderkey"].to_numpy(), return_index=True)
+        recs = g[["l_linenumber", "l_quantity", "l_extendedprice"]].to_dict("records")
+        ends = np.append(starts[1:], len(recs))
         return pd.DataFrame(
-            {"o_orderkey": [int(g["l_orderkey"].iloc[0])], "n_items": [len(items)], "items": [items]}
+            {
+                "o_orderkey": keys.astype(np.int64),
+                "n_items": (ends - starts).astype(np.int64),
+                "items": [recs[s:e] for s, e in zip(starts, ends)],
+            }
         )
 
-    return li.groupby("l_orderkey").map_groups(build, batch_format="pandas")
+    return bucketed.groupby("_bucket").map_groups(build, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- A20: deterministic hash sample
 def q_sample_hash(sf_dir: str):
     """Deterministic 5% sample by key hash (reproducible sampling, A20)."""
     ds = table(sf_dir, "events", columns=["event_id", "user_id"])
-    return ds.filter(expr="event_id % 20 == 0")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 QUERIES = {

@@ -45,7 +45,17 @@ class _BruteScore:
         self.qm = _normalize(q["matrix"])
         self.id_col, self.emb_col, self.k = id_col, emb_col, k
 
+    _EMPTY = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "cos_sim": pa.array([], type=pa.float64()),
+        }
+    )
+
     def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return self._EMPTY
         m = _normalize(_embedding_matrix(t, self.emb_col))
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         cos = m @ self.qm.T  # (batch, n_queries)

@@ -167,28 +167,36 @@ def minhash_dedup_pairs(
         ),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per BAND (not per bucket): vectorized duplicate-bucket
+        detection, pairwise signature compare only inside colliding buckets."""
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
+        g = g.drop_duplicates(["band_hash", "doc_id"])
+        dup = g[g.duplicated("band_hash", keep=False)]
+        if dup.empty:
+            return empty
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(eq >= threshold)
-            for h in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_j.append(round(float(eq[h]), 4))
+        for _, sub in dup.groupby("band_hash", sort=False):
+            sub = sub.sort_values("doc_id", kind="mergesort")
+            ids = sub["doc_id"].to_numpy()
+            sigs = np.stack(sub["sig"].to_numpy())
+            for i in range(len(ids)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                hit = np.flatnonzero(eq >= threshold)
+                for h in hit:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + h]))
+                    out_j.append(round(float(eq[h]), 4))
+        if not out_a:
+            return empty
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands → keep one row per pair
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # (vectorized distinct: Max over identical est_jaccard values)
+    from ray.data.aggregate import Max
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
 # ---------------------------------------------------------------- SimHash
@@ -235,31 +243,38 @@ def simhash_pairs(
 
     exploded = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.uint64)
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        if hasattr(np, "bitwise_count"):
+            return np.bitwise_count(x)
+        return np.array([bin(int(v)).count("1") for v in x])
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per 16-bit BLOCK: only colliding keys are compared."""
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
+        g = g.drop_duplicates(["key", "doc_id"])
+        dup = g[g.duplicated("key", keep=False)]
+        if dup.empty:
+            return empty
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(ids)):
-            x = sigs[i + 1 :] ^ sigs[i]
-            ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.array(
-                [bin(int(v)).count("1") for v in x]
-            )
-            hit = np.flatnonzero(ham <= max_hamming)
-            for h in hit:
-                out["doc_a"].append(ids[i])
-                out["doc_b"].append(ids[i + 1 + h])
-                out["hamming"].append(int(ham[h]))
+        for _, sub in dup.groupby("key", sort=False):
+            sub = sub.sort_values("doc_id", kind="mergesort")
+            ids = sub["doc_id"].to_numpy()
+            sigs = sub["sig"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                ham = _popcount(sigs[i + 1 :] ^ sigs[i])
+                hit = np.flatnonzero(ham <= max_hamming)
+                for h in hit:
+                    out["doc_a"].append(int(ids[i]))
+                    out["doc_b"].append(int(ids[i + 1 + h]))
+                    out["hamming"].append(int(ham[h]))
+        if not out["doc_a"]:
+            return empty
         return pd.DataFrame(out)
 
-    cand = exploded.groupby(["block", "key"]).map_groups(pairs, batch_format="pandas")
+    cand = exploded.groupby("block").map_groups(block_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------- exact n-gram Jaccard
@@ -311,11 +326,16 @@ def exact_dedup(ds: ray.data.Dataset, *, text_col="text", id_col="doc_id") -> ra
 
     def h(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(v.encode()).hexdigest() for v in t[text_col].to_pylist()]
-        return pa.table({"h": pa.array(hs, type=pa.string()), id_col: t[id_col]})
+        bucket = (pd.util.hash_array(np.array(hs, dtype=object)) % 32).astype(np.int32)
+        return pa.table(
+            {"h": pa.array(hs, type=pa.string()), id_col: t[id_col], "_bucket": pa.array(bucket)}
+        )
 
     hashed = ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True)
 
     def keep(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g[id_col].min())], "n_dups": [len(g)]})
+        # one call per BUCKET; the per-hash min/count is one vectorized groupby
+        agg = g.groupby("h", sort=False)[id_col].agg(["min", "size"]).reset_index(drop=True)
+        return pd.DataFrame({"doc_id": agg["min"].astype("int64"), "n_dups": agg["size"].astype("int64")})
 
-    return hashed.groupby("h").map_groups(keep, batch_format="pandas")
+    return hashed.groupby("_bucket").map_groups(keep, batch_format="pandas")

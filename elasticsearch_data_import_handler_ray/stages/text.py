@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.rounding import pa_round_half_away
+
 # tiny per-language stopword lists for the n-gram/stopword langid heuristic
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
@@ -41,13 +43,13 @@ def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
         ),
         pa.int64(),
     )
-    punct_ratio = pc.round(
+    punct_ratio = pa_round_half_away(
         pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())),
-        ndigits=4,
+        4,
     )
-    stop_ratio = pc.round(
+    stop_ratio = pa_round_half_away(
         pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())),
-        ndigits=4,
+        4,
     )
     return pa.table(
         {

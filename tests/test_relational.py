@@ -1,0 +1,105 @@
+"""Relational operator layer vs DuckDB on the driver tables (SURVEY.md §5.2
+item 4). A representative subset runs here (the full set is exercised by
+tools/check_oracles.py and the driver's gate); nested_build gets its exact
+DuckDB comparison here because its result shape is not hashable by the driver."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+SUBSET = [
+    "filter_project",
+    "math_case",
+    "join_broadcast",
+    "join_hash",
+    "groupby_agg",
+    "dedup_first",
+    "window_tumbling",
+    "sort_topk",
+    "anti_join",
+    "doc_sha256",
+    "token_count",
+    "term_df_whitespace",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif str(df[c].dtype).startswith(("uint", "int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64").round(6)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_pandas(obj):
+    return obj if isinstance(obj, pd.DataFrame) else obj.to_pandas()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, con):
+    got = _canon(_to_pandas(entry.queries()[name](SF)))
+    want = _canon(con.execute(entry.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if str(got[c].dtype).startswith("float"):
+            assert np.allclose(a, b, rtol=0, atol=1e-9), c
+        else:
+            assert (a == b).all(), c
+
+
+def test_nested_build_matches_duckdb(con):
+    got = _to_pandas(entry.queries()["nested_build"](SF))
+    want = con.execute(
+        """
+        SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_items,
+               list(struct_pack(l_linenumber := l_linenumber,
+                                l_quantity := l_quantity,
+                                l_extendedprice := l_extendedprice)
+                    ORDER BY l_linenumber, l_quantity, l_extendedprice) AS items
+        FROM lineitem GROUP BY l_orderkey
+        """
+    ).df()
+    got = got.sort_values("o_orderkey").reset_index(drop=True)
+    want = want.sort_values("o_orderkey").reset_index(drop=True)
+    assert (got["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
+    assert (got["n_items"].to_numpy() == want["n_items"].to_numpy()).all()
+    # spot-check nested content equality on a sample of orders
+    for i in range(0, len(got), max(1, len(got) // 25)):
+        g_items = got["items"].iloc[i]
+        w_items = want["items"].iloc[i]
+        assert len(g_items) == len(w_items)
+        for gi, wi in zip(g_items, w_items):
+            assert gi["l_linenumber"] == wi["l_linenumber"]
+            assert gi["l_quantity"] == wi["l_quantity"]
+            assert gi["l_extendedprice"] == wi["l_extendedprice"]
+
+
+def test_entry_smoke():
+    t = entry.entry()
+    assert t.num_rows >= 0
+    assert set(t.column_names) == {"query_idx", "rank", "doc_id", "score"}
+    assert t.num_rows > 0  # the fixed queries match sf0.001 documents

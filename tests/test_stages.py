@@ -1,0 +1,208 @@
+"""Dedup / ANN / text / multimodal stage tests with planted ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from elasticsearch_data_import_handler_ray.stages.ann import cosine_neardup_pairs, knn_bruteforce
+from elasticsearch_data_import_handler_ray.stages.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from elasticsearch_data_import_handler_ray.stages.multimodal import (
+    DeterministicFakeDecoder,
+    MediaFeatureStage,
+    synthesize_media_dataset,
+)
+from elasticsearch_data_import_handler_ray.stages.text import LangId
+
+
+def _docs_with_dups():
+    base = (
+        "the quick brown fox jumps over the lazy dog while reading json files "
+        "and parsing tokens from the network buffer stream with care"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # near-duplicate
+    other = (
+        "completely different content about database indexes btree pages "
+        "write ahead logs checkpoints and vacuum processes running nightly"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup of 1
+        {"doc_id": 3, "text": near},  # near dup of 1
+        {"doc_id": 4, "text": other},
+        {"doc_id": 5, "text": "tiny"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def test_exact_dedup_planted():
+    ds = ray.data.from_arrow(_docs_with_dups())
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    row = out[out.doc_id == 1].iloc[0]
+    assert row["n_dups"] == 2
+
+
+def test_minhash_finds_exact_and_near_dups():
+    ds = ray.data.from_arrow(_docs_with_dups())
+    pairs = minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+    found = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (1, 2) in found  # exact dup: jaccard 1.0
+    assert (1, 3) in found or (2, 3) in found  # near dup
+    assert not any({4, 5} & {a, b} for a, b in found)
+
+
+def test_minhash_estimates_jaccard_of_identical_docs():
+    sig = minhash_signatures(
+        pa.array(["a b c d e f g h i j k l", "a b c d e f g h i j k l"], type=pa.large_string())
+    )
+    assert (sig[0] == sig[1]).all()
+
+
+def test_simhash_identical_and_different():
+    sigs = simhash_signatures(
+        pa.array(
+            ["a b c d e f g h", "a b c d e f g h", "x y z q w e r t"], type=pa.large_string()
+        )
+    )
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    ds = ray.data.from_arrow(_docs_with_dups())
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    found = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (1, 2) in found
+
+
+def test_ngram_jaccard_exact_values():
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()),
+         "text": pa.array(["a b c d e", "a b c d e"], type=pa.large_string())}
+    )
+    out = ngram_jaccard_pairs(ray.data.from_arrow(t), threshold=0.5)
+    df = out.to_pandas()
+    assert len(df) == 1 and df.jaccard.iloc[0] == 1.0
+
+
+def test_knn_bruteforce_matches_numpy_oracle():
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((50, 8))
+    ids = np.arange(50)
+    t = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in m], type=pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(t)
+    got = knn_bruteforce(ds, ids[:3], m[:3], k=5).to_pandas()
+    # numpy oracle (float32 roundtrip like the stored column)
+    m32 = m.astype(np.float32).astype(np.float64)
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    for qi in range(3):
+        cos = mn @ mn[qi]
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert sub.neighbor_id.tolist() == ids[order].tolist()
+
+
+def test_cosine_neardup_finds_duplicated_vector():
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((20, 8))
+    m[7] = m[3]  # planted duplicate embedding
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(20), type=pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in m], type=pa.list_(pa.float32()))}
+    )
+    out = cosine_neardup_pairs(ray.data.from_arrow(t), threshold=0.999).to_pandas()
+    assert {(a, b) for a, b in zip(out.id_a, out.id_b)} == {(3, 7)}
+
+
+def test_langid_english():
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()),
+         "text": pa.array(
+             ["the cat and the dog went to the park in the morning",
+              "zzz qqq www"], type=pa.large_string())}
+    )
+    out = LangId()(t)
+    assert out["predicted_lang"].to_pylist() == ["en", "unknown"]
+
+
+def test_multimodal_stub_plumbing():
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+         "text": pa.array(["abc", "defg", "hi"], type=pa.large_string())}
+    )
+    media = synthesize_media_dataset(docs, "doc_id", "text")
+    ds = ray.data.from_arrow(media)
+    out = ds.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=2, concurrency=1
+    ).to_pandas().sort_values("media_id")
+    assert out.n_bytes.tolist() == [3, 4, 2]
+    import zlib
+
+    assert out.crc32.tolist() == [zlib.crc32(b"abc"), zlib.crc32(b"defg"), zlib.crc32(b"hi")]
+    # real decoder base class refuses (stub is explicit, not silent)
+    from elasticsearch_data_import_handler_ray.stages.multimodal import Decoder
+
+    with pytest.raises(NotImplementedError):
+        Decoder().decode(b"x", "image/png")
+
+
+def test_pipeline_spec_end_to_end(tmp_path):
+    """Config-driven pipeline (D1): source → prep → two imports (parquet sink
+    with id-dedup upsert semantics + index sink), continue-on-error."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.pipelines.spec import (
+        ImportSpec,
+        PipelineSpec,
+        PrepSpec,
+        SourceSpec,
+        TransformStep,
+        run_pipeline,
+    )
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+             "text": pa.array(["dup one", "dup one", "two tokens here", "three little words"], type=pa.large_string()),
+             "n": pa.array([1, 1, 2, 3], type=pa.int64())}
+        ),
+        src,
+    )
+
+    def add_double(ds):
+        return ds.map_batches(
+            lambda t: t.append_column("n2", pa.compute.multiply(t["n"], 2)),
+            batch_format="pyarrow",
+        )
+
+    spec = PipelineSpec(
+        sources=[SourceSpec(name="docs", path=str(src))],
+        preps=[PrepSpec(name="docs2", source="docs", steps=[TransformStep("add_double", add_double)])],
+        imports=[
+            ImportSpec(name="to_parquet", source="docs2", id_column="doc_id",
+                       sink="parquet", target=str(tmp_path / "out")),
+            ImportSpec(name="to_index", source="docs", id_column="doc_id", sink="index",
+                       target=str(tmp_path / "idx"), index_content_col="text",
+                       index_num_segments=2),
+            ImportSpec(name="boom", source="missing_source", id_column="x", sink="parquet",
+                       target=str(tmp_path / "boom")),
+        ],
+    )
+    res = run_pipeline(spec)
+    assert res["to_parquet"]["status"] == "complete"
+    assert res["to_index"]["status"] == "complete" and res["to_index"]["n_docs"] == 3
+    assert res["boom"]["status"] == "error"  # continue-on-error (§2.C6)
+    out = pq.read_table(str(tmp_path / "out")).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [1, 2, 3]  # id-upsert dedup
+    assert (out.n2 == out.n * 2).all()
