@@ -144,10 +144,22 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32 (BASELINE.md protocol)."""
+    """Same job, fresh processes, num_cpus=8 then 32 (BASELINE.md protocol).
+
+    Uses a larger corpus than the plain bench (default 240k docs,
+    $GRAFT_SCALING_DOCS) so per-CPU work dominates the fixed session/stage
+    overheads — at 60k docs the 32-CPU build finishes in ~9 s of which most
+    is startup, which understates scaling."""
+
+    scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "240000")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY_BUILD="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY_BUILD="1",
+            GRAFT_BENCH_DOCS=scaling_docs,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

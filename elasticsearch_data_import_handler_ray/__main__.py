@@ -1,0 +1,105 @@
+"""CLI entry points (SURVEY.md §2.E) — `ray job submit`-able.
+
+    python -m elasticsearch_data_import_handler_ray build <corpus> <index_dir>
+        [--mode full|incremental] [--analyzer code|whitespace]
+        [--num-segments N] [--doc-id-col COL] [--content-col COL]
+        [--verify-sidecar PATH]
+    python -m elasticsearch_data_import_handler_ray query <index_dir> <text>...
+        [-k 10] [--mode or|and] [--method bmw|exhaustive]
+    python -m elasticsearch_data_import_handler_ray merge <index_dir>
+
+These own their Ray session (guarded init) — library code never does.
+The reference's equivalent was `java -jar kohesive-dih.jar <config.conf>`;
+config-driven runs go through pipelines/spec.py instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="elasticsearch_data_import_handler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("corpus")
+    b.add_argument("index_dir")
+    b.add_argument("--mode", default="full", choices=["full", "incremental"])
+    b.add_argument("--analyzer", default="code")
+    b.add_argument("--num-segments", type=int, default=16)
+    b.add_argument("--doc-id-col", default=None)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--verify-sidecar", default=None)
+
+    q = sub.add_parser("query")
+    q.add_argument("index_dir")
+    q.add_argument("text", nargs="+")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", default="or", choices=["or", "and"])
+    q.add_argument("--method", default="bmw", choices=["bmw", "exhaustive"])
+
+    m = sub.add_parser("merge")
+    m.add_argument("index_dir")
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "build":
+            from .index.build import build_index, verify_hashes
+            from .state.manifest import IndexConfig
+
+            cfg = None
+            if args.mode == "full":
+                cfg = IndexConfig(
+                    analyzer=args.analyzer,
+                    num_segments=args.num_segments,
+                    doc_id_col=args.doc_id_col,
+                    content_col=args.content_col,
+                )
+            res = build_index(args.corpus, args.index_dir, mode=args.mode, config=cfg)
+            out = {
+                "run_id": res.run_id,
+                "n_docs": res.n_docs,
+                "n_postings": res.n_postings,
+                "duration_s": round(res.duration_s, 3),
+                "skipped": res.skipped,
+            }
+            if args.verify_sidecar:
+                out["verified_rows"] = verify_hashes(args.index_dir, args.verify_sidecar)
+            print(json.dumps(out))
+        elif args.cmd == "query":
+            from .index.query import QueryEngine
+
+            eng = QueryEngine(args.index_dir)
+            try:
+                results = eng.search_many(
+                    [{"text": t, "mode": args.mode} for t in args.text],
+                    k=args.k,
+                    method=args.method,
+                )
+            finally:
+                eng.close()
+            for t, res in zip(args.text, results):
+                print(json.dumps({"query": t, "hits": [{"doc_id": d, "score": s} for d, s in res]}))
+        elif args.cmd == "merge":
+            from .index.merge import merge_index
+
+            print(json.dumps({"merged_run": merge_index(args.index_dir)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

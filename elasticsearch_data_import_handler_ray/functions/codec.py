@@ -40,20 +40,18 @@ BLOCK_SIZE = 128
 
 _U64_7 = np.uint64(7)
 _U64_0x7F = np.uint64(0x7F)
+# LEB128 size thresholds: value v needs 1 + #thresholds <= v bytes
+_SIZE_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
+def varbyte_encode(values: np.ndarray, sizes: np.ndarray | None = None) -> bytes:
     """Vectorized LEB128 encode of a uint64 array."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b""
     # bytes needed per value: number of 7-bit groups (>=1)
-    nb = np.ones(n, dtype=np.int64)
-    tmp = v >> _U64_7
-    while tmp.any():
-        nb += tmp != 0
-        tmp = tmp >> _U64_7
+    nb = sizes if sizes is not None else _varbyte_sizes(v)
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     np.cumsum(nb[:-1], out=starts[1:])
@@ -125,6 +123,122 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> byt
         parts.append(header)
         parts.append(payload)
     return b"".join(parts)
+
+
+def _varbyte_sizes(v: np.ndarray) -> np.ndarray:
+    """Bytes each value occupies under LEB128 — one binary-search pass."""
+    v = np.ascontiguousarray(v, dtype=np.uint64)
+    return np.searchsorted(_SIZE_THRESHOLDS, v, side="right").astype(np.int64) + 1
+
+
+def encode_segment(
+    term_bounds: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-segment single-pass encoder.
+
+    Input: posting rows sorted by (term, doc_id); ``term_bounds`` are the
+    term slice boundaries (len = n_terms + 1). Produces bytes IDENTICAL to
+    concatenating ``encode_posting`` per term (same value sequence, one
+    ``varbyte_encode`` call), but with O(1) numpy passes instead of one call
+    per term — the per-term overhead dominated segment builds.
+
+    Returns (blob, offsets, lengths, sum_tfs) per term.
+    """
+    n = len(doc_ids)
+    n_terms = len(term_bounds) - 1
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return b"", z, z.copy(), np.zeros(0, dtype=np.uint64)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    term_starts = term_bounds[:-1]
+    dfs = (term_bounds[1:] - term_bounds[:-1]).astype(np.int64)
+    term_of = np.repeat(np.arange(n_terms, dtype=np.int64), dfs)
+    idx_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, dfs)
+
+    # strictly-increasing doc ids within each term (duplicate-id guard)
+    within = idx_in_term > 0
+    if within.any() and (doc_ids[within] <= doc_ids[np.flatnonzero(within) - 1]).any():
+        bad = np.flatnonzero(within)[doc_ids[within] <= doc_ids[np.flatnonzero(within) - 1]][0]
+        raise ValueError(
+            f"duplicate/unsorted doc_id in postings of term #{term_of[bad]}: "
+            "dedup by id (SURVEY.md §2.A14) before indexing"
+        )
+
+    # blocks: every BLOCK_SIZE postings within a term
+    block_start_mask = (idx_in_term % BLOCK_SIZE) == 0
+    block_starts = np.flatnonzero(block_start_mask)  # global posting index
+    n_blocks = len(block_starts)
+    block_of = np.cumsum(block_start_mask) - 1  # block id per posting
+    block_bounds = np.append(block_starts, n)
+    blk_n = (block_bounds[1:] - block_bounds[:-1]).astype(np.int64)
+    blk_first = doc_ids[block_starts]
+    blk_maxtf = np.maximum.reduceat(tfs, block_starts)
+    blk_mindl = np.minimum.reduceat(dls, block_starts)
+    blk_term = term_of[block_starts]
+
+    # gaps (payload doc deltas): every posting that is NOT a block start
+    gap_mask = ~block_start_mask
+    gaps = np.zeros(n, dtype=np.uint64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]  # valid only where gap_mask
+
+    # payload byte length per block = Σ sizes(gaps) + Σ sizes(tfs) + Σ sizes(dls)
+    sz_tf = _varbyte_sizes(tfs)
+    sz_dl = _varbyte_sizes(dls)
+    sz_gap = np.zeros(n, dtype=np.int64)
+    if gap_mask.any():
+        sz_gap[gap_mask] = _varbyte_sizes(gaps[gap_mask])
+    per_posting = sz_tf + sz_dl + sz_gap
+    blk_payload_len = np.add.reduceat(per_posting, block_starts).astype(np.uint64)
+
+    # ---- assemble the global value sequence ----
+    # per term: [df]; per block: [n, first, max_tf, min_dl, payload_len,
+    #                             gaps(n-1), tfs(n), dls(n)]
+    blk_nvals = 5 + 3 * blk_n - 1
+    term_nvals = np.ones(n_terms, dtype=np.int64)  # df
+    np.add.at(term_nvals, blk_term, blk_nvals)
+    term_val_start = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(term_nvals, out=term_val_start[1:])
+    # block value offsets: term_start + 1 + cumulative block sizes within term
+    blk_cum = np.zeros(n_blocks, dtype=np.int64)
+    if n_blocks > 1:
+        c = np.cumsum(blk_nvals)[:-1]
+        blk_cum[1:] = c
+        # reset at term boundaries: subtract cumulative at term's first block
+        first_blk_of_term = np.searchsorted(blk_term, np.arange(n_terms))
+        blk_cum -= np.repeat(blk_cum[first_blk_of_term], np.bincount(blk_term, minlength=n_terms))
+    blk_off = term_val_start[blk_term] + 1 + blk_cum
+
+    total_vals = int(term_val_start[-1])
+    vals = np.empty(total_vals, dtype=np.uint64)
+    vals[term_val_start[:-1]] = dfs.astype(np.uint64)
+    vals[blk_off + 0] = blk_n.astype(np.uint64)
+    vals[blk_off + 1] = blk_first
+    vals[blk_off + 2] = blk_maxtf
+    vals[blk_off + 3] = blk_mindl
+    vals[blk_off + 4] = blk_payload_len
+
+    # per-posting positions inside their block's payload
+    pos_in_block = idx_in_term - np.repeat(idx_in_term[block_starts], blk_n)
+    base = blk_off[block_of] + 5
+    nb_rep = np.repeat(blk_n, blk_n)
+    gpos = base + pos_in_block - 1                      # gaps: positions 0..n-2
+    tpos = base + (nb_rep - 1) + pos_in_block           # tfs
+    dpos = base + (nb_rep - 1) + nb_rep + pos_in_block  # dls
+    vals[gpos[gap_mask]] = gaps[gap_mask]
+    vals[tpos] = tfs
+    vals[dpos] = dls
+
+    sizes = _varbyte_sizes(vals)
+    blob = varbyte_encode(vals, sizes=sizes)
+    # per-term byte offsets/lengths from per-value sizes
+    csum = np.zeros(total_vals + 1, dtype=np.int64)
+    np.cumsum(sizes, out=csum[1:])
+    offsets = csum[term_val_start[:-1]]
+    lengths = csum[term_val_start[1:]] - offsets
+    sum_tfs = np.add.reduceat(tfs, term_starts) if n else np.zeros(0, dtype=np.uint64)
+    return blob, offsets, lengths, sum_tfs
 
 
 def _read_varbytes(b: np.ndarray, off: int, k: int) -> tuple[np.ndarray, int]:

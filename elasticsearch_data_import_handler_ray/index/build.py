@@ -45,7 +45,7 @@ import ray.data
 from ..functions.analysis import get_analyzer, term_frequencies
 from ..functions.hashing import doc_ids_batch, sha256_batch
 from ..state.manifest import IndexConfig, Manifest, RunLock
-from .segment import build_segment_arrays, write_segment
+from .segment import build_segment_arrays_table, write_segment
 
 POSTING_SCHEMA = pa.schema(
     [
@@ -151,11 +151,7 @@ class SegmentBuilder:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         seg_id = int(group["seg"][0].as_py())
-        terms = group["term"].to_numpy(zero_copy_only=False)
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        tfs = group["tf"].to_numpy(zero_copy_only=False)
-        dls = group["dl"].to_numpy(zero_copy_only=False)
-        term_table, blob, meta = build_segment_arrays(terms, doc_ids, tfs, dls)
+        term_table, blob, meta = build_segment_arrays_table(group)
         seg_dir = os.path.join(self.run_dir, f"seg_{seg_id}")
         meta = write_segment(seg_dir, seg_id, term_table, blob, meta)
         return pa.table(

@@ -176,14 +176,19 @@ def _score_bmw(
     avgdl: float,
     k: int,
     heap: list,
+    get_blocks=None,
 ) -> None:
     """Block-max WAND over each segment, θ shared across segments via `heap`."""
-    for rd in readers:
+    for ri, rd in enumerate(readers):
         iters: list[tuple[str, _TermIter]] = []
         for t in terms:
-            blob = rd.posting_blob(t)
-            if blob is not None:
-                iters.append((t, _TermIter(PostingBlocks(blob), idfs[t], avgdl)))
+            if get_blocks is not None:
+                pb = get_blocks(ri, t)
+            else:
+                blob = rd.posting_blob(t)
+                pb = PostingBlocks(blob) if blob is not None else None
+            if pb is not None:
+                iters.append((t, _TermIter(pb, idfs[t], avgdl)))
         if not iters:
             continue
         while True:
@@ -247,10 +252,27 @@ def _score_bmw(
 
 
 class QueryShard:
-    """One actor per doc-shard: loads every run's segment for its seg_id."""
+    """One actor per doc-shard: loads every run's segment for its seg_id.
+    Decoded block headers (PostingBlocks) are cached per (reader, term) so
+    repeated query terms skip header parsing — actor state doing its job."""
+
+    _CACHE_MAX = 8192
 
     def __init__(self, seg_dirs: list[str]):
         self.readers = [SegmentReader(d) for d in seg_dirs]
+        self._pb_cache: dict[tuple[int, str], PostingBlocks | None] = {}
+
+    def _blocks(self, ri: int, term: str) -> PostingBlocks | None:
+        key = (ri, term)
+        hit = self._pb_cache.get(key, False)
+        if hit is not False:
+            return hit
+        blob = self.readers[ri].posting_blob(term)
+        pb = PostingBlocks(blob) if blob is not None else None
+        if len(self._pb_cache) >= self._CACHE_MAX:
+            self._pb_cache.clear()
+        self._pb_cache[key] = pb
+        return pb
 
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(sum(r.df(t) for r in self.readers)) for t in terms]
@@ -268,7 +290,7 @@ class QueryShard:
             if q["mode"] == "and" or q["method"] == "exhaustive":
                 _score_exhaustive(self.readers, terms, idfs, avgdl, k, q["mode"], heap)
             else:
-                _score_bmw(self.readers, terms, idfs, avgdl, k, heap)
+                _score_bmw(self.readers, terms, idfs, avgdl, k, heap, get_blocks=self._blocks)
             out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])
         return out
 
@@ -288,6 +310,7 @@ class QueryEngine:
         self.N = self.man.n_docs
         self.avgdl = self.man.avgdl
         self._actors = []
+        self._df_cache: dict[str, int] = {}
         remote = ray.remote(num_cpus=actor_num_cpus)(QueryShard)
         for seg_id in range(self.man.config.num_segments):
             dirs = self.man.segment_dirs(seg_id)
@@ -298,10 +321,18 @@ class QueryEngine:
         return sorted(set(self.analyzer.analyze_query(text)))
 
     def global_dfs(self, terms: list[str]) -> np.ndarray:
+        """Global df per term (sum over shards), cached on the driver —
+        repeat terms skip the scatter round (the df of a term in an immutable
+        index only changes when a new run commits; a new QueryEngine is made
+        after builds, so the cache cannot go stale within one engine)."""
         if not terms:
             return np.empty(0, dtype=np.int64)
-        per = ray.get([a.dfs.remote(terms) for a in self._actors])
-        return np.sum(np.array(per, dtype=np.int64), axis=0)
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            per = ray.get([a.dfs.remote(missing) for a in self._actors])
+            for t, v in zip(missing, np.sum(np.array(per, dtype=np.int64), axis=0)):
+                self._df_cache[t] = int(v)
+        return np.array([self._df_cache[t] for t in terms], dtype=np.int64)
 
     def search(self, text: str, k: int = 10, mode: str = "or", method: str = "bmw"):
         return self.search_many([{"text": text, "mode": mode}], k=k, method=method)[0]

@@ -29,46 +29,69 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.codec import encode_posting
+from ..functions.codec import encode_segment
+
+
+def _term_ranks(term_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """→ (sorted-order rank per row, unique terms in sorted order).
+
+    Dictionary-encode in Arrow C++ and rank the dictionary — avoids
+    ``np.lexsort`` over a Python-object string array (per-element Python
+    comparisons; the dominant cost of segment building at scale)."""
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    d = term_col.dictionary_encode()
+    dict_vals = d.dictionary
+    sort_idx = pc.array_sort_indices(dict_vals).to_numpy(zero_copy_only=False)
+    rank_of = np.empty(len(dict_vals), dtype=np.int64)
+    rank_of[sort_idx] = np.arange(len(dict_vals))
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    return rank_of[codes], dict_vals.take(pa.array(sort_idx))
+
+
+def build_segment_arrays_table(group: pa.Table) -> tuple[pa.Table, bytes, dict]:
+    """Encode one segment from an unsorted posting-row table."""
+    ranks, uniq = _term_ranks(group["term"])
+    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((doc_ids, ranks))  # pure-int lexsort
+    return _encode_sorted(
+        np.asarray(uniq, dtype=object), ranks[order], doc_ids[order], tfs[order], dls[order]
+    )
 
 
 def build_segment_arrays(
     terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
 ) -> tuple[pa.Table, bytes, dict]:
-    """Encode one segment from unsorted posting rows (vectorized sort + per-term
-    numpy slicing; the only Python loop is over distinct terms).
+    """Encode one segment from unsorted posting rows (numpy-array entry point;
+    prefer build_segment_arrays_table for the Arrow fast path)."""
+    ranks, uniq = _term_ranks(pa.array(terms, type=pa.large_string()))
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    order = np.lexsort((doc_ids, ranks))
+    return _encode_sorted(
+        np.asarray(uniq, dtype=object),
+        ranks[order],
+        doc_ids[order],
+        np.ascontiguousarray(tfs, dtype=np.uint64)[order],
+        np.ascontiguousarray(dls, dtype=np.uint64)[order],
+    )
 
-    Returns (term_dict_table, postings_blob, meta).
-    """
-    order = np.lexsort((doc_ids, terms))
-    terms = terms[order]
-    doc_ids = doc_ids[order].astype(np.uint64)
-    tfs = tfs[order].astype(np.uint64)
-    dls = dls[order].astype(np.uint64)
 
-    uniq_terms, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, len(terms))
-    blobs: list[bytes] = []
-    offsets = np.empty(len(uniq_terms), dtype=np.int64)
-    lengths = np.empty(len(uniq_terms), dtype=np.int64)
+def _encode_sorted(
+    uniq_terms: np.ndarray,
+    ranks_sorted: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+) -> tuple[pa.Table, bytes, dict]:
+    starts = np.flatnonzero(np.diff(ranks_sorted, prepend=-1))
+    bounds = np.append(starts, len(ranks_sorted)).astype(np.int64)
     dfs = (bounds[1:] - bounds[:-1]).astype(np.uint64)
-    sum_tfs = np.empty(len(uniq_terms), dtype=np.uint64)
-    off = 0
-    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
-        ids = doc_ids[s:e]
-        if len(ids) > 1 and (ids[1:] <= ids[:-1]).any():
-            raise ValueError(
-                f"duplicate doc_id in postings of term {uniq_terms[i]!r}: "
-                "dedup by id (SURVEY.md §2.A14) before indexing"
-            )
-        blob = encode_posting(ids, tfs[s:e], dls[s:e])
-        blobs.append(blob)
-        offsets[i] = off
-        lengths[i] = len(blob)
-        off += len(blob)
-        sum_tfs[i] = tfs[s:e].sum()
+    blob, offsets, lengths, sum_tfs = encode_segment(bounds, doc_ids, tfs, dls)
 
     # doc stats over DISTINCT docs of this segment
     _, first_idx = np.unique(doc_ids, return_index=True)
@@ -79,17 +102,16 @@ def build_segment_arrays(
         {
             "term": pa.array(uniq_terms, type=pa.large_string()),
             "df": pa.array(dfs, type=pa.uint64()),
-            "sum_tf": pa.array(sum_tfs, type=pa.uint64()),
+            "sum_tf": pa.array(sum_tfs.astype(np.uint64), type=pa.uint64()),
             "offset": pa.array(offsets, type=pa.int64()),
             "length": pa.array(lengths, type=pa.int64()),
         }
     )
-    blob = b"".join(blobs)
     meta = {
         "n_terms": int(len(uniq_terms)),
         "n_docs": int(n_docs),
         "sum_dl": sum_dl,
-        "n_postings": int(len(terms)),
+        "n_postings": int(len(ranks_sorted)),
         "postings_bytes": len(blob),
     }
     return term_table, blob, meta

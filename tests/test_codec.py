@@ -72,3 +72,37 @@ def test_merge_postings_duplicate_doc_raises():
 def test_encode_empty():
     assert codec.varbyte_encode(np.empty(0, dtype=np.uint64)) == b""
     assert len(codec.varbyte_decode(b"")) == 0
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_encode_segment_equals_per_term_encoding(data):
+    """Whole-segment vectorized encoder produces byte-identical output to
+    per-term encode_posting concatenation (same on-disk format)."""
+    rng_terms = data.draw(st.integers(1, 12))
+    parts, bounds = [], [0]
+    for _ in range(rng_terms):
+        ids = np.array(
+            sorted(
+                data.draw(
+                    st.sets(st.integers(0, 2**62), min_size=1, max_size=200)
+                )
+            ),
+            dtype=np.uint64,
+        )
+        n = len(ids)
+        tfs = np.array(data.draw(st.lists(st.integers(1, 1000), min_size=n, max_size=n)), dtype=np.uint64)
+        dls = np.array(data.draw(st.lists(st.integers(1, 10**6), min_size=n, max_size=n)), dtype=np.uint64)
+        parts.append((ids, tfs, dls))
+        bounds.append(bounds[-1] + n)
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    blob, offs, lens, stf = codec.encode_segment(np.array(bounds, dtype=np.int64), ids, tfs, dls)
+    ref_parts = [codec.encode_posting(*p) for p in parts]
+    assert blob == b"".join(ref_parts)
+    off = 0
+    for i, rp in enumerate(ref_parts):
+        assert offs[i] == off and lens[i] == len(rp)
+        off += len(rp)
+        assert stf[i] == parts[i][1].sum()
