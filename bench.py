@@ -79,8 +79,7 @@ def run_bench() -> dict:
         corpus,
         INDEX_DIR,
         mode="full",
-        config=IndexConfig(analyzer="code", num_segments=16),
-        segment_concurrency=max(2, NUM_CPUS // 2),
+        config=IndexConfig(analyzer="code", num_segments=32),
         compute_sha=True,
     )
     build_s = time.monotonic() - t0
@@ -152,6 +151,9 @@ def run_scaling() -> dict:
     is startup, which understates scaling."""
 
     scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "240000")
+    lo_n, hi_n = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -170,21 +172,23 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(lo_n), run(hi_n)
     r_lo, r_hi = lo["docs_per_s"], hi["docs_per_s"]
-    eff = (r_hi / r_lo) / (32 / 8)
+    eff = (r_hi / r_lo) / (hi_n / lo_n)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "docs_per_s_8": r_lo,
-        "docs_per_s_32": r_hi,
-        "build_s_8": lo["value"],
-        "build_s_32": hi["value"],
-        "query_p50_ms_8": lo["query_p50_ms"],
-        "query_p50_ms_32": hi["query_p50_ms"],
-        "query_p95_ms_8": lo["query_p95_ms"],
-        "query_p95_ms_32": hi["query_p95_ms"],
+        "cpus_lo": lo_n,
+        "cpus_hi": hi_n,
+        f"docs_per_s_{lo_n}": r_lo,
+        f"docs_per_s_{hi_n}": r_hi,
+        f"build_s_{lo_n}": lo["value"],
+        f"build_s_{hi_n}": hi["value"],
+        f"query_p50_ms_{lo_n}": lo["query_p50_ms"],
+        f"query_p50_ms_{hi_n}": hi["query_p50_ms"],
+        f"query_p95_ms_{lo_n}": lo["query_p95_ms"],
+        f"query_p95_ms_{hi_n}": hi["query_p95_ms"],
         "n_docs": hi["n_docs"],
     }
 
@@ -214,8 +218,7 @@ def run_build_only() -> dict:
         corpus,
         INDEX_DIR,
         mode="full",
-        config=IndexConfig(analyzer="code", num_segments=16),
-        segment_concurrency=max(2, NUM_CPUS // 2),
+        config=IndexConfig(analyzer="code", num_segments=32),
         compute_sha=True,
     )
     build_s = time.monotonic() - t0

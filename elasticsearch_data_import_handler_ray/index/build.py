@@ -80,8 +80,14 @@ def _tokenize_batch(
     content_col: str,
     docmap_dir: str | None,
     compute_sha: bool,
+    emit_dl: bool = False,
 ) -> pa.Table:
-    """One corpus batch → exploded posting rows (seg, doc_id, term, tf, dl).
+    """One corpus batch → exploded posting rows (seg, doc_id, term, tf[, dl]).
+
+    ``dl`` is only emitted when ``emit_dl`` (the term-partitioned path needs it
+    shipped per row); the doc-partitioned segment build re-derives doc lengths
+    inside the builder — every row of a doc lands in the same segment, so
+    dl = Σ tf over the doc's rows there — saving 4 bytes/row of shuffle.
 
     Side effect: writes this batch's docmap shard (doc_id, identity cols,
     sha256, doc_len) under ``docmap_dir`` with a content-derived filename —
@@ -100,14 +106,11 @@ def _tokenize_batch(
         )
     postings, doclens = term_frequencies(analyzer, pa.array(doc_ids, type=pa.uint64()), content)
 
-    # attach doc_len to each posting row (sorted lookup, vectorized)
     dl_ids = doclens["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     dl_val = doclens["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
     o = np.argsort(dl_ids)
     dl_ids, dl_val = dl_ids[o], dl_val[o]
     p_doc = postings["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    pos = np.searchsorted(dl_ids, p_doc)
-    dls = dl_val[pos]
     seg = (p_doc % np.uint64(num_segments)).astype(np.uint32)
 
     if docmap_dir is not None:
@@ -125,16 +128,17 @@ def _tokenize_batch(
         name = hashlib.blake2b(doc_ids.tobytes(), digest_size=8).hexdigest()
         pq.write_table(pa.table(cols), os.path.join(docmap_dir, f"docmap-{name}.parquet"))
 
-    return pa.table(
-        {
-            "seg": pa.array(seg),
-            "doc_id": postings["doc_id"],
-            "term": postings["term"],
-            "tf": postings["tf"],
-            "dl": pa.array(dls),
-        },
-        schema=POSTING_SCHEMA,
-    )
+    cols_out = {
+        "seg": pa.array(seg),
+        "doc_id": postings["doc_id"],
+        "term": postings["term"],
+        "tf": postings["tf"],
+    }
+    if emit_dl:
+        pos = np.searchsorted(dl_ids, p_doc)
+        cols_out["dl"] = pa.array(dl_val[pos])
+        return pa.table(cols_out, schema=POSTING_SCHEMA)
+    return pa.table(cols_out, schema=POSTING_SCHEMA.remove(4))
 
 
 class SegmentBuilder:
@@ -250,18 +254,39 @@ def build_index(
             ),
         )
         if segment_concurrency is None:
-            # leave CPUs for the upstream read/tokenize stages: a pool that
-            # reserves every core starves the producers and the pipeline stalls
-            # (ray_guide.md "Stateful stages = actor pools")
+            # measured sweet spot (240k-doc corpus, this host): ~CPUs/4
+            # concurrent segment encoders. The encoder is memory-bandwidth
+            # bound; beyond that the workers thrash shared bandwidth
+            # (32 CPUs: 8 actors → 17 s, 16 actors → 56 s) and a larger pool
+            # also starves the upstream read/tokenize stages
+            # (ray_guide.md "Stateful stages = actor pools").
             total = int(ray.cluster_resources().get("CPU", 4))
-            segment_concurrency = max(1, min(config.num_segments, total // 2))
-        summaries = postings.groupby("seg").map_groups(
-            SegmentBuilder,
-            batch_format="pyarrow",
-            concurrency=segment_concurrency,
-            fn_constructor_args=(run_dir, rel_run),
-        )
-        seg_rows = summaries.to_pandas()  # tiny: one row per segment
+            segment_concurrency = max(2, min(config.num_segments, total // 4))
+
+        # Use the HASH shuffle for the seg groupby: the default sort-shuffle
+        # emits size-based blocks and map_groups runs ONE task per block, so a
+        # multi-GiB posting set collapses to ceil(bytes / 128 MiB) concurrent
+        # segment builds (measured: 16 segments built with parallelism 2).
+        # Hash-partitioning on the key with num_partitions=num_segments gives
+        # one whole-segment task per partition — and is the scalable exchange
+        # for this groupby on a real cluster. Restored after execution.
+        from ray.data.context import ShuffleStrategy
+
+        ctx = ray.data.DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            summaries = postings.groupby(
+                "seg", num_partitions=config.num_segments
+            ).map_groups(
+                SegmentBuilder,
+                batch_format="pyarrow",
+                concurrency=segment_concurrency,
+                fn_constructor_args=(run_dir, rel_run),
+            )
+            seg_rows = summaries.to_pandas()  # tiny: one row per segment
+        finally:
+            ctx.shuffle_strategy = prev_strategy
 
         segments = seg_rows.to_dict("records")
         metrics = {

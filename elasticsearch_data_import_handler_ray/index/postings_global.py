@@ -53,6 +53,7 @@ def explode_postings(
             content_col=content_col,
             docmap_dir=None,
             compute_sha=False,
+            emit_dl=True,  # term-partitioned rows scatter a doc across groups
         ),
     )
     return out.drop_columns(["seg"])

@@ -300,12 +300,18 @@ class QueryEngine:
     reuses it across queries (mmap'd postings stay warm). Never calls
     ray.init (driver contract)."""
 
-    def __init__(self, index_dir: str, *, actor_num_cpus: float = 0.25):
+    def __init__(self, index_dir: str, *, actor_num_cpus: float | None = None):
         # actors are memory-resident posting servers, mostly idle between
         # scatter calls: a small CPU reservation lets one engine per shard
-        # coexist with other stages (a 1.0 reservation deadlocks actor
-        # creation when num_segments approaches the cluster's CPU count)
+        # coexist with other stages. The reservation adapts to the cluster —
+        # a fixed value deadlocks actor creation whenever
+        # num_segments × num_cpus exceeds the CPUs available (e.g. 32 shards
+        # × 0.25 CPU on a 4-CPU cluster).
         self.man = Manifest.load(index_dir)
+        if actor_num_cpus is None:
+            total = float(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4.0
+            n_shards = max(self.man.config.num_segments, 1)
+            actor_num_cpus = max(0.01, min(0.25, (total * 0.5) / n_shards))
         self.analyzer = get_analyzer(self.man.config.analyzer)
         self.N = self.man.n_docs
         self.avgdl = self.man.avgdl
@@ -337,10 +343,20 @@ class QueryEngine:
     def search(self, text: str, k: int = 10, mode: str = "or", method: str = "bmw"):
         return self.search_many([{"text": text, "mode": mode}], k=k, method=method)[0]
 
+    # below this many candidate postings per shard, the vectorized exhaustive
+    # scorer beats the Python-loop WAND traversal (both are rank-identical)
+    AUTO_EXHAUSTIVE_PER_SHARD = 200_000
+
     def search_many(
         self, queries: list[dict], k: int = 10, method: str = "bmw"
     ) -> list[list[tuple[int, float]]]:
-        """Batch API: 2 RPC rounds total for any number of queries."""
+        """Batch API: 2 RPC rounds total for any number of queries.
+
+        method="auto" picks per query: exhaustive when the per-shard posting
+        volume (Σdf / shards) is small — numpy decode+accumulate wins there —
+        and block-max WAND when postings are large enough that skipping pays.
+        Both scorers are oracle-identical, so this is purely a latency choice.
+        """
         all_terms = sorted({t for q in queries for t in self.analyze(q["text"])})
         dfs = self.global_dfs(all_terms)
         df_map = dict(zip(all_terms, dfs.tolist()))
@@ -352,9 +368,13 @@ class QueryEngine:
             if mode == "and" and len(terms) < len(terms_all):
                 terms = []  # AND with unknown term matches nothing
             idfs = {t: float(bm25.idf(self.N, df_map[t])) for t in terms}
+            q_method = method
+            if method == "auto":
+                per_shard = sum(df_map[t] for t in terms) / max(len(self._actors), 1)
+                q_method = "exhaustive" if per_shard < self.AUTO_EXHAUSTIVE_PER_SHARD else "bmw"
             prepared.append(
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
-                 "mode": mode, "method": method}
+                 "mode": mode, "method": q_method}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
         out = []

@@ -53,11 +53,20 @@ def _term_ranks(term_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Ar
 
 
 def build_segment_arrays_table(group: pa.Table) -> tuple[pa.Table, bytes, dict]:
-    """Encode one segment from an unsorted posting-row table."""
+    """Encode one segment from an unsorted posting-row table.
+
+    When the table has no ``dl`` column, doc lengths are re-derived here:
+    segments are DOC-partitioned, so every row of a doc is present and
+    dl = Σ tf over the doc's rows (saves shipping dl through the shuffle)."""
     ranks, uniq = _term_ranks(group["term"])
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if "dl" in group.column_names:
+        dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        _, inv = np.unique(doc_ids, return_inverse=True)
+        per_doc = np.bincount(inv, weights=tfs.astype(np.float64))
+        dls = per_doc[inv].astype(np.uint64)  # exact: Σtf « 2^53
     order = np.lexsort((doc_ids, ranks))  # pure-int lexsort
     return _encode_sorted(
         np.asarray(uniq, dtype=object), ranks[order], doc_ids[order], tfs[order], dls[order]
