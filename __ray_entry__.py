@@ -424,6 +424,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
+        "asof_join": """
+            SELECT p.event_id, p.user_id, p.ts, COALESCE(c.ts, TIMESTAMP '1970-01-01') AS last_click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "session_window": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+                FROM ordered
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*)::BIGINT AS n, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM sessions GROUP BY user_id, session_id
+        """,
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
         "doc_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint

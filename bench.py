@@ -87,14 +87,19 @@ def run_bench() -> dict:
     # query latency: per-query round trips (p50/p95), BMW
     eng = QueryEngine(INDEX_DIR)
     qs = generate_queries(seed=42)
-    eng.search_many(qs[:5], k=10, method="bmw")  # warm actors / page cache
-    lat = []
-    for q in qs:
-        t0 = time.monotonic()
-        eng.search_many([q], k=10, method="bmw")
-        lat.append((time.monotonic() - t0) * 1000)
-    p50 = statistics.median(lat)
-    p95 = sorted(lat)[int(0.95 * len(lat)) - 1]
+    eng.search_many(qs[:5], k=10, method="auto")  # warm actors / page cache
+
+    def _lat(method):
+        lat = []
+        for q in qs:
+            t0 = time.monotonic()
+            eng.search_many([q], k=10, method=method)
+            lat.append((time.monotonic() - t0) * 1000)
+        lat.sort()
+        return statistics.median(lat), lat[int(0.95 * len(lat)) - 1]
+
+    p50, p95 = _lat("auto")           # headline: auto picks the faster scorer
+    bmw_p50, bmw_p95 = _lat("bmw")    # explicit BMW numbers for transparency
     t0 = time.monotonic()
     eng.search_many(qs, k=10, method="exhaustive")
     exhaustive_batch_s = time.monotonic() - t0
@@ -136,6 +141,8 @@ def run_bench() -> dict:
         "docs_per_s": round(res.n_docs / build_s, 1),
         "query_p50_ms": round(p50, 2),
         "query_p95_ms": round(p95, 2),
+        "bmw_p50_ms": round(bmw_p50, 2),
+        "bmw_p95_ms": round(bmw_p95, 2),
         "exhaustive_batch_s": round(exhaustive_batch_s, 3),
     }
     ray.shutdown()
@@ -224,11 +231,11 @@ def run_build_only() -> dict:
     build_s = time.monotonic() - t0
     eng = QueryEngine(INDEX_DIR)
     qs = generate_queries(seed=42)
-    eng.search_many(qs[:5], k=10, method="bmw")
+    eng.search_many(qs[:5], k=10, method="auto")
     lat = []
     for q in qs:
         t0 = time.monotonic()
-        eng.search_many([q], k=10, method="bmw")
+        eng.search_many([q], k=10, method="auto")
         lat.append((time.monotonic() - t0) * 1000)
     eng.close()
     out = {

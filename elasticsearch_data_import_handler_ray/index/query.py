@@ -308,8 +308,8 @@ class QueryEngine:
         # num_segments × num_cpus exceeds the CPUs available (e.g. 32 shards
         # × 0.25 CPU on a 4-CPU cluster).
         self.man = Manifest.load(index_dir)
+        total = float(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4.0
         if actor_num_cpus is None:
-            total = float(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4.0
             n_shards = max(self.man.config.num_segments, 1)
             actor_num_cpus = max(0.01, min(0.25, (total * 0.5) / n_shards))
         self.analyzer = get_analyzer(self.man.config.analyzer)
@@ -318,10 +318,21 @@ class QueryEngine:
         self._actors = []
         self._df_cache: dict[str, int] = {}
         remote = ray.remote(num_cpus=actor_num_cpus)(QueryShard)
-        for seg_id in range(self.man.config.num_segments):
-            dirs = self.man.segment_dirs(seg_id)
-            if dirs:
-                self._actors.append(remote.remote(dirs))
+        # group segments onto at most ~CPU actors: a 2-round scatter over 32
+        # single-segment actors is RPC-bound at small k; docs are disjoint
+        # across segments, so one actor can serve several shards exactly
+        shard_dirs = [
+            self.man.segment_dirs(s)
+            for s in range(self.man.config.num_segments)
+        ]
+        shard_dirs = [d for d in shard_dirs if d]
+        n_actors = max(1, min(len(shard_dirs), int(total)))
+        groups: list[list[str]] = [[] for _ in range(n_actors)]
+        for i, dirs in enumerate(shard_dirs):
+            groups[i % n_actors].extend(dirs)
+        for g in groups:
+            if g:
+                self._actors.append(remote.remote(g))
 
     def analyze(self, text: str) -> list[str]:
         return sorted(set(self.analyzer.analyze_query(text)))

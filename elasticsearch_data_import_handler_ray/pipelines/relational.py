@@ -429,6 +429,77 @@ def q_nested_build(sf_dir: str):
     return bucketed.groupby("_bucket").map_groups(build, batch_format="pandas")
 
 
+# ---------------------------------------------------------------- as-of join (custom operator)
+def q_asof_join(sf_dir: str):
+    """As-of join: for each purchase event, the latest click by the same user
+    at or before its timestamp. Ray Data has no as-of join primitive — this is
+    the documented composition (ray_guide.md "As-of / range join"): bucket by
+    the equality key, sort within bucket, ``pd.merge_asof`` per bucket.
+    Partitioning assumption: all rows of one user fit one bucket."""
+    ev = table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    bucketed = ev.map_batches(
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id"], num_buckets=32)
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g.event_type == "purchase"].sort_values(["ts", "event_id"], kind="mergesort")
+        c = g[g.event_type == "click"].sort_values(["ts", "event_id"], kind="mergesort")
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "last_click_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        out = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            c[["user_id", "ts"]].rename(columns={"ts": "last_click_ts"}),
+            left_on="ts",
+            right_on="last_click_ts",
+            by="user_id",
+            direction="backward",
+        )
+        # no-prior-click → epoch sentinel (NULL/NaT compares unequal to
+        # itself, which would break the driver's value hash)
+        out["last_click_ts"] = out["last_click_ts"].fillna(pd.Timestamp(0))
+        return out
+
+    return bucketed.groupby("_bucket").map_groups(asof, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- session window (custom operator)
+def q_session_window(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity gap) per user — the
+    streaming-shaped windowed aggregate Ray Data lacks natively, expressed as
+    bucketed groupby + vectorized pandas session assignment. Deterministic
+    order within (ts, event_id)."""
+    ev = table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    bucketed = ev.map_batches(
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id"], num_buckets=32)
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        new_session = (new_user | gap).cumsum()
+        agg = g.groupby(new_session, sort=False).agg(
+            user_id=("user_id", "first"),
+            n=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        )
+        # session id = 1-based index within each user, in time order
+        agg["session_id"] = agg.groupby("user_id", sort=False).cumcount() + 1
+        return agg[["user_id", "session_id", "n", "start_ts", "end_ts"]].astype(
+            {"n": "int64", "session_id": "int64"}
+        )
+
+    return bucketed.groupby("_bucket").map_groups(sessions, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- A20: deterministic hash sample
 def q_sample_hash(sf_dir: str):
     """Deterministic 5% sample by key hash (reproducible sampling, A20)."""
@@ -463,4 +534,6 @@ QUERIES = {
     "window_tumbling": q_window_tumbling,
     "nested_build": q_nested_build,
     "sample_hash": q_sample_hash,
+    "asof_join": q_asof_join,
+    "session_window": q_session_window,
 }
