@@ -291,6 +291,38 @@ class PostingBlocks:
         self._pay_off = np.array(poffs, dtype=np.int64)
         self._pay_len = np.array(plens, dtype=np.int64)
 
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Bulk-decode every block in ONE varbyte pass (queries over large
+        postings were dominated by per-block decode call overhead)."""
+        if self.n == 0:
+            z = np.empty(0, dtype=np.uint64)
+            return z, z.copy(), z.copy()
+        n_b = self.counts
+        payload = np.concatenate(
+            [self._buf[s : s + l] for s, l in zip(self._pay_off, self._pay_len)]
+        )
+        v_b = 3 * n_b - 1  # values per block: gaps(n-1) + tfs(n) + dls(n)
+        vals = varbyte_decode(payload, count=int(v_b.sum()))
+        vs = np.zeros(self.n, dtype=np.int64)
+        if self.n > 1:
+            np.cumsum(v_b[:-1], out=vs[1:])
+        total = int(n_b.sum())
+        starts = np.zeros(self.n, dtype=np.int64)
+        if self.n > 1:
+            np.cumsum(n_b[:-1], out=starts[1:])
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, n_b)  # pos in block
+        base = np.repeat(vs, n_b)
+        nb_rep = np.repeat(n_b, n_b)
+        tfs = vals[base + (nb_rep - 1) + j]
+        dls = vals[base + (nb_rep - 1) + nb_rep + j]
+        g = np.zeros(total, dtype=np.uint64)
+        nz = j > 0
+        g[nz] = vals[(base + j - 1)[nz]]
+        cs = np.cumsum(g)
+        block_start_pos = starts
+        ids = np.repeat(self.first_docs, n_b) + (cs - np.repeat(cs[block_start_pos], n_b))
+        return ids.astype(np.uint64), tfs, dls
+
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """→ (doc_ids, tfs, dls) of block i."""
         n = int(self.counts[i])
@@ -308,17 +340,7 @@ class PostingBlocks:
 
 def decode_posting(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode → (doc_ids, tfs, dls)."""
-    pb = PostingBlocks(blob)
-    if pb.n == 0:
-        z = np.empty(0, dtype=np.uint64)
-        return z, z.copy(), z.copy()
-    ids, tfs, dls = [], [], []
-    for i in range(pb.n):
-        a, b, c = pb.decode_block(i)
-        ids.append(a)
-        tfs.append(b)
-        dls.append(c)
-    return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+    return PostingBlocks(blob).decode_all()
 
 
 def merge_postings(blobs: list[bytes | np.ndarray]) -> bytes:

@@ -145,14 +145,22 @@ def _score_exhaustive(
     k: int,
     mode: str,
     heap: list,
+    get_blocks=None,
 ) -> None:
-    """Vectorized full scoring of one shard (docs disjoint across readers)."""
-    for rd in readers:
+    """Vectorized full scoring of one shard (docs disjoint across readers):
+    bulk posting decode, per-reader vectorized top-k (only k candidates reach
+    the Python heap)."""
+    for ri, rd in enumerate(readers):
         per_term = []
         for t in terms:  # terms pre-sorted ascending
-            blob = rd.posting_blob(t)
-            if blob is not None:
-                per_term.append((t, *decode_posting(blob)))
+            if get_blocks is not None:
+                pb = get_blocks(ri, t)
+                if pb is not None:
+                    per_term.append((t, *pb.decode_all()))
+            else:
+                blob = rd.posting_blob(t)
+                if blob is not None:
+                    per_term.append((t, *decode_posting(blob)))
         if not per_term:
             continue
         union = np.unique(np.concatenate([ids for _, ids, _, _ in per_term]))
@@ -165,8 +173,8 @@ def _score_exhaustive(
         if mode == "and":
             m = hits == len(terms)
             union, scores = union[m], scores[m]
-        for s, d in zip(scores, union):
-            _heap_push(heap, k, float(s), int(d))
+        for i in bm25.topk_indices(scores, union, k):
+            _heap_push(heap, k, float(scores[i]), int(union[i]))
 
 
 def _score_bmw(
@@ -288,7 +296,9 @@ class QueryShard:
                 out.append([])
                 continue
             if q["mode"] == "and" or q["method"] == "exhaustive":
-                _score_exhaustive(self.readers, terms, idfs, avgdl, k, q["mode"], heap)
+                _score_exhaustive(
+                    self.readers, terms, idfs, avgdl, k, q["mode"], heap, get_blocks=self._blocks
+                )
             else:
                 _score_bmw(self.readers, terms, idfs, avgdl, k, heap, get_blocks=self._blocks)
             out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])

@@ -1,0 +1,69 @@
+"""Term-partitioned posting path with salted hot-term splitting
+(SURVEY.md §2.B3/§2.B9 — the north star's groupby(term) shape)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from elasticsearch_data_import_handler_ray.functions.codec import decode_posting
+from elasticsearch_data_import_handler_ray.index.postings_global import (
+    build_term_postings,
+    estimate_hot_terms,
+    explode_postings,
+)
+from fixtures.gen_corpus import corpus_files
+
+
+def test_salted_postings_match_unsalted(tiny_corpus):
+    """Postings built with forced hot-term salting decode to exactly the same
+    (doc_id, tf) sets as the unsalted build — salting is a pure parallelism
+    transform (B9 merge correctness)."""
+    t = pa.concat_tables([pq.read_table(f) for f in corpus_files(tiny_corpus)]).slice(0, 300)
+    from elasticsearch_data_import_handler_ray.functions.hashing import doc_ids_batch
+
+    doc_ids = doc_ids_batch(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), t["commit"].combine_chunks()
+    )
+    src = pa.table(
+        {"doc_id": pa.array(doc_ids, type=pa.uint64()), "text": t["content"]}
+    )
+    ds = ray.data.from_arrow(src)
+    rows = explode_postings(ds, analyzer="code", doc_id_col="doc_id", content_col="text")
+    rows = rows.materialize()
+
+    # the code analyzer splits "hot_term_3" into hot/term/3 — the actual hot
+    # TERMS in the index are "hot" and "term" (df ≈ 97% of docs)
+    hot = {"hot", "term"}
+    salted = build_term_postings(rows, hot_terms=hot, num_salts=4).to_pandas()
+    unsalted = build_term_postings(rows, hot_terms=set()).to_pandas()
+
+    s = salted.set_index("term")
+    u = unsalted.set_index("term")
+    assert set(s.index) == set(u.index)
+    # every hot term present and identical after the salted merge
+    for term in sorted(hot & set(s.index)):
+        ids_s, tfs_s, _ = decode_posting(s.loc[term, "blob"])
+        ids_u, tfs_u, _ = decode_posting(u.loc[term, "blob"])
+        assert (ids_s == ids_u).all() and (tfs_s == tfs_u).all(), term
+        assert s.loc[term, "df"] == u.loc[term, "df"]
+    # spot-check cold terms byte-identical
+    cold = [t_ for t_ in list(s.index)[:25] if t_ not in hot]
+    for term in cold:
+        assert s.loc[term, "blob"] == u.loc[term, "blob"], term
+
+
+def test_estimate_hot_terms_finds_planted(tiny_corpus):
+    t = pa.concat_tables([pq.read_table(f) for f in corpus_files(tiny_corpus)])
+    from elasticsearch_data_import_handler_ray.functions.hashing import doc_ids_batch
+
+    doc_ids = doc_ids_batch(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), t["commit"].combine_chunks()
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids, type=pa.uint64()), "text": t["content"]})
+    )
+    rows = explode_postings(ds, analyzer="code", doc_id_col="doc_id", content_col="text")
+    hot = estimate_hot_terms(rows.materialize(), hot_threshold=250)
+    # the split planted terms "hot"/"term" are in ~97% of 1000 docs
+    assert "hot" in hot and "term" in hot

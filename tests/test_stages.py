@@ -206,3 +206,44 @@ def test_pipeline_spec_end_to_end(tmp_path):
     out = pq.read_table(str(tmp_path / "out")).to_pandas()
     assert sorted(out.doc_id.tolist()) == [1, 2, 3]  # id-upsert dedup
     assert (out.n2 == out.n * 2).all()
+
+
+def test_pipeline_spec_csv_json(tmp_path):
+    """A2: CSV and JSON file sources through the catalog + spec runner."""
+    import json as jsonlib
+
+    from elasticsearch_data_import_handler_ray.pipelines.spec import (
+        ImportSpec,
+        PipelineSpec,
+        SourceSpec,
+        run_pipeline,
+    )
+
+    csv_p = tmp_path / "rows.csv"
+    csv_p.write_text("doc_id,text\n1,hello world\n2,json and csv sources\n")
+    json_p = tmp_path / "rows.json"
+    with open(json_p, "w") as f:
+        for r in [{"doc_id": 10, "text": "first json row"}, {"doc_id": 11, "text": "second"}]:
+            f.write(jsonlib.dumps(r) + "\n")
+
+    spec = PipelineSpec(
+        sources=[
+            SourceSpec(name="c", path=str(csv_p), format="csv"),
+            SourceSpec(name="j", path=str(json_p), format="json"),
+        ],
+        imports=[
+            ImportSpec(name="c_out", source="c", id_column="doc_id", sink="parquet",
+                       target=str(tmp_path / "c_out")),
+            ImportSpec(name="j_out", source="j", id_column="doc_id", sink="parquet",
+                       target=str(tmp_path / "j_out")),
+        ],
+    )
+    res = run_pipeline(spec)
+    assert res["c_out"]["status"] == "complete"
+    assert res["j_out"]["status"] == "complete"
+    import pyarrow.parquet as pq
+
+    c = pq.read_table(str(tmp_path / "c_out")).to_pandas()
+    j = pq.read_table(str(tmp_path / "j_out")).to_pandas()
+    assert sorted(c.doc_id.tolist()) == [1, 2]
+    assert sorted(j.doc_id.tolist()) == [10, 11]
