@@ -177,6 +177,14 @@ def _ann_lsh(sf_dir: str):
     return knn_lsh(table(sf_dir, "embeddings"), qids, qm, k=5)
 
 
+def _ann_ivf(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import knn_ivf
+
+    qids, qm = _queries_embeddings(sf_dir)
+    return knn_ivf(table(sf_dir, "embeddings"), qids, qm, k=5, n_lists=16, nprobe=4)
+
+
 def _embed_neardup(sf_dir: str):
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.ann import cosine_neardup_pairs
@@ -283,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram_jaccard": _ngram_jaccard,
             "ann_bruteforce": _ann_bruteforce,
             "ann_lsh": _ann_lsh,
+            "ann_ivf": _ann_ivf,
             "embed_neardup": _embed_neardup,
             "term_df_whitespace": _term_df_whitespace,
             "term_df_salted": _term_df_salted,

@@ -27,6 +27,7 @@ from __future__ import annotations
 import heapq
 
 import numpy as np
+import pyarrow as pa
 
 import ray
 
@@ -411,6 +412,39 @@ class QueryEngine:
             top = bm25.topk_indices(scores, docs, k)
             out.append([(int(docs[i]), float(scores[i])) for i in top])
         return out
+
+    def resolve(self, doc_ids: list[int]):
+        """doc_id → identity columns (repo/path/commit/…, sha256, doc_len)
+        from the build's docmap — how a top-k result becomes user-facing rows.
+        Streams the docmap with a broadcast membership mask; only the matched
+        rows are materialized."""
+        import os
+
+        import pyarrow.compute as pc
+        import ray.data
+
+        dm_dirs = []
+        for r in self.man.complete_runs().values():
+            if r["metrics"].get("docmap_dir"):
+                dm_dirs.append(os.path.join(self.man.index_dir, r["metrics"]["docmap_dir"]))
+            for d in r["metrics"].get("docmap_dirs") or []:
+                dm_dirs.append(os.path.join(self.man.index_dir, d))
+        files = [
+            os.path.join(d, f)
+            for d in dm_dirs
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            raise ValueError("index was built without docmap (write_docmap=False)")
+        wanted = pa.array(np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.uint64))
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"], value_set=wanted))
+
+        return ray.data.read_parquet(files).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
 
     def close(self) -> None:
         for a in self._actors:

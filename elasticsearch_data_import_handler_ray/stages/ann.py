@@ -153,6 +153,101 @@ def knn_lsh(
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Tiny deterministic k-means (numpy) for IVF coarse quantization."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+    return centroids
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2000,
+    seed: int = 13,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) ANN — the scale path: k-means centroids trained on
+    a driver-side sample, broadcast once; each batch assigns its rows to their
+    nearest list and scores ONLY rows whose list is among each query's
+    ``nprobe`` closest lists. Approximate (recall grows with nprobe); output
+    schema matches knn_bruteforce. At cluster scale the assignment runs once
+    at ingest and lists become the partitioning key."""
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    sample = ds.limit(train_sample).to_pandas()
+    sm = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    centroids = _normalize(_kmeans(sm, n_lists, seed=seed))
+    qn = _normalize(qm)
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # per query
+    ref = ray.put(
+        {
+            "qids": np.asarray(query_ids, dtype=np.int64),
+            "matrix": qm,
+            "centroids": centroids,
+            "q_lists": q_lists,
+        }
+    )
+
+    class Stage:
+        def __init__(self):
+            d = ray.get(ref)
+            self.qids, self.qm = d["qids"], _normalize(d["matrix"])
+            self.centroids, self.q_lists = d["centroids"], d["q_lists"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _BruteScore._EMPTY
+            m = _normalize(_embedding_matrix(t, emb_col))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            lists = (m @ self.centroids.T).argmax(axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                probe = np.isin(lists, self.q_lists[qi])
+                probe &= ids != qid
+                if not probe.any():
+                    continue
+                cos = m[probe] @ self.qm[qi]
+                cand_ids = ids[probe]
+                if len(cand_ids) > k:
+                    part = np.argpartition(-cos, k)[:k]
+                    cand_ids, cos = cand_ids[part], cos[part]
+                out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+                out_n.append(cand_ids.astype(np.int64))
+                out_c.append(cos)
+            if not out_q:
+                return _BruteScore._EMPTY
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                    "cos_sim": pa.array(np.concatenate(out_c), type=pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(
+            int(k)
+        )
+        return g.assign(rank=np.arange(1, len(g) + 1), cos_sim=g["cos_sim"].round(4))
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
 def cosine_neardup_pairs(
     ds: ray.data.Dataset, *, id_col="vec_id", emb_col="embedding", threshold: float = 0.8
 ) -> ray.data.Dataset:

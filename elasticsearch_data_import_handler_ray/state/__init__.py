@@ -6,5 +6,6 @@ JSON manifest + lockfile suitable for a shared filesystem / object store.
 """
 
 from .manifest import IndexConfig, Manifest, RunLock
+from .watermark import WatermarkState
 
-__all__ = ["IndexConfig", "Manifest", "RunLock"]
+__all__ = ["IndexConfig", "Manifest", "RunLock", "WatermarkState"]
