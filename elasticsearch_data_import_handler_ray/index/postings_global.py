@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.codec import decode_posting, encode_posting, merge_postings
+from ..functions.codec import decode_posting, encode_posting, encode_segment, merge_postings
 
 
 def explode_postings(
@@ -81,10 +81,17 @@ def build_term_postings(
     hot_terms: set[str] | None = None,
     hot_threshold: int = 5_000,
     num_salts: int = 8,
-    num_partitions: int = 16,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """(doc_id, term, tf, dl) rows → one row per term:
-    (term, df, sum_tf, posting blob). Salted two-stage shuffle as above."""
+    (term, df, sum_tf, posting blob).
+
+    Stage 1 shuffles by ``bucket = hash(term ‖ salt) % num_partitions`` —
+    O(num_partitions) group tasks, each encoding ALL its terms in one
+    vectorized pass (codec.encode_segment), never one Python call per term.
+    Hot terms get doc-residue salts so their postings build on ``num_salts``
+    reducers in parallel; only those few terms take the second, tiny
+    ``groupby(term)`` merge round. Cold terms are complete after stage 1."""
     if hot_terms is None:
         hot_terms = estimate_hot_terms(postings, hot_threshold=hot_threshold)
     hot_ref = ray.put(hot_terms)
@@ -96,30 +103,57 @@ def build_term_postings(
         def __call__(self, t: pa.Table) -> pa.Table:
             terms = t["term"].to_numpy(zero_copy_only=False)
             docs = t["doc_id"].to_numpy(zero_copy_only=False)
-            salt = np.zeros(len(t), dtype=np.int32)
+            salt = np.zeros(len(t), dtype=np.int64)
+            is_hot = np.zeros(len(t), dtype=bool)
             if self.hot:
                 is_hot = np.isin(terms, list(self.hot))
-                salt[is_hot] = (docs[is_hot] % np.uint64(num_salts)).astype(np.int32)
-            return t.append_column("salt", pa.array(salt))
+                salt[is_hot] = (docs[is_hot] % np.uint64(num_salts)).astype(np.int64)
+            th = pd.util.hash_array(terms)
+            bucket = ((th + np.uint64(0x9E3779B97F4A7C15) * salt.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket),
+                    "term": t["term"],
+                    "doc_id": t["doc_id"],
+                    "tf": t["tf"],
+                    "dl": t["dl"],
+                    "is_hot": pa.array(is_hot),
+                }
+            )
 
     salted = postings.map_batches(Salt, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
 
-    def encode_group(g: pa.Table) -> pa.Table:
+    def encode_bucket(g: pa.Table) -> pa.Table:
+        from .segment import _term_ranks
+
+        ranks, uniq = _term_ranks(g["term"])
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         tfs = g["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
         dls = g["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        o = np.argsort(ids)
-        blob = encode_posting(ids[o], tfs[o], dls[o])
+        hot = g["is_hot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ranks))
+        ranks_s = ranks[order]
+        starts = np.flatnonzero(np.diff(ranks_s, prepend=-1))
+        bounds = np.append(starts, len(ranks_s)).astype(np.int64)
+        blob, offsets, lengths, sum_tfs = encode_segment(bounds, ids[order], tfs[order], dls[order])
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        blobs = [buf[o : o + l].tobytes() for o, l in zip(offsets, lengths)]
+        term_hot = hot[order][starts]
         return pa.table(
             {
-                "term": pa.array([g["term"][0].as_py()], type=pa.large_string()),
-                "df": pa.array([len(ids)], type=pa.int64()),
-                "sum_tf": pa.array([int(tfs.sum())], type=pa.int64()),
-                "blob": pa.array([blob], type=pa.large_binary()),
+                "term": pa.array(uniq, type=pa.large_string()),
+                "df": pa.array((bounds[1:] - bounds[:-1]), type=pa.int64()),
+                "sum_tf": pa.array(sum_tfs.astype(np.int64), type=pa.int64()),
+                "blob": pa.array(blobs, type=pa.large_binary()),
+                "is_hot": pa.array(term_hot),
             }
         )
 
-    parts = salted.groupby(["term", "salt"]).map_groups(encode_group, batch_format="pyarrow")
+    parts = salted.groupby("bucket", num_partitions=num_partitions).map_groups(
+        encode_bucket, batch_format="pyarrow"
+    )
+    cold = parts.filter(expr="is_hot == False").drop_columns(["is_hot"])
+    hot_parts = parts.filter(expr="is_hot == True")
 
     def merge_group(g: pa.Table) -> pa.Table:
         blobs = [b.as_py() for b in g["blob"]]
@@ -133,7 +167,8 @@ def build_term_postings(
             }
         )
 
-    return parts.groupby("term").map_groups(merge_group, batch_format="pyarrow")
+    merged_hot = hot_parts.groupby("term").map_groups(merge_group, batch_format="pyarrow")
+    return cold.union(merged_hot)
 
 
 def term_df_salted(
