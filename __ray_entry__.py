@@ -94,6 +94,20 @@ def _token_count(sf_dir: str):
     )
 
 
+def _token_count_bpe(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import bpe_token_count_batch
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "lang", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("lang").aggregate(
+        Sum("n_bpe_tokens", alias_name="total_bpe_tokens"), Count(alias_name="n_docs")
+    )
+
+
 def _quality(sf_dir: str):
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.text import quality_batch
@@ -283,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_sha256": _doc_sha,
             "doc_fingerprint": _doc_fingerprint,
             "token_count": _token_count,
+            "token_count_bpe": _token_count_bpe,
             "quality_score": _quality,
             "lang_id": _lang_id,
             "dedup_exact": _dedup_exact,
@@ -460,6 +475,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT lang,
+                   SUM(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')))::BIGINT AS total_bpe_tokens,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
         """,
         "token_count": """
             SELECT lang,

@@ -192,6 +192,7 @@ def build_index(
     tokenize_batch_size: int | None = 512,
     write_docmap: bool = True,
     compute_sha: bool = True,
+    auto_merge_runs: int | None = None,
 ) -> BuildResult:
     """Build (mode="full") or extend (mode="incremental") the index.
 
@@ -297,13 +298,22 @@ def build_index(
         }
         man.commit_run(rid, pending, segments, metrics)
 
-    return BuildResult(
+    result = BuildResult(
         run_id=rid,
         n_docs=int(seg_rows["n_docs"].sum()),
         n_postings=int(seg_rows["n_postings"].sum()),
         n_input_files=len(pending),
         duration_s=time.monotonic() - t0,
     )
+    # compaction policy (C3/B5): keep read amplification bounded — after
+    # enough incremental runs, fold them into one segment set per shard
+    if auto_merge_runs:
+        man = Manifest.load(index_dir)
+        if len(man.complete_runs()) >= auto_merge_runs:
+            from .merge import merge_index
+
+            merge_index(index_dir)
+    return result
 
 
 def verify_hashes(index_dir: str, sidecar_path: str) -> int:

@@ -79,6 +79,64 @@ class MediaFeatureStage:
         )
 
 
+class MediaResizeStage:
+    """Actor-pool stage shape for image resize: real deployments plug a PIL/
+    opencv kernel into ``resize``; here the stub re-emits the payload with the
+    requested target dims recorded (STUB — no codec in this container).
+    Batch sizing rule as MediaFeatureStage."""
+
+    def __init__(self, width: int = 224, height: int = 224):
+        self.width, self.height = width, height
+
+    def resize(self, payload: bytes, mime: str) -> bytes:
+        # STUB: a real implementation decodes, resizes, re-encodes.
+        return payload
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = [self.resize(p.as_py(), m) for p, m in zip(t["payload"], t["mime"].to_pylist())]
+        n = len(out)
+        return (
+            t.set_column(t.schema.get_field_index("payload"), "payload", pa.array(out, type=pa.large_binary()))
+            .set_column(t.schema.get_field_index("width"), "width", pa.array(np.full(n, self.width, dtype=np.int32)))
+            .set_column(t.schema.get_field_index("height"), "height", pa.array(np.full(n, self.height, dtype=np.int32)))
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage shape for video frame sampling: emits ``n_frames``
+    rows per video row (payload sliced deterministically in the stub; a real
+    implementation seeks keyframes). Demonstrates the 1→N explode layout for
+    media (flat output schema: media_id, frame_idx, frame_payload)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def sample(self, payload: bytes) -> list[bytes]:
+        # STUB: deterministic byte-range slices stand in for decoded frames
+        k = max(1, min(self.n_frames, len(payload)))
+        step = max(1, len(payload) // k)
+        return [payload[i * step : (i + 1) * step] for i in range(k)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, p, kind in zip(
+            t["media_id"].to_pylist(), t["payload"], t["kind"].to_pylist()
+        ):
+            if kind != "video":
+                continue
+            for i, fr in enumerate(self.sample(p.as_py())):
+                ids.append(mid)
+                idxs.append(i)
+                frames.append(fr)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "frame_payload": pa.array(frames, type=pa.large_binary()),
+            }
+        )
+
+
 def synthesize_media_dataset(texts: pa.Table, id_col: str, text_col: str):
     """Build a deterministic fake media table from a text table (payload =
     utf-8 bytes) — lets the plumbing be exercised without real media files."""

@@ -29,6 +29,18 @@ def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pretokenizer pattern (RE2-compatible subset: no lookahead);
+# identical string is used in the DuckDB oracle so counts match exactly
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish pretoken count per row (one vectorized RE2 scan) — the
+    'how many LLM tokens is this corpus' estimator."""
+    n = pc.count_substring_regex(t[text_col], pattern=BPE_PATTERN)
+    return t.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality signals: length, token count, punctuation ratio, stopword ratio.
     Ratios are rounded to 4 decimals (both here and in the SQL oracle) so the

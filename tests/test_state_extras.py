@@ -91,3 +91,50 @@ def test_knn_ivf_recall_vs_bruteforce():
         v = set(ivf[ivf.query_id == qid].neighbor_id)
         recall += len(b & v) / len(b)
     assert recall / 5 >= 0.8  # nprobe=3/8 on well-separated clusters
+
+
+def test_auto_merge_compaction(tiny_corpus, tmp_path_factory):
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig, Manifest
+    from fixtures.gen_corpus import corpus_files
+
+    files = corpus_files(tiny_corpus)
+    d = str(tmp_path_factory.mktemp("amerge") / "idx")
+    cfg = IndexConfig(num_segments=4)
+    build_index(files[:1], d, mode="full", config=cfg)
+    build_index(files[:2], d, mode="incremental", auto_merge_runs=3)
+    assert len(Manifest.load(d).complete_runs()) == 2  # below threshold
+    build_index(files[:3], d, mode="incremental", auto_merge_runs=3)
+    man = Manifest.load(d)
+    assert len(man.complete_runs()) == 1  # compacted
+    assert next(iter(man.complete_runs())).startswith("merged-")
+
+
+def test_multimodal_resize_and_frames():
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.multimodal import (
+        FrameSampleStage,
+        MediaResizeStage,
+        synthesize_media_dataset,
+    )
+
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(6)), type=pa.int64()),
+         "text": pa.array(["abcdefgh"] * 6, type=pa.large_string())}
+    )
+    media = synthesize_media_dataset(docs, "doc_id", "text")
+    ds = ray.data.from_arrow(media)
+    resized = ds.map_batches(
+        MediaResizeStage, batch_format="pyarrow", batch_size=2, concurrency=1,
+        fn_constructor_kwargs=dict(width=64, height=48),
+    ).to_pandas()
+    assert (resized.width == 64).all() and (resized.height == 48).all()
+    frames = ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=2, concurrency=1,
+        fn_constructor_kwargs=dict(n_frames=4),
+    ).to_pandas()
+    # kinds cycle image/audio/video -> 2 videos of 6 rows, 4 frames each
+    assert len(frames) == 8
+    assert set(frames.frame_idx) == {0, 1, 2, 3}
