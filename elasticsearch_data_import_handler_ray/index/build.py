@@ -189,7 +189,8 @@ def build_index(
     config: IndexConfig | None = None,
     run_id: str | None = None,
     segment_concurrency: int | tuple[int, int] | None = None,
-    tokenize_batch_size: int | None = 512,
+    tokenize_batch_size: int | None = None,  # whole blocks: fewer Arrow
+    # group-by calls and one docmap file per block instead of per 512 rows
     write_docmap: bool = True,
     compute_sha: bool = True,
     auto_merge_runs: int | None = None,

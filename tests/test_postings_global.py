@@ -67,3 +67,31 @@ def test_estimate_hot_terms_finds_planted(tiny_corpus):
     hot = estimate_hot_terms(rows.materialize(), hot_threshold=250)
     # the split planted terms "hot"/"term" are in ~97% of 1000 docs
     assert "hot" in hot and "term" in hot
+
+
+def test_salting_balances_hot_term_partitions(tiny_corpus):
+    """Deterministic skew evidence (no timing): with salting, the largest
+    per-(term,salt) posting group for a hot term shrinks ~num_salts-fold —
+    the straggler partition the north rule requires eliminating (B9)."""
+    import pandas as pd
+
+    t = pa.concat_tables([pq.read_table(f) for f in corpus_files(tiny_corpus)])
+    from elasticsearch_data_import_handler_ray.functions.hashing import doc_ids_batch
+
+    doc_ids = doc_ids_batch(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), t["commit"].combine_chunks()
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(doc_ids, type=pa.uint64()), "text": t["content"]})
+    )
+    rows = explode_postings(ds, analyzer="code", doc_id_col="doc_id", content_col="text")
+    df = rows.select_columns(["term", "doc_id"]).to_pandas()
+    hot_df = int((df.term == "hot").sum())
+    assert hot_df > 900  # "hot" is in ~97% of the 1000 docs
+
+    num_salts = 8
+    salts = df.loc[df.term == "hot", "doc_id"].astype("uint64") % num_salts
+    per_salt = salts.value_counts()
+    assert len(per_salt) == num_salts
+    # the largest salted sub-group is ~df/num_salts, not df
+    assert per_salt.max() < hot_df / num_salts * 1.5

@@ -247,3 +247,51 @@ def test_pipeline_spec_csv_json(tmp_path):
     j = pq.read_table(str(tmp_path / "j_out")).to_pandas()
     assert sorted(c.doc_id.tolist()) == [1, 2]
     assert sorted(j.doc_id.tolist()) == [10, 11]
+
+
+def test_pipeline_spec_from_dict(tmp_path):
+    """D1/D2: plain-data config + named-transform registry (the config-driven
+    surface mirroring the reference's HOCON files)."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.pipelines.spec import PipelineSpec, run_pipeline
+
+    src = tmp_path / "s.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "n": pa.array([5, 6], type=pa.int64())}), src
+    )
+
+    def double_n(ds):
+        return ds.map_batches(
+            lambda t: t.append_column("n2", pa.compute.multiply(t["n"], 2)),
+            batch_format="pyarrow",
+        )
+
+    cfg = {
+        "sources": [{"name": "s", "path": str(src)}],
+        "preps": [{"name": "s2", "source": "s", "steps": ["double_n"]}],
+        "imports": [
+            {"name": "out", "source": "s2", "id_column": "doc_id",
+             "sink": "parquet", "target": str(tmp_path / "out")}
+        ],
+    }
+    spec = PipelineSpec.from_dict(cfg, registry={"double_n": double_n})
+    res = run_pipeline(spec)
+    assert res["out"]["status"] == "complete"
+    out = pq.read_table(str(tmp_path / "out")).to_pandas()
+    assert sorted(out.n2.tolist()) == [10, 12]
+
+
+def test_driver_contract_consistency():
+    """Every oracle_sql key must have a queries() impl; entry callables are
+    callable; no oracle without an implementation (contract drift guard)."""
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    sqls = entry.oracle_sql()
+    missing = set(sqls) - set(qs)
+    assert not missing, f"oracle_sql without queries(): {missing}"
+    assert len(qs) >= 40
+    for name, fn in qs.items():
+        assert callable(fn), name
