@@ -152,9 +152,17 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
             elif imp.sink == "index":
                 import tempfile
 
+                import pandas as pd
+
                 from ..index.build import build_index
                 from ..state.manifest import IndexConfig
 
+                # id-mapped upsert semantics (es.mapping.id): dedup by id
+                # before indexing — the segment builder rejects duplicates
+                def first_idx(g: "pd.DataFrame") -> "pd.DataFrame":
+                    return g.head(1)
+
+                ds = ds.groupby(imp.id_column).map_groups(first_idx, batch_format="pandas")
                 tmp = tempfile.mkdtemp(prefix=f"edih_imp_{imp.name}_")
                 ds.write_parquet(tmp)
                 res = build_index(
