@@ -448,6 +448,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
+        "window_sliding": """
+            WITH w AS (
+                SELECT event_type, date_trunc('hour', ts) AS window_start, value FROM events
+                UNION ALL
+                SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+            )
+            SELECT event_type, window_start, count(*)::BIGINT AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
+            FROM w GROUP BY 1, 2
+        """,
+        "quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 4) AS p90,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type
+        """,
         "asof_join": """
             SELECT p.event_id, p.user_id, p.ts, COALESCE(c.ts, TIMESTAMP '1970-01-01') AS last_click_ts
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("merge")
     m.add_argument("index_dir")
 
+    pl = sub.add_parser("pipeline", help="run a JSON pipeline spec (the reference's config file)")
+    pl.add_argument("spec_json")
+    pl.add_argument(
+        "--registry",
+        default=None,
+        help="module:attr of a dict mapping step names to Dataset->Dataset fns",
+    )
+
     args = p.parse_args(argv)
 
     import ray
@@ -96,6 +104,18 @@ def main(argv: list[str] | None = None) -> int:
             from .index.merge import merge_index
 
             print(json.dumps({"merged_run": merge_index(args.index_dir)}))
+        elif args.cmd == "pipeline":
+            import importlib
+
+            from .pipelines.spec import PipelineSpec, run_pipeline
+
+            registry = {}
+            if args.registry:
+                mod, attr = args.registry.split(":")
+                registry = getattr(importlib.import_module(mod), attr)
+            with open(args.spec_json) as f:
+                spec = PipelineSpec.from_dict(json.load(f), registry)
+            print(json.dumps(run_pipeline(spec)))
     finally:
         ray.shutdown()
     return 0

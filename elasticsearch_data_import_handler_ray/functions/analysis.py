@@ -69,9 +69,25 @@ class WhitespaceAnalyzer(Analyzer):
         return pc.split_pattern_regex(s, pattern=r"\s+")
 
 
+class UnicodeAnalyzer(Analyzer):
+    """Natural-language analyzer: lowercase, split on any non-letter/digit
+    (Unicode classes, RE2 ``\\p{L}\\p{N}``) — keeps CJK/accented text
+    searchable, which the code analyzer's ascii alphabet drops."""
+
+    name = "unicode"
+
+    def tokens_of(self, content):
+        s = content
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.utf8_lower(s)
+        return pc.split_pattern_regex(s, pattern=r"[^\p{L}\p{N}]+")
+
+
 ANALYZERS: dict[str, type[Analyzer]] = {
     CodeAnalyzer.name: CodeAnalyzer,
     WhitespaceAnalyzer.name: WhitespaceAnalyzer,
+    UnicodeAnalyzer.name: UnicodeAnalyzer,
 }
 
 

@@ -429,6 +429,62 @@ def q_nested_build(sf_dir: str):
     return bucketed.groupby("_bucket").map_groups(build, batch_format="pandas")
 
 
+# ---------------------------------------------------------------- sliding window (custom operator)
+def q_window_sliding(sf_dir: str):
+    """2-hour windows sliding by 1 hour per event_type: each event is
+    assigned to its two covering windows in map_batches (vectorized), then one
+    groupby — the generalized tumbling window (C7)."""
+    ds = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        prev = pc.add(
+            pc.cast(hour, pa.timestamp("us")),
+            pa.scalar(-3_600_000_000, type=pa.duration("us")),
+        )
+        parts = []
+        for ws in (pc.cast(hour, pa.timestamp("us")), prev):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_start": ws,
+                        "value_cents": _cents(t["value"]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents")
+    )
+
+
+# ---------------------------------------------------------------- grouped quantiles
+def q_quantiles(sf_dir: str):
+    """Median / p90 of event value per type — per-group vectorized numpy
+    percentile (linear interpolation, same as SQL quantile_cont)."""
+    ds = table(sf_dir, "events", columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import np_round_half_away
+
+        v = g["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": np_round_half_away(np.percentile(v, 50), 4),
+                "p90": np_round_half_away(np.percentile(v, 90), 4),
+                "n": [len(v)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- as-of join (custom operator)
 def q_asof_join(sf_dir: str):
     """As-of join: for each purchase event, the latest click by the same user
@@ -536,4 +592,6 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "asof_join": q_asof_join,
     "session_window": q_session_window,
+    "window_sliding": q_window_sliding,
+    "quantiles": q_quantiles,
 }

@@ -47,3 +47,12 @@ def test_query_and_doc_analysis_identical():
     )
     doc_terms = sorted(set(r["term"] for r in post.to_pylist()))
     assert doc_terms == sorted(set(az.analyze_query(text)))
+
+
+def test_unicode_analyzer():
+    from elasticsearch_data_import_handler_ray.functions.analysis import UnicodeAnalyzer
+
+    az = UnicodeAnalyzer()
+    assert az.analyze_query("Héllo Wörld 你好 foo_bar 42") == ["héllo", "wörld", "你好", "foo", "bar", "42"]
+    assert az.analyze_query("ÀÉÎ test") == ["àéî", "test"]
+    # code analyzer would drop the CJK text entirely; unicode keeps it searchable
