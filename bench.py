@@ -46,6 +46,17 @@ def ensure_corpus() -> str:
     return CORPUS_DIR
 
 
+
+def _index_bytes(index_dir: str) -> int:
+    """Total encoded posting bytes from the manifest (compression metric)."""
+    from elasticsearch_data_import_handler_ray.state.manifest import Manifest
+
+    man = Manifest.load(index_dir)
+    return sum(
+        s["postings_bytes"] for r in man.complete_runs().values() for s in r["segments"]
+    )
+
+
 def run_bench() -> dict:
     import ray
 
@@ -139,6 +150,8 @@ def run_bench() -> dict:
         "n_docs": res.n_docs,
         "n_postings": res.n_postings,
         "docs_per_s": round(res.n_docs / build_s, 1),
+        "postings_bytes": _index_bytes(INDEX_DIR),
+        "bytes_per_posting": round(_index_bytes(INDEX_DIR) / max(res.n_postings, 1), 2),
         "query_p50_ms": round(p50, 2),
         "query_p95_ms": round(p95, 2),
         "bmw_p50_ms": round(bmw_p50, 2),

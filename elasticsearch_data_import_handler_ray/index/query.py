@@ -286,6 +286,16 @@ class QueryShard:
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(sum(r.df(t) for r in self.readers)) for t in terms]
 
+    def all_dfs(self) -> tuple[list[str], np.ndarray]:
+        """Full (term, df) of this actor's segments — used by the driver's
+        one-shot df preload."""
+        agg: dict[str, int] = {}
+        for r in self.readers:
+            for t, d in zip(r.terms, r.dfs):
+                agg[t] = agg.get(t, 0) + int(d)
+        terms = sorted(agg)
+        return terms, np.array([agg[t] for t in terms], dtype=np.int64)
+
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
         """queries: [{terms (sorted), idfs, avgdl, k, mode, method}] →
         per query, local top-k as (score, doc_id)."""
@@ -311,7 +321,14 @@ class QueryEngine:
     reuses it across queries (mmap'd postings stay warm). Never calls
     ray.init (driver contract)."""
 
-    def __init__(self, index_dir: str, *, actor_num_cpus: float | None = None):
+    # preload the full df dictionary when the vocabulary is small enough to
+    # hold on the driver — removes the df scatter round from every cold query
+    # (at 10^12-doc vocab sizes the 2-round path below remains the fallback)
+    DF_PRELOAD_MAX_TERMS = 2_000_000
+
+    def __init__(
+        self, index_dir: str, *, actor_num_cpus: float | None = None, df_preload: str = "auto"
+    ):
         # actors are memory-resident posting servers, mostly idle between
         # scatter calls: a small CPU reservation lets one engine per shard
         # coexist with other stages. The reservation adapts to the cluster —
@@ -344,6 +361,19 @@ class QueryEngine:
         for g in groups:
             if g:
                 self._actors.append(remote.remote(g))
+        self._df_complete = False
+        if df_preload == "always" or (df_preload == "auto" and self._actors):
+            est_terms = sum(
+                s.get("n_terms", 0)
+                for r in self.man.complete_runs().values()
+                for s in r["segments"]
+            )
+            if df_preload == "always" or est_terms <= self.DF_PRELOAD_MAX_TERMS:
+                per = ray.get([a.all_dfs.remote() for a in self._actors])
+                for terms_a, dfs_a in per:
+                    for t, d in zip(terms_a, dfs_a.tolist()):
+                        self._df_cache[t] = self._df_cache.get(t, 0) + d
+                self._df_complete = True
 
     def analyze(self, text: str) -> list[str]:
         return sorted(set(self.analyzer.analyze_query(text)))
@@ -355,6 +385,8 @@ class QueryEngine:
         after builds, so the cache cannot go stale within one engine)."""
         if not terms:
             return np.empty(0, dtype=np.int64)
+        if self._df_complete:
+            return np.array([self._df_cache.get(t, 0) for t in terms], dtype=np.int64)
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             per = ray.get([a.dfs.remote(missing) for a in self._actors])
