@@ -235,12 +235,6 @@ def _term_df_salted(sf_dir: str):
     return term_df_salted(table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
-def _bm25_topk(sf_dir: str):
-    """Index the documents table and return BM25 top-10 rows for a fixed query
-    set (rows-only: BM25 is oracle-checked by tests/test_index.py)."""
-    return entry() if sf_dir.rstrip("/").endswith("sf0.001") else _bm25_on(sf_dir)
-
-
 def _bm25_on(sf_dir: str):
     from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine

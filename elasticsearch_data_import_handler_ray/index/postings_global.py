@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.codec import decode_posting, encode_posting, encode_segment, merge_postings
+from ..functions.codec import encode_segment, merge_postings
 
 
 def explode_postings(
