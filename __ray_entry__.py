@@ -43,10 +43,11 @@ def entry() -> Any:
         compute_sha=True,
     )
     eng = QueryEngine(index_dir)
+    # terms drawn from the documents table's actual vocabulary
     queries_ = [
-        {"text": "system data time", "mode": "or"},
-        {"text": "error network user", "mode": "or"},
-        {"text": "the and", "mode": "and"},
+        {"text": "hash join query", "mode": "or"},
+        {"text": "vector scan filter", "mode": "or"},
+        {"text": "merge sort", "mode": "and"},
     ]
     try:
         results = eng.search_many(queries_, k=10, method="bmw")
@@ -250,7 +251,7 @@ def _bm25_on(sf_dir: str):
     eng = QueryEngine(index_dir)
     try:
         results = eng.search_many(
-            [{"text": "system data time", "mode": "or"}, {"text": "error network user", "mode": "or"}],
+            [{"text": "hash join query", "mode": "or"}, {"text": "vector scan filter", "mode": "or"}],
             k=10,
             method="bmw",
         )

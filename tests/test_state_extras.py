@@ -138,3 +138,30 @@ def test_multimodal_resize_and_frames():
     # kinds cycle image/audio/video -> 2 videos of 6 rows, 4 frames each
     assert len(frames) == 8
     assert set(frames.frame_idx) == {0, 1, 2, 3}
+
+
+def test_resolve_and_verify_after_merge(tiny_corpus, tmp_path_factory):
+    """docmap_dirs survive compaction: sha verification and doc resolution
+    still work on a merged index (the merged run carries docmap_dirs)."""
+    import os
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index, verify_hashes
+    from elasticsearch_data_import_handler_ray.index.merge import merge_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+    from fixtures.gen_corpus import corpus_files
+
+    files = corpus_files(tiny_corpus)
+    d = str(tmp_path_factory.mktemp("rvm") / "idx")
+    build_index(files[:2], d, mode="full", config=IndexConfig(num_segments=4))
+    build_index(files, d, mode="incremental")
+    merge_index(d)
+    n = verify_hashes(d, os.path.join(tiny_corpus, "corpus_sha256.parquet"))
+    assert n == 1000
+    eng = QueryEngine(d)
+    try:
+        hits = eng.search("hot_term_1", k=3)
+        rows = eng.resolve([h[0] for h in hits])
+        assert len(rows) == len(hits)
+    finally:
+        eng.close()
