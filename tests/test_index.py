@@ -106,3 +106,34 @@ def test_rank_identity_across_parallelism(tiny_corpus, built, oracle, tmp_path_f
             assert [(d, s) for d, s in got] == [(d, s) for d, s in want]
     finally:
         eng2.close()
+
+
+def test_unicode_analyzer_rank_identity(tmp_path_factory, sf_dir):
+    """Build the documents table with the unicode analyzer and verify BM25
+    rank identity against the oracle using the same analyzer (keeps CJK
+    docs searchable end-to-end)."""
+    import os
+
+    from elasticsearch_data_import_handler_ray.functions.analysis import UnicodeAnalyzer
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    index_dir = str(tmp_path_factory.mktemp("uni") / "idx")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(analyzer="unicode", num_segments=4, doc_id_col="doc_id", content_col="text"),
+    )
+    oracle_u = BM25Oracle(
+        UnicodeAnalyzer(),
+        docs["doc_id"].to_numpy(zero_copy_only=False).astype("uint64"),
+        docs["text"].combine_chunks(),
+    )
+    eng = QueryEngine(index_dir)
+    try:
+        for text, mode in [("hash join query", "or"), ("the data", "and"), ("vector merge scan sort", "or")]:
+            got = eng.search(text, k=10, mode=mode, method="bmw")
+            want = oracle_u.search(text, k=10, mode=mode)
+            assert got == [(d, s) for d, s in want], (text, mode)
+    finally:
+        eng.close()
