@@ -23,23 +23,32 @@ def idf(N: int, df: np.ndarray | int) -> np.ndarray | float:
     return out if out.ndim else float(out)
 
 
-def tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
-    """(tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)) — vectorized float64."""
+def tf_norm(
+    tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = K1, b: float = B
+) -> np.ndarray:
+    """(tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)) — vectorized float64.
+    ``k1``/``b`` default to the spec constants but honor IndexConfig overrides
+    (threaded from the manifest by QueryEngine / the oracle)."""
     tf = np.asarray(tf, dtype=np.float64)
     dl = np.asarray(dl, dtype=np.float64)
-    return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * (dl / avgdl)))
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
 
 
-def contribution(idf_t: float, tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
-    return idf_t * tf_norm(tf, dl, avgdl)
+def contribution(
+    idf_t: float, tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = K1, b: float = B
+) -> np.ndarray:
+    return idf_t * tf_norm(tf, dl, avgdl, k1, b)
 
 
-def block_upper_bound(idf_t: float, max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.ndarray:
+def block_upper_bound(
+    idf_t: float, max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float,
+    k1: float = K1, b: float = B,
+) -> np.ndarray:
     """Per-block upper bound on any doc's contribution: tf_norm is increasing
     in tf and decreasing in dl, so (max_tf, min_dl) bounds every doc in the
     block for ANY avgdl (robust to avgdl drifting across incremental merges).
     A (1+1e-12) margin guards the theoretical 1-ulp rounding inversion."""
-    return idf_t * tf_norm(max_tf, min_dl, avgdl) * (1.0 + 1e-12)
+    return idf_t * tf_norm(max_tf, min_dl, avgdl, k1, b) * (1.0 + 1e-12)
 
 
 def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:

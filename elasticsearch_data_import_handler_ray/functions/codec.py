@@ -241,19 +241,24 @@ def encode_segment(
     return blob, offsets, lengths, sum_tfs
 
 
-def _read_varbytes(b: np.ndarray, off: int, k: int) -> tuple[np.ndarray, int]:
-    """Read exactly k varbyte values starting at byte offset off."""
-    # find end: the k-th terminal byte
-    seen = 0
-    i = off
-    vals = np.empty(k, dtype=np.uint64)
-    # fast path: scan terminal flags vectorized
-    term_idx = np.flatnonzero((b[off:] & 0x80) == 0)
-    end = off + int(term_idx[k - 1]) + 1 if k > 0 else off
-    if k > 0:
-        vals = varbyte_decode(b[off:end], count=k)
-    del seen, i
-    return vals, end
+def _read_varbytes(
+    b: np.ndarray, off: int, k: int, term_pos: np.ndarray | None = None
+) -> tuple[np.ndarray, int]:
+    """Read exactly k varbyte values starting at byte offset off.
+
+    ``term_pos`` — the terminal-byte positions of the WHOLE buffer (one
+    flatnonzero pass, computed once by the caller) — makes each call
+    O(log n + k) instead of re-scanning every remaining byte (the header walk
+    was O(n_blocks × blob_bytes) without it)."""
+    if k == 0:
+        return np.empty(0, dtype=np.uint64), off
+    if term_pos is None:
+        term_pos = off + np.flatnonzero((b[off:] & 0x80) == 0)[:k]
+        i0 = 0
+    else:
+        i0 = int(np.searchsorted(term_pos, off))
+    end = int(term_pos[i0 + k - 1]) + 1
+    return varbyte_decode(b[off:end], count=k), end
 
 
 class PostingBlocks:
@@ -268,12 +273,15 @@ class PostingBlocks:
     def __init__(self, blob: bytes | np.ndarray):
         b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
         self._buf = b
-        (df,), off = _read_varbytes(b, 0, 1)
+        # ONE terminal-byte scan for the whole blob; every header read below
+        # walks this index instead of rescanning remaining bytes
+        term_pos = np.flatnonzero((b & 0x80) == 0)
+        (df,), off = _read_varbytes(b, 0, 1, term_pos)
         self.df = int(df)
         counts, firsts, maxtfs, mindls, poffs, plens = [], [], [], [], [], []
         remaining = self.df
         while remaining > 0:
-            hdr, off = _read_varbytes(b, off, 5)
+            hdr, off = _read_varbytes(b, off, 5, term_pos)
             n_blk = int(hdr[0])
             counts.append(n_blk)
             firsts.append(hdr[1])

@@ -138,11 +138,16 @@ def merge_index(index_dir: str, *, cleanup: bool = True, concurrency: int | None
         )
         segments = summaries.to_dict("records")
         input_files = sorted({f for r in runs.values() for f in r["input_files"]})
-        docmap_dirs = [
-            r["metrics"].get("docmap_dir")
-            for r in runs.values()
-            if r["metrics"].get("docmap_dir")
-        ]
+        # lineage must survive repeated merges: a run carries its own
+        # docmap_dir AND, when it is itself a merge product, the docmap_dirs
+        # of the runs it folded in (mirrors verify_hashes/resolve, which read
+        # both keys) — otherwise merge→incremental→merge orphans the docmaps
+        # of docs indexed before the first merge.
+        docmap_dirs = []
+        for r in runs.values():
+            if r["metrics"].get("docmap_dir"):
+                docmap_dirs.append(r["metrics"]["docmap_dir"])
+            docmap_dirs.extend(r["metrics"].get("docmap_dirs") or [])
         man.commit_run(
             rid,
             input_files,

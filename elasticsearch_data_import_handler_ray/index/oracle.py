@@ -24,8 +24,17 @@ from ..functions.analysis import Analyzer, term_frequencies
 
 
 class BM25Oracle:
-    def __init__(self, analyzer: Analyzer, doc_ids: np.ndarray, content: pa.Array):
-        """doc_ids: uint64 per row; content: Arrow string array (same length)."""
+    def __init__(
+        self,
+        analyzer: Analyzer,
+        doc_ids: np.ndarray,
+        content: pa.Array,
+        k1: float = bm25.K1,
+        b: float = bm25.B,
+    ):
+        """doc_ids: uint64 per row; content: Arrow string array (same length).
+        ``k1``/``b`` mirror IndexConfig so custom-parameter indexes verify too."""
+        self.k1, self.b = float(k1), float(b)
         postings, doclens = term_frequencies(
             analyzer, pa.array(doc_ids, type=pa.uint64()), content
         )
@@ -67,7 +76,7 @@ class BM25Oracle:
             pos = np.searchsorted(self.all_docs, ids)
             dls = self.doc_lens[pos]
             scores[pos] += bm25.contribution(
-                bm25.idf(self.N, len(ids)), tfs, dls, self.avgdl
+                bm25.idf(self.N, len(ids)), tfs, dls, self.avgdl, self.k1, self.b
             )
             hits[pos] += 1
         if mode == "and":

@@ -43,12 +43,13 @@ _EXHAUSTED = 1 << 64
 class _TermIter:
     """Cursor over one term's posting blocks within one segment."""
 
-    __slots__ = ("pb", "idf", "ub_blocks", "ub_global", "bi", "pos", "ids", "tfs", "dls")
+    __slots__ = ("pb", "idf", "k1", "b", "ub_blocks", "ub_global", "bi", "pos", "ids", "tfs", "dls")
 
-    def __init__(self, pb: PostingBlocks, idf_t: float, avgdl: float):
+    def __init__(self, pb: PostingBlocks, idf_t: float, avgdl: float, k1: float = bm25.K1, b: float = bm25.B):
         self.pb = pb
         self.idf = idf_t
-        self.ub_blocks = bm25.block_upper_bound(idf_t, pb.max_tfs, pb.min_dls, avgdl)
+        self.k1, self.b = k1, b
+        self.ub_blocks = bm25.block_upper_bound(idf_t, pb.max_tfs, pb.min_dls, avgdl, k1, b)
         self.ub_global = float(self.ub_blocks.max())
         self.bi = 0
         self.pos = 0
@@ -119,6 +120,8 @@ class _TermIter:
                 np.float64(self.tfs[self.pos]),
                 np.float64(self.dls[self.pos]),
                 avgdl,
+                self.k1,
+                self.b,
             )
         )
 
@@ -147,6 +150,8 @@ def _score_exhaustive(
     mode: str,
     heap: list,
     get_blocks=None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
@@ -169,7 +174,7 @@ def _score_exhaustive(
         hits = np.zeros(len(union), dtype=np.int32)
         for t, ids, tfs, dls in per_term:  # ascending-term accumulation order
             pos = np.searchsorted(union, ids)
-            scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl)
+            scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl, k1, b)
             hits[pos] += 1
         if mode == "and":
             m = hits == len(terms)
@@ -186,6 +191,8 @@ def _score_bmw(
     k: int,
     heap: list,
     get_blocks=None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
 ) -> None:
     """Block-max WAND over each segment, θ shared across segments via `heap`."""
     for ri, rd in enumerate(readers):
@@ -197,7 +204,7 @@ def _score_bmw(
                 blob = rd.posting_blob(t)
                 pb = PostingBlocks(blob) if blob is not None else None
             if pb is not None:
-                iters.append((t, _TermIter(pb, idfs[t], avgdl)))
+                iters.append((t, _TermIter(pb, idfs[t], avgdl, k1, b)))
         if not iters:
             continue
         while True:
@@ -303,15 +310,20 @@ class QueryShard:
         for q in queries:
             heap: list = []
             terms, idfs, avgdl, k = q["terms"], q["idfs"], q["avgdl"], q["k"]
+            k1, b = q.get("k1", bm25.K1), q.get("b", bm25.B)
             if k <= 0 or len(terms) == 0:
                 out.append([])
                 continue
             if q["mode"] == "and" or q["method"] == "exhaustive":
                 _score_exhaustive(
-                    self.readers, terms, idfs, avgdl, k, q["mode"], heap, get_blocks=self._blocks
+                    self.readers, terms, idfs, avgdl, k, q["mode"], heap,
+                    get_blocks=self._blocks, k1=k1, b=b,
                 )
             else:
-                _score_bmw(self.readers, terms, idfs, avgdl, k, heap, get_blocks=self._blocks)
+                _score_bmw(
+                    self.readers, terms, idfs, avgdl, k, heap,
+                    get_blocks=self._blocks, k1=k1, b=b,
+                )
             out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])
         return out
 
@@ -343,6 +355,10 @@ class QueryEngine:
         self.analyzer = get_analyzer(self.man.config.analyzer)
         self.N = self.man.n_docs
         self.avgdl = self.man.avgdl
+        # honor configured BM25 parameters (the manifest records them; scoring
+        # must not silently fall back to the module constants)
+        self.k1 = float(self.man.config.k1)
+        self.b = float(self.man.config.b)
         self._actors = []
         self._df_cache: dict[str, int] = {}
         remote = ray.remote(num_cpus=actor_num_cpus)(QueryShard)
@@ -428,7 +444,7 @@ class QueryEngine:
                 q_method = "exhaustive" if per_shard < self.AUTO_EXHAUSTIVE_PER_SHARD else "bmw"
             prepared.append(
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
-                 "mode": mode, "method": q_method}
+                 "mode": mode, "method": q_method, "k1": self.k1, "b": self.b}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
         out = []

@@ -16,20 +16,48 @@ Ray Data user hook (map_batches etc.), i.e. the D2 "UDF surface". A spec is
 plain data (dataclasses), so it can be loaded from JSON/YAML-ish dicts via
 ``PipelineSpec.from_dict`` with a registry of named transforms.
 
-Incremental semantics (§2.C): an ``index`` sink passes mode=full/incremental
-through to build_index (file-lineage manifest); a ``parquet`` sink writes to a
-per-run subdirectory and is idempotent per (input files, spec).
+Incremental semantics (§2.C): an ``index`` sink stages the transformed rows
+as parquet under ``<target>/imports/<name>/`` with ONE deterministically-named
+file per source input file (``part-<hash(src)>.parquet``), so build_index's
+file-lineage manifest sees a stable set: a re-run stages only missing parts
+and indexes only uncovered ones — the reference's ``{lastRun}`` predicate
+generalized to file lineage. This requires the import's source to be a plain
+file-backed SourceSpec and its steps to be per-row (map-only) transforms;
+cross-file aggregations make incremental import semantically undefined (the
+reference had the same constraint: its incremental SQL was a timestamp
+filter, not a re-aggregation). Id-upsert dedup applies within the staged
+batch; duplicate doc_ids across runs are rejected at merge (§2.B5).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
 import ray.data
 
 from ..sources.catalog import Catalog
+
+
+def _dedup_first_by_id(ds: ray.data.Dataset, id_col: str, num_buckets: int = 32):
+    """Id-mapped upsert semantics (es.mapping.id): one row per id.
+    Bucketed shuffle — O(num_buckets) Python group calls with a vectorized
+    drop_duplicates inside, never one call per distinct id."""
+    import pandas as pd
+
+    from .relational import _add_bucket
+
+    bucketed = ds.map_batches(
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=[id_col], num_buckets=num_buckets)
+    )
+
+    def first(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop_duplicates(id_col, keep="first").drop(columns="_bucket")
+
+    return bucketed.groupby("_bucket").map_groups(first, batch_format="pandas")
 
 
 @dataclass
@@ -110,20 +138,25 @@ class PipelineSpec:
         )
 
 
+def _read_source(s: SourceSpec, paths: str | list[str] | None = None) -> ray.data.Dataset:
+    p = paths if paths is not None else s.path
+    if s.format == "parquet":
+        return ray.data.read_parquet(p, columns=s.columns)
+    if s.format == "csv":
+        return ray.data.read_csv(p)
+    if s.format == "json":
+        return ray.data.read_json(p)
+    raise ValueError(f"unknown source format {s.format}")
+
+
 def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
     """Execute a spec: register sources, run preps, run imports (the
     reference's App.kt run loop, §3.1 — errors abort the failing import but
     later imports still run, matching its continue-on-error semantics)."""
     cat = Catalog()
+    source_specs = {s.name: s for s in spec.sources}
     for s in spec.sources:
-        if s.format == "parquet":
-            cat.register(s.name, ray.data.read_parquet(s.path, columns=s.columns))
-        elif s.format == "csv":
-            cat.register(s.name, ray.data.read_csv(s.path))
-        elif s.format == "json":
-            cat.register(s.name, ray.data.read_json(s.path))
-        else:
-            raise ValueError(f"unknown source format {s.format}")
+        cat.register(s.name, _read_source(s))
 
     for p in spec.preps:
         ds = cat[p.source]
@@ -138,44 +171,61 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
             for step in imp.steps:
                 ds = step.fn(ds)
             if imp.sink == "parquet":
-                # id-mapped upsert semantics: dedup by id (last write wins is
-                # undefined in a batch; keep first deterministically)
-                import pandas as pd
-
-                def first(g: pd.DataFrame) -> pd.DataFrame:
-                    return g.head(1)
-
-                ds = ds.groupby(imp.id_column).map_groups(first, batch_format="pandas")
+                ds = _dedup_first_by_id(ds, imp.id_column)
                 os.makedirs(imp.target, exist_ok=True)
                 ds.write_parquet(imp.target)
                 results[imp.name] = {"status": "complete", "sink": "parquet"}
             elif imp.sink == "index":
-                import tempfile
-
-                import pandas as pd
-
                 from ..index.build import build_index
                 from ..state.manifest import IndexConfig
 
-                # id-mapped upsert semantics (es.mapping.id): dedup by id
-                # before indexing — the segment builder rejects duplicates
-                def first_idx(g: "pd.DataFrame") -> "pd.DataFrame":
-                    return g.head(1)
-
-                ds = ds.groupby(imp.id_column).map_groups(first_idx, batch_format="pandas")
-                tmp = tempfile.mkdtemp(prefix=f"edih_imp_{imp.name}_")
-                ds.write_parquet(tmp)
-                res = build_index(
-                    tmp,
-                    imp.target,
-                    mode=imp.mode,
-                    config=IndexConfig(
-                        analyzer=imp.index_analyzer,
-                        num_segments=imp.index_num_segments,
-                        doc_id_col=imp.id_column,
-                        content_col=imp.index_content_col,
-                    ),
+                config = IndexConfig(
+                    analyzer=imp.index_analyzer,
+                    num_segments=imp.index_num_segments,
+                    doc_id_col=imp.id_column,
+                    content_col=imp.index_content_col,
                 )
+                stage_dir = os.path.join(imp.target, "imports", imp.name)
+                if imp.mode == "full":
+                    # full reload: restage everything under one fresh part
+                    import shutil
+
+                    shutil.rmtree(stage_dir, ignore_errors=True)
+                    part = os.path.join(stage_dir, "part-full")
+                    tmp = f"{part}.tmp-{uuid.uuid4().hex[:8]}"
+                    _dedup_first_by_id(ds, imp.id_column).write_parquet(tmp)
+                    os.rename(tmp, part)
+                else:
+                    # incremental: stage ONE deterministic part dir per source
+                    # input file so build_index's file lineage sees a stable,
+                    # append-only set (see module docstring for the contract)
+                    src = source_specs.get(imp.source)
+                    if src is None:
+                        raise ValueError(
+                            f"incremental index sink '{imp.name}' requires a "
+                            "file-backed source (not a prep): staging is keyed "
+                            "by source input file for lineage"
+                        )
+                    for f in sorted(cat[imp.source].input_files()):
+                        h = hashlib.blake2b(f.encode(), digest_size=8).hexdigest()
+                        part = os.path.join(stage_dir, f"part-{h}")
+                        if os.path.isdir(part):
+                            continue
+                        sub = _read_source(src, [f])
+                        for step in imp.steps:
+                            sub = step.fn(sub)
+                        sub = _dedup_first_by_id(sub, imp.id_column)
+                        tmp = f"{part}.tmp-{uuid.uuid4().hex[:8]}"
+                        sub.write_parquet(tmp)
+                        os.rename(tmp, part)
+                staged = sorted(
+                    os.path.join(stage_dir, d, f)
+                    for d in os.listdir(stage_dir)
+                    if os.path.isdir(os.path.join(stage_dir, d)) and ".tmp-" not in d
+                    for f in os.listdir(os.path.join(stage_dir, d))
+                    if f.endswith(".parquet")
+                )
+                res = build_index(staged, imp.target, mode=imp.mode, config=config)
                 results[imp.name] = {
                     "status": "complete",
                     "sink": "index",

@@ -134,12 +134,14 @@ def knn_lsh(
         def __init__(self):
             super().__init__(ref, id_col, emb_col, k)
             self.planes = ray.get(planes_ref)
-            self.qbuckets = ray.get(qb_ref)
+            self.qbucket_arr = np.fromiter(ray.get(qb_ref), dtype=np.int64)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return self._EMPTY
             m = _embedding_matrix(t, self.emb_col)
             b = (m @ self.planes > 0).dot(1 << np.arange(self.planes.shape[1])).astype(int)
-            keep = np.array([x in self.qbuckets for x in b])
+            keep = np.isin(b, self.qbucket_arr)
             return super().__call__(t.filter(pa.array(keep)))
 
     partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
