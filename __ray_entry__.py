@@ -204,7 +204,10 @@ def _embed_neardup(sf_dir: str):
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.ann import cosine_neardup_pairs
 
-    return cosine_neardup_pairs(table(sf_dir, "embeddings"), threshold=0.5)
+    # loose threshold (0.5) → recall-oriented LSH: fewer planes, more tables
+    return cosine_neardup_pairs(
+        table(sf_dir, "embeddings"), threshold=0.5, n_planes=6, n_tables=48
+    )
 
 
 def _term_df_whitespace(sf_dir: str):

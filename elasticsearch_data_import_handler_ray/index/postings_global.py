@@ -81,7 +81,7 @@ def build_term_postings(
     hot_terms: set[str] | None = None,
     hot_threshold: int = 5_000,
     num_salts: int = 8,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, term, tf, dl) rows → one row per term:
     (term, df, sum_tf, posting blob).
@@ -92,6 +92,13 @@ def build_term_postings(
     Hot terms get doc-residue salts so their postings build on ``num_salts``
     reducers in parallel; only those few terms take the second, tiny
     ``groupby(term)`` merge round. Cold terms are complete after stage 1."""
+    if num_partitions is None:
+        # tokenize explodes ~1 doc row into ~100 posting rows, but the bytes
+        # grow far less (short term strings vs content) — factor 2 of the
+        # source file bytes is the measured envelope
+        from ..functions.partitioning import shuffle_fanout
+
+        num_partitions = shuffle_fanout(postings, explode_factor=2.0)
     if hot_terms is None:
         hot_terms = estimate_hot_terms(postings, hot_threshold=hot_threshold)
     hot_ref = ray.put(hot_terms)

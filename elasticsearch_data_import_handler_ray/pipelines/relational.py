@@ -23,11 +23,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.partitioning import shuffle_fanout
 from ..functions.rounding import pa_round_half_away
 from ..sources.catalog import table
-
-# how many partitions wide shuffles use at test scale; sized ~2× CPUs at bench
-_NPART = 8
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -156,17 +154,26 @@ def q_join_broadcast(sf_dir: str):
     region = table(sf_dir, "region").to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     lookup_ref = ray.put(
-        dict(zip(dim["n_nationkey"].astype(np.int64), dim["r_name"]))
+        {
+            "keys": pa.array(dim["n_nationkey"].astype(np.int64)),
+            "values": pa.array(dim["r_name"], type=pa.string()),
+        }
     )
 
     class JoinDims:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            d = ray.get(lookup_ref)
+            self.keys, self.values = d["keys"], d["values"]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            r_name = pa.array([self.lookup[int(k)] for k in keys], type=pa.string())
-            return pa.table({"r_name": r_name, "acctbal_cents": _cents(t["c_acctbal"])})
+            # vectorized probe: index_in + take, zero Python per row; rows
+            # with no dim match drop (inner-join semantics)
+            idx = pc.index_in(t["c_nationkey"], value_set=self.keys)
+            hit = pc.is_valid(idx)
+            r_name = self.values.take(idx.filter(hit))
+            return pa.table(
+                {"r_name": r_name, "acctbal_cents": _cents(t["c_acctbal"].filter(hit))}
+            )
 
     from ray.data.aggregate import Count, Sum
 
@@ -183,7 +190,11 @@ def q_join_hash(sf_dir: str):
     orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=_NPART, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=shuffle_fanout(orders),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
 
     def f(t: pa.Table) -> pa.Table:
@@ -274,6 +285,10 @@ def q_groupby_agg(sf_dir: str):
 
 # ---------------------------------------------------------------- A13: global aggregate
 def q_global_agg(sf_dir: str):
+    """Global COUNT/SUM/MIN/MAX + exact COUNT(DISTINCT key) in ONE pass over
+    the input: pre-aggregate per key (the only shuffle), then fold the per-key
+    rows — ~n_orders rows — into one. No driver-side key materialization, no
+    repeated executions of the upstream pipeline."""
     ds = table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_shipdate"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -285,19 +300,29 @@ def q_global_agg(sf_dir: str):
             }
         )
 
+    from ray.data.aggregate import Count, Max, Min, Sum
+
     pre = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-    n_rows = pre.count()
-    total = pre.sum("price_cents")
-    min_ship = pre.min("l_shipdate")
-    max_ship = pre.max("l_shipdate")
-    n_orders = len(pre.unique("l_orderkey"))
+    per_key = pre.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_i"),
+        Sum("price_cents", alias_name="sum_i"),
+        Min("l_shipdate", alias_name="min_i"),
+        Max("l_shipdate", alias_name="max_i"),
+    )
+    row = per_key.aggregate(
+        Count(alias_name="n_orders"),
+        Sum("n_i", alias_name="n_rows"),
+        Sum("sum_i", alias_name="sum_price_cents"),
+        Min("min_i", alias_name="min_ship"),
+        Max("max_i", alias_name="max_ship"),
+    )
     return pa.table(
         {
-            "n_rows": pa.array([n_rows], type=pa.int64()),
-            "sum_price_cents": pa.array([total], type=pa.int64()),
-            "min_ship": pa.array([min_ship], type=pa.timestamp("us")),
-            "max_ship": pa.array([max_ship], type=pa.timestamp("us")),
-            "n_orders": pa.array([n_orders], type=pa.int64()),
+            "n_rows": pa.array([int(row["n_rows"])], type=pa.int64()),
+            "sum_price_cents": pa.array([int(row["sum_price_cents"])], type=pa.int64()),
+            "min_ship": pa.array([row["min_ship"]], type=pa.timestamp("us")),
+            "max_ship": pa.array([row["max_ship"]], type=pa.timestamp("us")),
+            "n_orders": pa.array([int(row["n_orders"])], type=pa.int64()),
         }
     )
 
@@ -319,7 +344,7 @@ def q_dedup_first(sf_dir: str):
     Python calls instead of one per distinct key."""
     ds = table(sf_dir, "events", columns=["user_id", "event_type", "event_id", "ts"])
     bucketed = ds.map_batches(
-        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id", "event_type"], num_buckets=32)
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id", "event_type"], num_buckets=shuffle_fanout(ds))
     )
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
@@ -354,23 +379,64 @@ def q_union_all(sf_dir: str):
 
 
 # ---------------------------------------------------------------- A18: intersect / except
-def _user_sets(sf_dir: str):
+def _set_presence(sf_dir: str):
+    """Distributed set algebra: ONE pass, ONE shuffle. Each batch partially
+    aggregates per-user presence flags (Arrow group_by — cuts shuffle volume
+    to distinct users per batch), then a global groupby(user_id) folds them;
+    intersect/except are filters over the presence row set. No driver-side
+    key sets (the distinct-key set is unbounded at scale)."""
     ev = table(sf_dir, "events", columns=["user_id", "event_type"])
-    click = set(ev.filter(expr="event_type == 'click'").unique("user_id"))
-    purch = set(ev.filter(expr="event_type == 'purchase'").unique("user_id"))
-    return click, purch
+
+    def f(t: pa.Table) -> pa.Table:
+        is_c = pc.equal(t["event_type"], pa.scalar("click"))
+        is_p = pc.equal(t["event_type"], pa.scalar("purchase"))
+        keep = pc.or_(is_c, is_p)
+        flat = pa.table(
+            {
+                "user_id": t["user_id"],
+                "c": pc.cast(is_c, pa.int8()),
+                "p": pc.cast(is_p, pa.int8()),
+            }
+        ).filter(keep)
+        # per-batch combiner: one row per distinct user in the batch
+        return flat.group_by("user_id").aggregate([("c", "max"), ("p", "max")]).rename_columns(
+            ["user_id", "c", "p"]
+        )
+
+    from ray.data.aggregate import Max
+
+    pre = ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("user_id").aggregate(
+        Max("c", alias_name="has_c"), Max("p", alias_name="has_p")
+    )
+
+
+def _collect_typed(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL result Dataset as one Arrow table, keeping the
+    schema even when every block is empty (an all-empty Ray Dataset drops its
+    schema in to_pandas, which breaks the driver's column compare)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.schema.names]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables([t.cast(schema) for t in tables])
 
 
 def q_intersect(sf_dir: str):
-    click, purch = _user_sets(sf_dir)
-    both = sorted(click & purch)
-    return pa.table({"user_id": pa.array(both, type=pa.int64())})
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["has_c"], 1), pc.equal(t["has_p"], 1))
+        return t.filter(m).select(["user_id"])
+
+    out = _set_presence(sf_dir).map_batches(keep, batch_format="pyarrow")
+    return _collect_typed(out, pa.schema([("user_id", pa.int64())]))
 
 
 def q_except(sf_dir: str):
-    click, purch = _user_sets(sf_dir)
-    only = sorted(click - purch)
-    return pa.table({"user_id": pa.array(only, type=pa.int64())})
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["has_c"], 1), pc.equal(t["has_p"], 0))
+        return t.filter(m).select(["user_id"])
+
+    out = _set_presence(sf_dir).map_batches(keep, batch_format="pyarrow")
+    return _collect_typed(out, pa.schema([("user_id", pa.int64())]))
 
 
 # ---------------------------------------------------------------- C7: tumbling time window
@@ -406,7 +472,7 @@ def q_nested_build(sf_dir: str):
     )
 
     bucketed = li.map_batches(
-        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["l_orderkey"], num_buckets=32)
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["l_orderkey"], num_buckets=shuffle_fanout(li))
     )
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
@@ -494,7 +560,7 @@ def q_asof_join(sf_dir: str):
     Partitioning assumption: all rows of one user fit one bucket."""
     ev = table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
     bucketed = ev.map_batches(
-        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id"], num_buckets=32)
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id"], num_buckets=shuffle_fanout(ev))
     )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -533,7 +599,7 @@ def q_session_window(sf_dir: str):
     order within (ts, event_id)."""
     ev = table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     bucketed = ev.map_batches(
-        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id"], num_buckets=32)
+        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id"], num_buckets=shuffle_fanout(ev))
     )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:

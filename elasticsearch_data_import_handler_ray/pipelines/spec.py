@@ -42,14 +42,17 @@ import ray.data
 from ..sources.catalog import Catalog
 
 
-def _dedup_first_by_id(ds: ray.data.Dataset, id_col: str, num_buckets: int = 32):
+def _dedup_first_by_id(ds: ray.data.Dataset, id_col: str, num_buckets: int | None = None):
     """Id-mapped upsert semantics (es.mapping.id): one row per id.
     Bucketed shuffle — O(num_buckets) Python group calls with a vectorized
     drop_duplicates inside, never one call per distinct id."""
     import pandas as pd
 
+    from ..functions.partitioning import shuffle_fanout
     from .relational import _add_bucket
 
+    if num_buckets is None:
+        num_buckets = shuffle_fanout(ds)
     bucketed = ds.map_batches(
         _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=[id_col], num_buckets=num_buckets)
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -250,39 +251,183 @@ def knn_ivf(
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
-def cosine_neardup_pairs(
-    ds: ray.data.Dataset, *, id_col="vec_id", emb_col="embedding", threshold: float = 0.8
-) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs (i<j, cos>=threshold): each batch scans
-    against the broadcast full matrix (test scale; the scale path buckets by
-    LSH first). Output (id_a, id_b, cos_sim)."""
-    all_rows = ds.select_columns([id_col, emb_col]).to_pandas()
-    ids_all = all_rows[id_col].to_numpy().astype(np.int64)
-    m_all = _normalize(np.stack(all_rows[emb_col].to_numpy()).astype(np.float64))
-    ref = ray.put({"ids": ids_all, "m": m_all})
+_NEARDUP_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
+)
 
-    class Stage:
-        def __init__(self):
-            d = ray.get(ref)
-            self.ids_all, self.m_all = d["ids"], d["m"]
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_embedding_matrix(t, emb_col))
-            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            cos = m @ self.m_all.T
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(ids)):
-                mask = (cos[i] >= threshold) & (self.ids_all > ids[i])
-                hit = np.flatnonzero(mask)
-                out_a.extend([ids[i]] * len(hit))
-                out_b.extend(self.ids_all[hit].tolist())
-                out_c.extend(np.round(cos[i][hit], 4).tolist())
+def _collect_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL dataset as one typed Arrow table (empty-safe)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.schema.names]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables([t.select(schema.names).cast(schema) for t in tables])
+
+
+class _HyperplaneLSHStage:
+    """Per batch: L random-hyperplane bucket keys per vector → one 16-byte row
+    per (vector, table): (bucket, table, key, vec_id). Planes are derived from
+    (seed, dim) inside the stage, so every actor draws the identical planes
+    without a broadcast."""
+
+    def __init__(self, id_col: str, emb_col: str, n_planes: int, n_tables: int, seed: int, num_buckets: int):
+        self.id_col, self.emb_col = id_col, emb_col
+        self.n_planes, self.n_tables, self.seed = n_planes, n_tables, seed
+        self.num_buckets = num_buckets
+        self.planes: np.ndarray | None = None
+
+    def _get_planes(self, dim: int) -> np.ndarray:
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((dim, self.n_tables * self.n_planes))
+        return self.planes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
             return pa.table(
                 {
-                    "id_a": pa.array(out_a, type=pa.int64()),
-                    "id_b": pa.array(out_b, type=pa.int64()),
-                    "cos_sim": pa.array(out_c, type=pa.float64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                    "table_id": pa.array([], type=pa.int32()),
+                    "key": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                }
+            )
+        m = _embedding_matrix(t, self.emb_col)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        signs = (m @ self._get_planes(m.shape[1]) > 0).reshape(
+            len(m), self.n_tables, self.n_planes
+        )
+        keys = signs.dot(1 << np.arange(self.n_planes)).astype(np.int64)  # (n, L)
+        tables = np.broadcast_to(
+            np.arange(self.n_tables, dtype=np.int32), keys.shape
+        ).ravel()
+        keys_f = keys.ravel()
+        bucket = (
+            (keys_f.astype(np.uint64) * np.uint64(1099511628211) + tables.astype(np.uint64))
+            % np.uint64(self.num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "table_id": pa.array(tables),
+                "key": pa.array(keys_f, type=pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, self.n_tables), type=pa.int64()),
+            }
+        )
+
+
+def cosine_neardup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col="vec_id",
+    emb_col="embedding",
+    threshold: float = 0.8,
+    n_planes: int = 12,
+    n_tables: int = 24,
+    seed: int = 17,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold),
+    distributed: random-hyperplane LSH over L tables generates candidate
+    pairs — shuffle key = hash(table, key) % B with data-proportional B, so
+    no group exceeds one collision bucket — then EXACT cosine verification
+    fetches embeddings for only the candidate vectors (streamed filter pass).
+
+    Recall/volume knob: a pair at angle θ collides in one table w.p.
+    p = (1-θ/π)^n_planes; miss prob across tables = (1-p)^n_tables, while the
+    RANDOM-pair candidate rate is ≈ 0.5^n_planes per table. The defaults suit
+    genuine near-dup thresholds (≥0.9: miss <1e-2, random rate 2e-4); for a
+    loose threshold (~0.5) pass fewer planes + more tables (e.g. 6/48) and
+    accept the larger candidate set. Output (id_a, id_b, cos_sim)
+    exact-scored. Partitioning assumption: the candidate set fits a
+    broadcast; the embedding table itself is never materialized."""
+    if num_buckets is None:
+        from ..functions.partitioning import shuffle_fanout
+
+        num_buckets = shuffle_fanout(ds)
+    rows = ds.map_batches(
+        _HyperplaneLSHStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_args=(id_col, emb_col, n_planes, n_tables, seed, num_buckets),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+        g = g.drop_duplicates(["table_id", "key", "vec_id"])
+        dup = g[g.duplicated(["table_id", "key"], keep=False)]
+        if dup.empty:
+            return empty
+        out_a, out_b = [], []
+        for _, sub in dup.groupby(["table_id", "key"], sort=False):
+            ids = np.sort(sub["vec_id"].to_numpy())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    cand = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # cross-bucket distinct over the collected candidate set (driver-sized by
+    # assumption; np.unique beats a Ray multi-key groupby at this cardinality)
+    raw = _collect_blocks(cand, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+    if len(raw) == 0:
+        return _NEARDUP_SCHEMA.empty_table()
+    arr = np.stack(
+        [raw["id_a"].to_numpy(zero_copy_only=False), raw["id_b"].to_numpy(zero_copy_only=False)],
+        axis=1,
+    )
+    uniq = np.unique(arr, axis=0)
+    a, b = uniq[:, 0], uniq[:, 1]
+    cand_ids = np.unique(np.concatenate([a, b]))
+    ids_ref = ray.put(pa.array(cand_ids.astype(np.int64)))
+
+    class FetchStage:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.ids)
+            t = t.filter(keep)
+            if len(t) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], type=pa.int64()),
+                     "emb": pa.array([], type=pa.large_list(pa.float64()))}
+                )
+            m = _embedding_matrix(t, emb_col)
+            offs = np.arange(len(t) + 1, dtype=np.int64) * m.shape[1]
+            return pa.table(
+                {
+                    "vec_id": pc.cast(t[id_col], pa.int64()),
+                    "emb": pa.LargeListArray.from_arrays(
+                        pa.array(offs), pa.array(m.reshape(-1), type=pa.float64())
+                    ),
                 }
             )
 
-    return ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    small = _collect_blocks(
+        ds.map_batches(FetchStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2),
+        pa.schema([("vec_id", pa.int64()), ("emb", pa.large_list(pa.float64()))]),
+    )
+    got_ids = small["vec_id"].to_numpy(zero_copy_only=False)
+    dim = len(small["emb"][0]) if len(small) else 1
+    m = _normalize(
+        small["emb"].combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+    )
+    order = np.argsort(got_ids)
+    got_ids, m = got_ids[order], m[order]
+    ai = np.searchsorted(got_ids, a)
+    bi = np.searchsorted(got_ids, b)
+    cos = np.einsum("ij,ij->i", m[ai], m[bi])
+    keep = cos >= threshold
+    return pa.table(
+        {
+            "id_a": pa.array(a[keep], type=pa.int64()),
+            "id_b": pa.array(b[keep], type=pa.int64()),
+            "cos_sim": pa.array(np.round(cos[keep], 4), type=pa.float64()),
+        }
+    )

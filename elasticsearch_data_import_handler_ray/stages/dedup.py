@@ -1,16 +1,32 @@
 """Deduplication operators for training-data pipelines: exact, MinHash+LSH,
-SimHash, n-gram Jaccard, embedding-cosine near-dup.
+SimHash, n-gram Jaccard, embedding-cosine near-dup (see stages/ann.py).
 
-Ray-Data shapes (ray_guide.md "Aggregation at scale"):
-  exact     content-hash in map_batches → groupby(hash) → first-per-group
-  minhash   shingle→minhash per batch (vectorized) → explode (band, band_hash,
-            doc_id, signature) → groupby(band, band_hash) → in-group pairs →
-            distinct pairs (the signatures ride along, so verification needs no
-            second join)
-  simhash   64-bit signature per doc → 4×16-bit block LSH → in-group pairs with
-            Hamming ≤ d
-  embedding all-pairs cosine against a broadcast matrix (test scale) / banded
-            by LSH bucket at scale
+Ray-Data shapes (ray_guide.md "Aggregation at scale"), all keyed to stay
+bounded at 100 TB:
+
+  exact     content-hash in map_batches → bucketed groupby(hash) → min-id
+  minhash   text → signature per doc (vectorized) → band rows
+            (bucket, band, band_hash, doc_id) where
+            bucket = hash(band, band_hash) % B and B is data-proportional —
+            a group is ONE collision bucket's worth of 20-byte rows, never a
+            constant fraction of the corpus, and signatures do NOT ride the
+            shuffle → colliding buckets emit candidate id pairs → signatures
+            are recomputed for ONLY the candidate docs (a streamed filter
+            pass over the corpus) → estimated-Jaccard verification
+  simhash   64-bit signature per doc → 4×16-bit block LSH keyed by
+            (block, key) hash-bucket (same bounded-group property; the 8-byte
+            signature rides along) → Hamming verification in-bucket
+  ngram     EXACT shingle-set Jaccard: MinHash-LSH candidates (aggressive
+            banding for recall) → exact verification over ONLY candidate
+            docs' shingle sets. ``ngram_jaccard_pairs_allpairs`` keeps the
+            quadratic all-pairs oracle for tests.
+
+Partitioning assumption (documented per SURVEY.md §2 "custom operators"):
+the CANDIDATE PAIR set — near-duplicate collisions, i.e. the operator's
+output — fits in driver memory / an object-store broadcast. The corpus-sized
+inputs (texts, signatures, shingle sets) are never materialized; the corpus
+is streamed twice (banding pass + candidate-fetch pass), which trades a
+second read for not holding per-doc sketches in memory.
 
 Token/shingle hashing uses ``pandas.util.hash_array`` (stable, vectorized,
 process-independent 64-bit) — NOT Python's salted ``hash``.
@@ -23,9 +39,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
+from ..functions.partitioning import shuffle_fanout
+
 _MERSENNE = np.uint64((1 << 61) - 1)
+_FNV = np.uint64(1099511628211)
 
 
 def _token_hashes(text: pa.ChunkedArray | pa.Array, lower: bool = True):
@@ -49,7 +69,7 @@ def _token_hashes(text: pa.ChunkedArray | pa.Array, lower: bool = True):
 def _shingle_hashes(tok_h: np.ndarray, offsets: np.ndarray, k: int):
     """k-token shingle hashes via a rolling polynomial combine — vectorized,
     no string joins. Docs shorter than k get a single whole-doc shingle."""
-    P = np.uint64(1099511628211)
+    P = _FNV
     n = len(tok_h)
     comb = tok_h.copy()
     for j in range(1, k):
@@ -107,42 +127,208 @@ def minhash_signatures(
 
 
 class MinHashStage:
-    """map_batches stage: text → (doc_id, band, band_hash, signature) rows,
-    one per LSH band. Stateful (hash params) → callable class / actor pool."""
+    """map_batches stage: text → ONE row per doc (doc_id, sig). Stateful
+    (hash params) → callable class / actor pool. Band explosion happens in a
+    separate cheap stage so the 512-byte signature never multiplies through
+    the LSH shuffle."""
 
-    def __init__(self, text_col="text", id_col="doc_id", shingle_k=5, num_hashes=64, bands=16, seed=7):
-        assert num_hashes % bands == 0
+    def __init__(self, text_col="text", id_col="doc_id", shingle_k=5, num_hashes=64, seed=7):
         self.text_col, self.id_col = text_col, id_col
-        self.shingle_k, self.num_hashes, self.bands, self.seed = shingle_k, num_hashes, bands, seed
-        self.rows_per_band = num_hashes // bands
+        self.shingle_k, self.num_hashes, self.seed = shingle_k, num_hashes, seed
+
+    _SCHEMA_NOTE = "output: doc_id int64, sig fixed_size_list<uint64>[num_hashes]"
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.list_(pa.uint64(), self.num_hashes)),
+                }
+            )
         sig = minhash_signatures(
             t[self.text_col], shingle_k=self.shingle_k, num_hashes=self.num_hashes, seed=self.seed
         )
-        n = len(sig)
-        r = self.rows_per_band
-        doc_ids = t[self.id_col].to_numpy(zero_copy_only=False)
-        out_doc, out_band, out_bh, out_sig = [], [], [], []
-        for bidx in range(self.bands):
-            block = sig[:, bidx * r : (bidx + 1) * r]
-            bh = block[:, 0].copy()
-            for j in range(1, r):
-                bh = bh * np.uint64(1099511628211) + block[:, j]
-            out_doc.append(doc_ids)
-            out_band.append(np.full(n, bidx, dtype=np.int32))
-            out_bh.append(bh)
-            out_sig.append(sig)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_doc)),
-                "band": pa.array(np.concatenate(out_band)),
-                "band_hash": pa.array(np.concatenate(out_bh), type=pa.uint64()),
+                "doc_id": pc.cast(t[self.id_col], pa.int64()),
                 "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.concatenate(out_sig).reshape(-1), type=pa.uint64()), self.num_hashes
+                    pa.array(sig.reshape(-1), type=pa.uint64()), self.num_hashes
                 ),
             }
         )
+
+
+def _sig_matrix(t: pa.Table, num_hashes: int) -> np.ndarray:
+    col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return flat.reshape(-1, num_hashes)
+
+
+def _band_explode(t: pa.Table, *, bands: int, num_hashes: int, num_buckets: int) -> pa.Table:
+    """(doc_id, sig) → one 20-byte row per (doc, band):
+    (bucket, band, band_hash, doc_id). bucket = hash(band, band_hash) % B —
+    the shuffle key whose group count grows with the data, NOT a fixed
+    per-band partition (the round-1 16-corpus-wide-groups defect)."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "bucket": pa.array([], type=pa.int32()),
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.uint64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+    sig = _sig_matrix(t, num_hashes)
+    r = num_hashes // bands
+    n = len(sig)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out_doc, out_band, out_bh = [], [], []
+    for bidx in range(bands):
+        block = sig[:, bidx * r : (bidx + 1) * r]
+        bh = block[:, 0].copy()
+        for j in range(1, r):
+            bh = bh * _FNV + block[:, j]
+        out_doc.append(doc_ids)
+        out_band.append(np.full(n, bidx, dtype=np.int32))
+        out_bh.append(bh)
+    band_arr = np.concatenate(out_band)
+    bh_arr = np.concatenate(out_bh)
+    bucket = ((bh_arr * _FNV + band_arr.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+        np.int32
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(bucket),
+            "band": pa.array(band_arr),
+            "band_hash": pa.array(bh_arr, type=pa.uint64()),
+            "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One call per hash BUCKET: emit candidate id pairs for every exact
+    (band, band_hash) collision inside the bucket. Id pairs only — no
+    signatures in flight."""
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+    )
+    g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+    dup = g[g.duplicated(["band", "band_hash"], keep=False)]
+    if dup.empty:
+        return empty
+    out_a, out_b = [], []
+    for _, sub in dup.groupby(["band", "band_hash"], sort=False):
+        ids = np.sort(sub["doc_id"].to_numpy())
+        m = len(ids)
+        # all i<j pairs of this collision group, vectorized
+        ii, jj = np.triu_indices(m, k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    ).drop_duplicates()
+
+
+def _collect_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL dataset as one typed Arrow table (empty-safe)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.schema.names]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables([t.select(schema.names).cast(schema) for t in tables])
+
+
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def lsh_candidate_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col="text",
+    id_col="doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_buckets: int | None = None,
+    seed: int = 7,
+) -> pa.Table:
+    """MinHash-LSH candidate pair generation (the scale-safe half of every
+    sketch dedup): returns the DISTINCT (doc_a < doc_b) id pairs that collide
+    in ≥1 band. Output is candidate-sized (see module docstring)."""
+    if num_buckets is None:
+        num_buckets = shuffle_fanout(ds)
+    sig_ds = ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+            num_hashes=num_hashes, seed=seed,
+        ),
+    )
+    band_rows = sig_ds.map_batches(
+        _band_explode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs=dict(bands=bands, num_hashes=num_hashes, num_buckets=num_buckets),
+    )
+    cand = band_rows.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
+    # a pair can collide in several bands/buckets → distinct. In-bucket rows
+    # are already deduped; the cross-bucket distinct runs on the collected
+    # candidate set (driver-sized by assumption) — np.unique beats a Ray
+    # multi-key groupby by orders of magnitude at this cardinality.
+    raw = _collect_blocks(cand, _PAIR_SCHEMA)
+    if len(raw) == 0:
+        return raw
+    arr = np.stack(
+        [raw["doc_a"].to_numpy(zero_copy_only=False), raw["doc_b"].to_numpy(zero_copy_only=False)],
+        axis=1,
+    )
+    uniq = np.unique(arr, axis=0)
+    return pa.table(
+        {"doc_a": pa.array(uniq[:, 0], type=pa.int64()),
+         "doc_b": pa.array(uniq[:, 1], type=pa.int64())}
+    )
+
+
+class _CandidateSigStage(MinHashStage):
+    """Second corpus pass: signatures for ONLY the candidate docs (broadcast
+    id set, vectorized filter, then the normal signature kernel)."""
+
+    def __init__(self, ids_ref, **kw):
+        super().__init__(**kw)
+        self.ids = ray.get(ids_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t[self.id_col], pa.int64()), value_set=self.ids)
+        return super().__call__(t.filter(keep))
+
+
+def _candidate_signatures(
+    ds: ray.data.Dataset, pair_ids: np.ndarray, *, sig_kwargs: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (sorted candidate doc_ids, their signature matrix)."""
+    ids_ref = ray.put(pa.array(np.sort(pair_ids).astype(np.int64)))
+    small = ds.map_batches(
+        _CandidateSigStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_kwargs=dict(ids_ref=ids_ref, **sig_kwargs),
+    )
+    num_hashes = sig_kwargs.get("num_hashes", 64)
+    tbl = _collect_blocks(
+        small,
+        pa.schema([("doc_id", pa.int64()), ("sig", pa.list_(pa.uint64(), num_hashes))]),
+    )
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    sig = _sig_matrix(tbl, num_hashes)
+    order = np.argsort(ids)
+    return ids[order], sig[order]
 
 
 def minhash_dedup_pairs(
@@ -154,49 +340,41 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
-) -> ray.data.Dataset:
-    """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
-    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct."""
-    exploded = ds.map_batches(
-        MinHashStage,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=2,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, shingle_k=shingle_k, num_hashes=num_hashes, bands=bands
-        ),
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Near-duplicate pairs with estimated Jaccard >= threshold.
+    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct.
+
+    Two-phase shape (module docstring): bounded-group LSH candidates, then
+    signature verification over only the candidate docs."""
+    sig_kwargs = dict(
+        text_col=text_col, id_col=id_col, shingle_k=shingle_k, num_hashes=num_hashes
     )
-
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per BAND (not per bucket): vectorized duplicate-bucket
-        detection, pairwise signature compare only inside colliding buckets."""
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
-        g = g.drop_duplicates(["band_hash", "doc_id"])
-        dup = g[g.duplicated("band_hash", keep=False)]
-        if dup.empty:
-            return empty
-        out_a, out_b, out_j = [], [], []
-        for _, sub in dup.groupby("band_hash", sort=False):
-            sub = sub.sort_values("doc_id", kind="mergesort")
-            ids = sub["doc_id"].to_numpy()
-            sigs = np.stack(sub["sig"].to_numpy())
-            for i in range(len(ids)):
-                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                hit = np.flatnonzero(eq >= threshold)
-                for h in hit:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + h]))
-                    out_j.append(round(float(eq[h]), 4))
-        if not out_a:
-            return empty
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
-
-    cand = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    # a pair can surface from several bands → keep one row per pair
-    # (vectorized distinct: Max over identical est_jaccard values)
-    from ray.data.aggregate import Max
-
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    pairs = lsh_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands, num_buckets=num_buckets,
+    )
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+    )
+    if len(pairs) == 0:
+        return out_schema.empty_table()
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_b"].to_numpy(zero_copy_only=False)
+    cand_ids, cand_sig = _candidate_signatures(
+        ds, np.unique(np.concatenate([a, b])), sig_kwargs=sig_kwargs
+    )
+    ai = np.searchsorted(cand_ids, a)
+    bi = np.searchsorted(cand_ids, b)
+    est = (cand_sig[ai] == cand_sig[bi]).mean(axis=1)
+    keep = est >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep], type=pa.int64()),
+            "doc_b": pa.array(b[keep], type=pa.int64()),
+            "est_jaccard": pa.array(np.round(est[keep], 4), type=pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------- SimHash
@@ -217,11 +395,21 @@ def simhash_signatures(text, *, tf_weighted: bool = True) -> np.ndarray:
 
 
 def simhash_pairs(
-    ds: ray.data.Dataset, *, text_col="text", id_col="doc_id", max_hamming: int = 3
-) -> ray.data.Dataset:
+    ds: ray.data.Dataset,
+    *,
+    text_col="text",
+    id_col="doc_id",
+    max_hamming: int = 3,
+    num_buckets: int | None = None,
+) -> pa.Table:
     """Near-dup pairs by SimHash: LSH on 4×16-bit blocks (any pair within
     Hamming<=3 of 64 bits must agree exactly on >=1 block), verified by
-    popcount(xor). Output (doc_a, doc_b, hamming)."""
+    popcount(xor). Shuffle key = hash(block, key) % B with data-proportional
+    B — bounded groups, unlike the round-1 4-corpus-wide-groups shape. The
+    8-byte signature rides the shuffle (verification is in-bucket).
+    Output (doc_a, doc_b, hamming)."""
+    if num_buckets is None:
+        num_buckets = shuffle_fanout(ds)
 
     def stage(t: pa.Table) -> pa.Table:
         sig = simhash_signatures(t[text_col])
@@ -229,9 +417,11 @@ def simhash_pairs(
         parts = []
         for blk in range(4):
             key = (sig >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            bucket = ((key * _FNV + np.uint64(blk)) % np.uint64(num_buckets)).astype(np.int32)
             parts.append(
                 pa.table(
                     {
+                        "bucket": pa.array(bucket),
                         "doc_id": pa.array(ids),
                         "block": pa.array(np.full(len(ids), blk, dtype=np.int32)),
                         "key": pa.array(key, type=pa.uint64()),
@@ -248,15 +438,16 @@ def simhash_pairs(
             return np.bitwise_count(x)
         return np.array([bin(int(v)).count("1") for v in x])
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per 16-bit BLOCK: only colliding keys are compared."""
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per hash BUCKET: only exact (block, key) collisions are
+        compared."""
         empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-        g = g.drop_duplicates(["key", "doc_id"])
-        dup = g[g.duplicated("key", keep=False)]
+        g = g.drop_duplicates(["block", "key", "doc_id"])
+        dup = g[g.duplicated(["block", "key"], keep=False)]
         if dup.empty:
             return empty
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for _, sub in dup.groupby("key", sort=False):
+        for _, sub in dup.groupby(["block", "key"], sort=False):
             sub = sub.sort_values("doc_id", kind="mergesort")
             ids = sub["doc_id"].to_numpy()
             sigs = sub["sig"].to_numpy().astype(np.uint64)
@@ -271,10 +462,21 @@ def simhash_pairs(
             return empty
         return pd.DataFrame(out)
 
-    cand = exploded.groupby("block").map_groups(block_pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    cand = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # distinct (min hamming per pair) over the collected candidate set —
+    # candidate-sized, and far faster than a Ray multi-key groupby here
+    raw = _collect_blocks(
+        cand,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]),
+    ).to_pandas()
+    agg = (
+        raw.groupby(["doc_a", "doc_b"], sort=True)["hamming"].min().reset_index()
+        if len(raw)
+        else raw
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False).cast(
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())])
+    )
 
 
 # ---------------------------------------------------------------- exact n-gram Jaccard
@@ -285,17 +487,108 @@ def ngram_jaccard_pairs(
     id_col="doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
-) -> ray.data.Dataset:
-    """EXACT shingle-set Jaccard over all pairs — the verification oracle for
-    the sketch-based dedups. All-pairs: test-scale only (the scale path is
-    minhash candidates → this as the verify stage)."""
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """EXACT shingle-set Jaccard >= threshold, distributed: MinHash-LSH
+    candidate pairs with AGGRESSIVE banding (2 rows/band × 32 bands — for
+    est. Jaccard j the miss probability is (1-j²)³², <2e-4 at j=0.5 and
+    ~1e-9 at j=0.7), then exact verification over ONLY the candidate docs'
+    shingle sets (second streamed pass; nothing corpus-sized leaves the
+    cluster). The all-pairs oracle lives in ngram_jaccard_pairs_allpairs."""
+    pairs = lsh_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=64, bands=32, num_buckets=num_buckets, seed=7,
+    )
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if len(pairs) == 0:
+        return out_schema.empty_table()
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_b"].to_numpy(zero_copy_only=False)
+    cand = np.unique(np.concatenate([a, b]))
+    ids_ref = ray.put(pa.array(cand.astype(np.int64)))
+
+    class ShingleStage:
+        """Candidate-doc shingle sets: (doc_id, sorted unique shingle list)."""
+
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.ids))
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "shingles": pa.array([], type=pa.large_list(pa.uint64())),
+                    }
+                )
+            tok_h, offsets = _token_hashes(t[text_col])
+            sh, sh_doc = _shingle_hashes(tok_h, offsets, shingle_k)
+            doc_ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            lists = []
+            bounds = np.searchsorted(sh_doc, np.arange(len(doc_ids) + 1))
+            for d in range(len(doc_ids)):
+                lists.append(np.unique(sh[bounds[d] : bounds[d + 1]]))
+            offs = np.zeros(len(lists) + 1, dtype=np.int64)
+            np.cumsum([len(x) for x in lists], out=offs[1:])
+            flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.uint64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, type=pa.int64()),
+                    "shingles": pa.LargeListArray.from_arrays(
+                        pa.array(offs), pa.array(flat, type=pa.uint64())
+                    ),
+                }
+            )
+
+    small = ds.map_batches(
+        ShingleStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    tbl = _collect_blocks(
+        small, pa.schema([("doc_id", pa.int64()), ("shingles", pa.large_list(pa.uint64()))])
+    )
+    sets = {
+        int(i): np.asarray(s, dtype=np.uint64)
+        for i, s in zip(tbl["doc_id"].to_pylist(), tbl["shingles"].to_pylist())
+    }
+    out = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for x, y in zip(a, b):
+        sa, sb = sets.get(int(x)), sets.get(int(y))
+        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            out["doc_a"].append(int(x))
+            out["doc_b"].append(int(y))
+            out["jaccard"].append(round(float(jac), 4))
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"], type=pa.int64()),
+            "doc_b": pa.array(out["doc_b"], type=pa.int64()),
+            "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs_allpairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col="text",
+    id_col="doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> pa.Table:
+    """Quadratic all-pairs exact Jaccard — the TEST ORACLE for the
+    distributed path above (and for the sketch dedups). Materializes the
+    input: test scale only, by design."""
     rows = ds.select_columns([id_col, text_col]).to_pandas()
     text = pa.array(rows[text_col], type=pa.large_string())
     tok_h, offsets = _token_hashes(text)
     sh, sh_doc = _shingle_hashes(tok_h, offsets, shingle_k)
-    sets = [
-        np.unique(sh[sh_doc == d]) for d in range(len(offsets) - 1)
-    ]
+    sets = [np.unique(sh[sh_doc == d]) for d in range(len(offsets) - 1)]
     ids = rows[id_col].to_numpy()
     out = {"doc_a": [], "doc_b": [], "jaccard": []}
     for i in range(len(ids)):
@@ -319,14 +612,19 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- exact dedup
-def exact_dedup(ds: ray.data.Dataset, *, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+def exact_dedup(
+    ds: ray.data.Dataset, *, text_col="text", id_col="doc_id", num_buckets: int | None = None
+) -> ray.data.Dataset:
     """Exact dedup: md5(text) in map_batches → groupby(hash) → keep min id.
     Output (doc_id, n_dups) — shuffle key is the content hash (A14)."""
     import hashlib
 
+    if num_buckets is None:
+        num_buckets = shuffle_fanout(ds)
+
     def h(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(v.encode()).hexdigest() for v in t[text_col].to_pylist()]
-        bucket = (pd.util.hash_array(np.array(hs, dtype=object)) % 32).astype(np.int32)
+        bucket = (pd.util.hash_array(np.array(hs, dtype=object)) % num_buckets).astype(np.int32)
         return pa.table(
             {"h": pa.array(hs, type=pa.string()), id_col: t[id_col], "_bucket": pa.array(bucket)}
         )

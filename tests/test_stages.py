@@ -295,3 +295,53 @@ def test_driver_contract_consistency():
     assert len(qs) >= 40
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_ngram_jaccard_distributed_matches_allpairs_oracle():
+    """The LSH-candidate + exact-verify path must produce the same rows as
+    the quadratic all-pairs oracle on planted dups."""
+    from elasticsearch_data_import_handler_ray.stages.dedup import (
+        ngram_jaccard_pairs_allpairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for d in range(40):
+        toks = [vocab[i] for i in rng.integers(0, 200, size=30)]
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    # planted near-dups: copy with small edits
+    for src, dst in [(0, 40), (1, 41), (2, 42)]:
+        toks = rows[src]["text"].split()
+        toks[5] = "edited"
+        rows.append({"doc_id": dst, "text": " ".join(toks)})
+    t = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(t)
+    got = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    want = ngram_jaccard_pairs_allpairs(ray.data.from_arrow(t), threshold=0.5).to_pandas(
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) >= 3  # the planted pairs are actually found
+
+
+def test_cosine_neardup_distributed_no_false_positives_and_exact_scores():
+    """LSH candidates + exact verify: every emitted pair really has
+    cos >= threshold (exact), and high-cos planted pairs are found."""
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((60, 8))
+    m[7] = m[3]                      # exact duplicate
+    m[20] = m[10] + 0.05 * rng.standard_normal(8)  # near duplicate
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(60), type=pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in m], type=pa.list_(pa.float32()))}
+    )
+    out = cosine_neardup_pairs(ray.data.from_arrow(t), threshold=0.98).to_pandas()
+    found = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert (3, 7) in found and (10, 20) in found
+    # exact verification: recompute cosine for every emitted pair
+    m32 = m.astype(np.float32).astype(np.float64)
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    for _, r in out.iterrows():
+        assert round(float(mn[int(r.id_a)] @ mn[int(r.id_b)]), 4) == r.cos_sim
+        assert r.cos_sim >= 0.98
