@@ -1,10 +1,10 @@
 """Segment merge / compaction (SURVEY.md §2.B5).
 
 After K incremental runs, each doc-shard ``seg_id`` has K segment files.
-``merge_index`` compacts them: per shard, union the term dictionaries, merge
-each term's postings across runs (disjoint doc sets; doc_ids interleave because
-they are hashes, so merge decodes, merge-sorts, re-encodes — see
-functions/codec.merge_postings), and write ONE segment per shard under a new
+``merge_index`` compacts them: per shard, bulk-decode every run's postings
+(one varbyte pass per run — codec.decode_segment), union the term
+dictionaries, lexsort all posting rows by (union term rank, doc_id), and
+re-encode the whole shard in one pass (codec.encode_segment) under a new
 deterministic run id. The manifest swap is atomic; old run dirs are removed
 only after the commit.
 
@@ -27,68 +27,63 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data
 
-from ..functions.codec import merge_postings
+from ..functions.codec import decode_segment, encode_segment
 from ..state.manifest import Manifest, RunLock
 from .segment import SegmentReader, write_segment
 
 
 def _merge_one_shard(seg_id: int, seg_dirs: list[str], out_dir: str, rel_out: str) -> dict:
+    """Vectorized shard merge: bulk-decode every run's ENTIRE posting blob in
+    one varbyte pass (codec.decode_segment), map each run's terms to their
+    union ranks, ONE lexsort over all posting rows, one whole-segment
+    re-encode (codec.encode_segment) -- zero per-term Python. (The round-1
+    loop called merge_postings once per union term: millions of Python calls
+    per shard at scale.) Byte output is unchanged: encode_segment is
+    byte-equivalent to per-term encode_posting, so merge idempotence and the
+    incremental==full byte-identity tests pin this rewrite."""
     readers = [SegmentReader(d) for d in seg_dirs]
-    term_arrays = [r.terms for r in readers]
-    union = np.unique(np.concatenate(term_arrays))
-    blobs: list[bytes] = []
-    offsets = np.empty(len(union), dtype=np.int64)
-    lengths = np.empty(len(union), dtype=np.int64)
-    dfs = np.empty(len(union), dtype=np.uint64)
-    sum_tfs = np.empty(len(union), dtype=np.uint64)
-    # per-reader cursor over its sorted term array (k-way merge by position)
-    lookups = [np.searchsorted(r.terms, union) for r in readers]
-    off = 0
-    n_postings = 0
-    for i, t in enumerate(union):
-        parts = []
-        for r, lk in zip(readers, lookups):
-            j = lk[i]
-            if j < len(r.terms) and r.terms[j] == t:
-                s = int(r.offsets[j])
-                parts.append(r._post[s : s + int(r.lengths[j])])
-        blob = merge_postings(parts)
-        blobs.append(blob)
-        offsets[i] = off
-        lengths[i] = len(blob)
-        off += len(blob)
-    # df / sum_tf by summing the per-reader dictionaries (vectorized)
-    dfs[:] = 0
-    sum_tfs[:] = 0
-    for r, lk in zip(readers, lookups):
-        j = np.minimum(lk, len(r.terms) - 1)
-        hit = (lk < len(r.terms)) & (r.terms[j] == union)
-        dfs[hit] += r.dfs[j[hit]].astype(np.uint64)
-        st = pq.read_table(os.path.join(r.seg_dir, "terms.parquet"), columns=["sum_tf"])[
-            "sum_tf"
-        ].to_numpy(zero_copy_only=False)
-        sum_tfs[hit] += st[j[hit]].astype(np.uint64)
-    n_postings = int(dfs.sum())
+    union = np.unique(np.concatenate([r.terms for r in readers]))
+    parts_ids, parts_tfs, parts_dls, parts_rank = [], [], [], []
+    for r in readers:
+        ids_r, tfs_r, dls_r = decode_segment(r._post, r.dfs)
+        rank_r = np.searchsorted(union, r.terms)  # r.terms is a sorted subset
+        parts_ids.append(ids_r)
+        parts_tfs.append(tfs_r)
+        parts_dls.append(dls_r)
+        parts_rank.append(np.repeat(rank_r, r.dfs))
+    all_ids = np.concatenate(parts_ids)
+    all_tfs = np.concatenate(parts_tfs)
+    all_dls = np.concatenate(parts_dls)
+    all_rank = np.concatenate(parts_rank)
+    order = np.lexsort((all_ids, all_rank))
+    all_ids, all_tfs, all_dls, all_rank = (
+        all_ids[order], all_tfs[order], all_dls[order], all_rank[order]
+    )
+    # every union rank occurs (union = union of reader terms) -> term bounds
+    # from the sorted rank runs; duplicate doc_ids across runs raise inside
+    # the encoder's strictly-increasing guard
+    starts = np.flatnonzero(np.diff(all_rank, prepend=-1))
+    bounds = np.append(starts, len(all_rank)).astype(np.int64)
+    blob, offsets, lengths, sum_tfs = encode_segment(bounds, all_ids, all_tfs, all_dls)
+    dfs = (bounds[1:] - bounds[:-1]).astype(np.uint64)
 
     term_table = pa.table(
         {
             "term": pa.array(union, type=pa.large_string()),
             "df": pa.array(dfs, type=pa.uint64()),
-            "sum_tf": pa.array(sum_tfs, type=pa.uint64()),
+            "sum_tf": pa.array(sum_tfs.astype(np.uint64), type=pa.uint64()),
             "offset": pa.array(offsets, type=pa.int64()),
             "length": pa.array(lengths, type=pa.int64()),
         }
     )
-    blob = b"".join(blobs)
     meta = {
         "n_terms": int(len(union)),
         "n_docs": int(sum(r.meta["n_docs"] for r in readers)),
         "sum_dl": int(sum(r.meta["sum_dl"] for r in readers)),
-        "n_postings": n_postings,
+        "n_postings": int(len(all_ids)),
         "postings_bytes": len(blob),
     }
     seg_dir = os.path.join(out_dir, f"seg_{seg_id}")

@@ -106,3 +106,32 @@ def test_encode_segment_equals_per_term_encoding(data):
         assert offs[i] == off and lens[i] == len(rp)
         off += len(rp)
         assert stf[i] == parts[i][1].sum()
+
+
+def test_decode_segment_roundtrip_random():
+    """Whole-segment decode is the exact inverse of the whole-segment encode
+    (the merge path depends on this)."""
+    from elasticsearch_data_import_handler_ray.functions.codec import (
+        decode_segment,
+        encode_segment,
+    )
+
+    rng = np.random.default_rng(9)
+    n_terms = 50
+    dfs = rng.integers(1, 400, size=n_terms)
+    bounds = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(dfs, out=bounds[1:])
+    n = int(bounds[-1])
+    ids = np.empty(n, dtype=np.uint64)
+    for t in range(n_terms):
+        s, e = bounds[t], bounds[t + 1]
+        ids[s:e] = np.sort(
+            rng.choice(np.arange(1, 10_000_000, dtype=np.uint64), size=e - s, replace=False)
+        )
+    tfs = rng.integers(1, 1000, size=n).astype(np.uint64)
+    dls = rng.integers(1, 5000, size=n).astype(np.uint64)
+    blob, offsets, lengths, _ = encode_segment(bounds, ids, tfs, dls)
+    got_ids, got_tfs, got_dls = decode_segment(blob, dfs)
+    np.testing.assert_array_equal(got_ids, ids)
+    np.testing.assert_array_equal(got_tfs, tfs)
+    np.testing.assert_array_equal(got_dls, dls)
