@@ -60,19 +60,51 @@ def explode_postings(
 
 
 def estimate_hot_terms(
-    postings: ray.data.Dataset, *, sample_rows: int = 100_000, hot_threshold: int = 5_000
+    postings: ray.data.Dataset,
+    *,
+    sample_rate: float = 0.02,
+    hot_threshold: int = 5_000,
+    seed: int = 23,
 ) -> set[str]:
-    """Deterministic sampled df estimate: scan the first ``sample_rows``
-    posting rows; a term is hot when its extrapolated df exceeds the
-    threshold. (At scale: replace limit() with a seeded per-block sample.)"""
-    total = postings.count()
-    if total == 0:
-        return set()
-    sample = postings.limit(min(sample_rows, total)).select_columns(["term"]).to_pandas()
-    frac = max(len(sample) / total, 1e-12)
-    counts = sample["term"].value_counts()
-    est = counts / frac
-    return set(est[est > hot_threshold].index)
+    """Deterministic UNIFORM sampled df estimate in one streamed pass.
+
+    Every posting row is kept with probability ``sample_rate`` by a seeded
+    hash of (term, doc_id) — unlike the round-1 ``limit()`` pre-pass, the
+    sample is uniform over the whole input, so hot terms concentrated in
+    late files are still seen. Sampled rows are partially counted per batch
+    (Arrow group_by) and summed in a small distributed groupby; only the
+    terms whose extrapolated df exceeds the threshold — a handful — reach
+    the driver. Nothing corpus-sized is collected and the upstream pipeline
+    executes exactly once for the estimate."""
+    from ray.data.aggregate import Sum
+
+    denom = np.uint64(1 << 20)
+    cut = np.uint64(int(sample_rate * float(denom)))
+    mix = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed | 1)
+
+    def samp(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"term": pa.array([], type=pa.large_string()),
+                             "n": pa.array([], type=pa.int64())})
+        th = pd.util.hash_array(t["term"].to_numpy(zero_copy_only=False))
+        docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (th + docs) * mix
+        keep = (h % denom) < cut
+        sel = t.filter(pa.array(keep)).select(["term"])
+        if len(sel) == 0:
+            return pa.table({"term": pa.array([], type=pa.large_string()),
+                             "n": pa.array([], type=pa.int64())})
+        agg = sel.group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": agg["term"].cast(pa.large_string()),
+             "n": agg["term_count"].cast(pa.int64())}
+        )
+
+    counts = postings.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
+    agg = counts.groupby("term").aggregate(Sum("n", alias_name="n_sampled"))
+    cutoff = hot_threshold * (float(cut) / float(denom))
+    hot = agg.filter(expr=f"n_sampled > {cutoff}")
+    return set(t for t in hot.select_columns(["term"]).to_pandas()["term"])
 
 
 def build_term_postings(

@@ -95,3 +95,40 @@ def test_salting_balances_hot_term_partitions(tiny_corpus):
     assert len(per_salt) == num_salts
     # the largest salted sub-group is ~df/num_salts, not df
     assert per_salt.max() < hot_df / num_salts * 1.5
+
+
+def test_estimate_hot_terms_sees_late_file_skew():
+    """The uniform hash-sample must detect a hot term even when ALL its
+    occurrences are in the last blocks of the input (the round-1 limit()
+    pre-pass only saw the first N rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    # 40 cold blocks then 10 blocks saturated with one hot term
+    cold = [
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(b * 500, (b + 1) * 500), type=pa.uint64()),
+                "term": pa.array([f"cold_{b}_{i % 50}" for i in range(500)], type=pa.large_string()),
+                "tf": pa.array(np.ones(500), type=pa.uint32()),
+                "dl": pa.array(np.full(500, 10), type=pa.uint32()),
+            }
+        )
+        for b in range(40)
+    ]
+    hot = [
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(100000 + b * 500, 100000 + (b + 1) * 500), type=pa.uint64()),
+                "term": pa.array(["lateheat"] * 500, type=pa.large_string()),
+                "tf": pa.array(np.ones(500), type=pa.uint32()),
+                "dl": pa.array(np.full(500, 10), type=pa.uint32()),
+            }
+        )
+        for b in range(10)
+    ]
+    ds = ray.data.from_arrow(cold + hot)
+    found = estimate_hot_terms(ds, hot_threshold=1000, sample_rate=0.05)
+    assert "lateheat" in found          # df 5000, all in the tail
+    assert not any(t.startswith("cold_") for t in found)  # df 10 each
