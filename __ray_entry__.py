@@ -267,6 +267,37 @@ def _bm25_on(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _phrase_search(sf_dir: str):
+    """Positional index + exact phrase top-k (mode='phrase'); rows-only —
+    oracle-checked (rank+score identity vs a naive sliding-window scorer) in
+    tests/test_positions.py."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_ph_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
+            positions=True,
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    phrases = ["hash scan join", "table scan", "batch batch batch", "sort merge", "group query row"]
+    try:
+        results = eng.search_many([{"text": p, "mode": "phrase"} for p in phrases], k=10)
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id), "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _multimodal(sf_dir: str):
     """Binary media plumbing: synthesize payloads from documents, decode with
     the deterministic stub decoder in an actor-pool stage (rows-only)."""
@@ -309,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "term_df_whitespace": _term_df_whitespace,
             "term_df_salted": _term_df_salted,
             "bm25_topk": _bm25_on,
+            "phrase_search": _phrase_search,
             "multimodal_decode": _multimodal,
         }
     )
@@ -533,5 +565,5 @@ def oracle_sql() -> dict[str, str]:
         "term_df_salted": _TERM_DF_SQL,
         # rows-only (non-SQL-expressible; oracle-checked in tests/):
         #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,
-        #   ann_lsh, embed_neardup, bm25_topk, multimodal_decode
+        #   ann_lsh, embed_neardup, bm25_topk, phrase_search, multimodal_decode
     }

@@ -137,3 +137,76 @@ def term_frequencies(
         }
     )
     return postings, doclens
+
+
+def term_frequencies_positions(
+    analyzer: Analyzer, doc_ids: pa.Array, content: pa.ChunkedArray | pa.Array
+) -> tuple[pa.Table, pa.Table]:
+    """``term_frequencies`` + per-occurrence token positions (§2.B3 positional
+    variant). Position = index of the token in the doc's analyzed token stream
+    (empties dropped first, so adjacent real tokens are adjacent positions —
+    what phrase matching needs).
+
+    Fully vectorized: one dictionary-encode of the flat token array, one
+    stable ``np.lexsort`` by (doc row, term code) — stability keeps positions
+    ascending within each (doc, term) group — then run-length boundaries give
+    (tf, position list) per posting. Same (doc_id, term, tf) multiset as
+    ``term_frequencies`` (pinned by tests/test_positions.py).
+
+    Returns ``(postings, doclens)``; postings adds ``pos:large_list<uint32>``.
+    """
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    tok_list = analyzer.tokens_of(content)
+    flat = pc.list_flatten(tok_list)
+    parent = pc.list_parent_indices(tok_list)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(par)
+    if n == 0:
+        empty_post = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.uint64()),
+                "term": pa.array([], type=pa.large_string()),
+                "tf": pa.array([], type=pa.uint32()),
+                "pos": pa.array([], type=pa.large_list(pa.uint32())),
+            }
+        )
+        empty_dl = pa.table(
+            {"doc_id": pa.array([], type=pa.uint64()), "doc_len": pa.array([], type=pa.uint32())}
+        )
+        return empty_post, empty_dl
+    # position within doc over kept tokens (parent indices are ascending)
+    run_start = np.flatnonzero(np.diff(par, prepend=-1))
+    run_len = np.diff(np.append(run_start, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(run_start, run_len)
+
+    d = pc.cast(flat, pa.large_string()).dictionary_encode()
+    codes = np.ascontiguousarray(d.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((codes, par))  # stable → pos ascending within group
+    g_par, g_codes, g_pos = par[order], codes[order], pos[order]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (g_par[1:] != g_par[:-1]) | (g_codes[1:] != g_codes[:-1])
+    grp_start = np.flatnonzero(change)
+    tf = np.diff(np.append(grp_start, n))
+
+    offs = pa.array(np.append(grp_start, n), type=pa.int64())
+    pos_col = pa.LargeListArray.from_arrays(offs, pa.array(g_pos.astype(np.uint32)))
+    postings = pa.table(
+        {
+            "doc_id": pc.cast(doc_ids.take(pa.array(g_par[grp_start])), pa.uint64()),
+            "term": d.dictionary.take(pa.array(g_codes[grp_start])),
+            "tf": pa.array(tf.astype(np.uint32)),
+            "pos": pos_col,
+        }
+    )
+    doclens = pa.table(
+        {
+            "doc_id": pc.cast(doc_ids.take(pa.array(par[run_start])), pa.uint64()),
+            "doc_len": pa.array(run_len.astype(np.uint32)),
+        }
+    )
+    return postings, doclens

@@ -404,6 +404,107 @@ def decode_posting(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray, np
     return PostingBlocks(blob).decode_all()
 
 
+# --------------------------------------------------------------- positions
+# Positional postings live in a SIDECAR stream (positions.bin), Lucene-style:
+# the main postings.bin stays byte-identical whether or not positions are
+# indexed, and BM25 queries never touch position bytes. Stream layout: terms
+# in dictionary order; per term, its postings in doc_id order; per posting,
+# tf values — the first position absolute, the rest strictly-positive gaps —
+# all varbyte. Per-term byte ranges are recorded in terms.parquet
+# (pos_offset/pos_length), value counts are recoverable from the main blob's
+# tfs, so the stream needs no headers of its own.
+
+
+def encode_positions(
+    term_bounds: np.ndarray, tfs: np.ndarray, pos_flat: np.ndarray
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Whole-segment single-pass positions encoder.
+
+    ``term_bounds``: posting-row boundaries per term (len n_terms+1, same as
+    encode_segment). ``tfs[j]`` = occurrence count of posting j; ``pos_flat``
+    = concatenated strictly-increasing positions per posting, posting order.
+    → (blob, per-term byte offsets, per-term byte lengths)."""
+    counts = np.ascontiguousarray(tfs, dtype=np.int64)
+    pos = np.ascontiguousarray(pos_flat, dtype=np.uint64)
+    n_post = len(counts)
+    total = int(counts.sum())
+    if total != len(pos):
+        raise ValueError(f"encode_positions: Σtf={total} != len(pos_flat)={len(pos)}")
+    if total == 0:
+        z = np.zeros(len(term_bounds) - 1, dtype=np.int64)
+        return b"", z, z.copy()
+    post_starts = np.zeros(n_post, dtype=np.int64)
+    np.cumsum(counts[:-1], out=post_starts[1:])
+    d = np.empty(total, dtype=np.uint64)
+    d[0] = pos[0]
+    np.subtract(pos[1:], pos[:-1], out=d[1:])
+    d[post_starts] = pos[post_starts]  # absolute first position per posting
+    inner = np.ones(total, dtype=bool)
+    inner[post_starts] = False
+    if inner.any() and (d[inner] == 0).any():
+        raise ValueError("encode_positions: positions must strictly increase within a posting")
+    sizes = _varbyte_sizes(d)
+    blob = varbyte_encode(d, sizes=sizes)
+    csum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(sizes, out=csum[1:])
+    # posting-value boundary per term boundary
+    cnt_cum = np.zeros(n_post + 1, dtype=np.int64)
+    np.cumsum(counts, out=cnt_cum[1:])
+    tv = cnt_cum[np.asarray(term_bounds, dtype=np.int64)]
+    offsets = csum[tv[:-1]]
+    lengths = csum[tv[1:]] - offsets
+    return blob, offsets, lengths
+
+
+def decode_positions(blob: bytes | np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of ``encode_positions`` over any contiguous slice of the
+    stream: ``tfs`` are the per-posting counts covered by ``blob`` (in order).
+    → flat absolute positions, one segmented cumsum."""
+    counts = np.ascontiguousarray(tfs, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64)
+    vals = varbyte_decode(blob, count=total)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    nz = counts > 0
+    cs = np.cumsum(vals)
+    base = np.repeat(cs[starts[nz]] - vals[starts[nz]], counts[nz])
+    return (cs - base).astype(np.uint64)
+
+
+def gather_position_slices(
+    blob: np.ndarray, tfs: np.ndarray, sel: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the selected postings' positions from one term's stream.
+
+    ``blob``: the term's positions byte slice; ``tfs``: per-posting counts for
+    ALL of the term's postings (doc order); ``sel``: sorted posting indices to
+    decode. One terminal-byte scan finds value boundaries; selected byte
+    ranges are gathered and decoded in one varbyte pass (phrase queries touch
+    candidate docs only, not a hot term's full position stream).
+    → (flat positions, counts per selected posting)."""
+    counts = np.ascontiguousarray(tfs, dtype=np.int64)
+    sel = np.ascontiguousarray(sel, dtype=np.int64)
+    sel_counts = counts[sel]
+    total_sel = int(sel_counts.sum())
+    if total_sel == 0:
+        return np.empty(0, dtype=np.uint64), sel_counts
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    term_pos = np.flatnonzero((b & 0x80) == 0)  # last byte of each value
+    cnt_cum = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=cnt_cum[1:])
+    v_start, v_end = cnt_cum[sel], cnt_cum[sel + 1]
+    byte_start = np.where(v_start > 0, term_pos[np.maximum(v_start, 1) - 1] + 1, 0)
+    byte_end = term_pos[v_end - 1] + 1
+    blen = byte_end - byte_start
+    tot = int(blen.sum())
+    bs = np.zeros(len(blen), dtype=np.int64)
+    np.cumsum(blen[:-1], out=bs[1:])
+    idx = np.repeat(byte_start - bs, blen) + np.arange(tot, dtype=np.int64)
+    return decode_positions(b[idx], sel_counts), sel_counts
+
+
 def merge_postings(blobs: list[bytes | np.ndarray]) -> bytes:
     """k-way merge of posting blobs for the SAME term over DISJOINT doc sets
     (segment merge, SURVEY.md §2.B5). Doc ids from different runs interleave

@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..functions.analysis import get_analyzer, term_frequencies
+from ..functions.analysis import get_analyzer, term_frequencies, term_frequencies_positions
 from ..functions.hashing import doc_ids_batch, sha256_batch
 from ..state.manifest import IndexConfig, Manifest, RunLock
 from .segment import build_segment_arrays_table, write_segment
@@ -81,6 +81,7 @@ def _tokenize_batch(
     docmap_dir: str | None,
     compute_sha: bool,
     emit_dl: bool = False,
+    emit_positions: bool = False,
 ) -> pa.Table:
     """One corpus batch → exploded posting rows (seg, doc_id, term, tf[, dl]).
 
@@ -104,7 +105,8 @@ def _tokenize_batch(
             batch[id_cols[1]].combine_chunks(),
             batch[id_cols[2]].combine_chunks(),
         )
-    postings, doclens = term_frequencies(analyzer, pa.array(doc_ids, type=pa.uint64()), content)
+    tf_fn = term_frequencies_positions if emit_positions else term_frequencies
+    postings, doclens = tf_fn(analyzer, pa.array(doc_ids, type=pa.uint64()), content)
 
     dl_ids = doclens["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     dl_val = doclens["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint32)
@@ -134,11 +136,15 @@ def _tokenize_batch(
         "term": postings["term"],
         "tf": postings["tf"],
     }
+    fields = [POSTING_SCHEMA.field(i) for i in range(4)]
     if emit_dl:
         pos = np.searchsorted(dl_ids, p_doc)
         cols_out["dl"] = pa.array(dl_val[pos])
-        return pa.table(cols_out, schema=POSTING_SCHEMA)
-    return pa.table(cols_out, schema=POSTING_SCHEMA.remove(4))
+        fields.append(POSTING_SCHEMA.field(4))
+    if emit_positions:
+        cols_out["pos"] = postings["pos"]
+        fields.append(pa.field("pos", pa.large_list(pa.uint32())))
+    return pa.table(cols_out, schema=pa.schema(fields))
 
 
 class SegmentBuilder:
@@ -155,9 +161,9 @@ class SegmentBuilder:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         seg_id = int(group["seg"][0].as_py())
-        term_table, blob, meta = build_segment_arrays_table(group)
+        term_table, blob, meta, pos_blob = build_segment_arrays_table(group)
         seg_dir = os.path.join(self.run_dir, f"seg_{seg_id}")
-        meta = write_segment(seg_dir, seg_id, term_table, blob, meta)
+        meta = write_segment(seg_dir, seg_id, term_table, blob, meta, pos_blob=pos_blob)
         return pa.table(
             {
                 "seg_id": pa.array([seg_id], type=pa.int64()),
@@ -253,6 +259,7 @@ def build_index(
                 content_col=config.content_col,
                 docmap_dir=docmap_dir,
                 compute_sha=compute_sha,
+                emit_positions=config.positions,
             ),
         )
         if segment_concurrency is None:
@@ -334,9 +341,11 @@ def verify_hashes(index_dir: str, sidecar_path: str) -> int:
     dm_files = [
         os.path.join(d, f) for d in dm_dirs for f in sorted(os.listdir(d)) if f.endswith(".parquet")
     ]
+    from ..functions.partitioning import shuffle_fanout
+
     ours = ray.data.read_parquet(dm_files, columns=["doc_id", "sha256"])
     ref = ray.data.read_parquet(sidecar_path).rename_columns({"sha256": "ref_sha256"})
-    joined = ours.join(ref, join_type="inner", num_partitions=8, on=("doc_id",))
+    joined = ours.join(ref, join_type="inner", num_partitions=shuffle_fanout(ours), on=("doc_id",))
     bad = joined.filter(expr="sha256 != ref_sha256").count()
     n = joined.count()
     n_ours = ours.count()

@@ -30,7 +30,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.codec import decode_segment, encode_segment
+from ..functions.codec import decode_positions, decode_segment, encode_positions, encode_segment
 from ..state.manifest import Manifest, RunLock
 from .segment import SegmentReader, write_segment
 
@@ -45,8 +45,11 @@ def _merge_one_shard(seg_id: int, seg_dirs: list[str], out_dir: str, rel_out: st
     byte-equivalent to per-term encode_posting, so merge idempotence and the
     incremental==full byte-identity tests pin this rewrite."""
     readers = [SegmentReader(d) for d in seg_dirs]
+    positional = readers[0].has_positions
+    if any(r.has_positions != positional for r in readers):
+        raise ValueError("cannot merge positional with non-positional segments")
     union = np.unique(np.concatenate([r.terms for r in readers]))
-    parts_ids, parts_tfs, parts_dls, parts_rank = [], [], [], []
+    parts_ids, parts_tfs, parts_dls, parts_rank, parts_pos = [], [], [], [], []
     for r in readers:
         ids_r, tfs_r, dls_r = decode_segment(r._post, r.dfs)
         rank_r = np.searchsorted(union, r.terms)  # r.terms is a sorted subset
@@ -54,11 +57,26 @@ def _merge_one_shard(seg_id: int, seg_dirs: list[str], out_dir: str, rel_out: st
         parts_tfs.append(tfs_r)
         parts_dls.append(dls_r)
         parts_rank.append(np.repeat(rank_r, r.dfs))
+        if positional:
+            # the sidecar stream is laid out in the same (term, doc) posting
+            # order decode_segment returns — one pass decodes it all
+            parts_pos.append(decode_positions(r._positions, tfs_r))
     all_ids = np.concatenate(parts_ids)
     all_tfs = np.concatenate(parts_tfs)
     all_dls = np.concatenate(parts_dls)
     all_rank = np.concatenate(parts_rank)
     order = np.lexsort((all_ids, all_rank))
+    pos_sorted = None
+    if positional:
+        all_pos = np.concatenate(parts_pos) if parts_pos else np.empty(0, dtype=np.uint64)
+        counts = all_tfs.astype(np.int64)
+        starts_src = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts_src[1:])
+        sel_starts, sel_lens = starts_src[order], counts[order]
+        tot = int(sel_lens.sum())
+        bs = np.zeros(len(sel_lens), dtype=np.int64)
+        np.cumsum(sel_lens[:-1], out=bs[1:])
+        pos_sorted = all_pos[np.repeat(sel_starts - bs, sel_lens) + np.arange(tot, dtype=np.int64)]
     all_ids, all_tfs, all_dls, all_rank = (
         all_ids[order], all_tfs[order], all_dls[order], all_rank[order]
     )
@@ -70,15 +88,13 @@ def _merge_one_shard(seg_id: int, seg_dirs: list[str], out_dir: str, rel_out: st
     blob, offsets, lengths, sum_tfs = encode_segment(bounds, all_ids, all_tfs, all_dls)
     dfs = (bounds[1:] - bounds[:-1]).astype(np.uint64)
 
-    term_table = pa.table(
-        {
-            "term": pa.array(union, type=pa.large_string()),
-            "df": pa.array(dfs, type=pa.uint64()),
-            "sum_tf": pa.array(sum_tfs.astype(np.uint64), type=pa.uint64()),
-            "offset": pa.array(offsets, type=pa.int64()),
-            "length": pa.array(lengths, type=pa.int64()),
-        }
-    )
+    cols = {
+        "term": pa.array(union, type=pa.large_string()),
+        "df": pa.array(dfs, type=pa.uint64()),
+        "sum_tf": pa.array(sum_tfs.astype(np.uint64), type=pa.uint64()),
+        "offset": pa.array(offsets, type=pa.int64()),
+        "length": pa.array(lengths, type=pa.int64()),
+    }
     meta = {
         "n_terms": int(len(union)),
         "n_docs": int(sum(r.meta["n_docs"] for r in readers)),
@@ -86,8 +102,15 @@ def _merge_one_shard(seg_id: int, seg_dirs: list[str], out_dir: str, rel_out: st
         "n_postings": int(len(all_ids)),
         "postings_bytes": len(blob),
     }
+    pos_blob = None
+    if positional:
+        pos_blob, pos_off, pos_len = encode_positions(bounds, all_tfs, pos_sorted)
+        cols["pos_offset"] = pa.array(pos_off, type=pa.int64())
+        cols["pos_length"] = pa.array(pos_len, type=pa.int64())
+        meta["positions_bytes"] = len(pos_blob)
+    term_table = pa.table(cols)
     seg_dir = os.path.join(out_dir, f"seg_{seg_id}")
-    meta = write_segment(seg_dir, seg_id, term_table, blob, meta)
+    meta = write_segment(seg_dir, seg_id, term_table, blob, meta, pos_blob=pos_blob)
     return dict(
         seg_id=seg_id,
         dir=f"{rel_out}/seg_{seg_id}",

@@ -87,3 +87,49 @@ class BM25Oracle:
         cand_docs = self.all_docs[mask]
         top = bm25.topk_indices(cand_scores, cand_docs, k)
         return [(int(cand_docs[i]), float(cand_scores[i])) for i in top]
+
+
+class PhraseOracle(BM25Oracle):
+    """Naive phrase-search oracle: keeps every doc's analyzed token list and
+    matches phrases by a literal Python sliding-window scan — the slow,
+    obviously-correct target for the positional index's phrase mode.
+    Scoring mirrors the engine exactly: BM25 over the phrase's unique terms in
+    ascending order (same float64 kernel calls → bit-identical scores)."""
+
+    def __init__(self, analyzer, doc_ids, content, k1: float = bm25.K1, b: float = bm25.B):
+        super().__init__(analyzer, doc_ids, content, k1=k1, b=b)
+        tok_list = analyzer.tokens_of(content)
+        self.doc_tokens: dict[int, list[str]] = {}
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+        for d, toks in zip(ids, tok_list.to_pylist()):
+            self.doc_tokens[int(d)] = [t for t in (toks or []) if t]
+
+    def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        phrase = self.analyzer.analyze_query(text)
+        if not phrase:
+            return []
+        uniq = sorted(set(phrase))
+        if any(t not in self.postings for t in uniq):
+            return []
+        n = len(phrase)
+        matched = np.array(
+            sorted(
+                d
+                for d, toks in self.doc_tokens.items()
+                if any(toks[i : i + n] == phrase for i in range(len(toks) - n + 1))
+            ),
+            dtype=np.uint64,
+        )
+        if len(matched) == 0:
+            return []
+        scores = np.zeros(len(matched), dtype=np.float64)
+        dl_pos = np.searchsorted(self.all_docs, matched)
+        dls = self.doc_lens[dl_pos]
+        for t in uniq:
+            ids, tfs = self.postings[t]
+            sel = np.searchsorted(ids, matched)
+            scores += bm25.contribution(
+                bm25.idf(self.N, len(ids)), tfs[sel], dls, self.avgdl, self.k1, self.b
+            )
+        top = bm25.topk_indices(scores, matched, k)
+        return [(int(matched[i]), float(scores[i])) for i in top]

@@ -183,6 +183,66 @@ def _score_exhaustive(
             _heap_push(heap, k, float(scores[i]), int(union[i]))
 
 
+def _score_phrase(
+    readers: list[SegmentReader],
+    phrase: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    heap: list,
+    get_blocks=None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> None:
+    """Exact phrase top-k (§2.B8 positional variant): AND-intersect the
+    phrase terms' doc lists, decode positions for CANDIDATE docs only (the
+    sidecar's selective gather), verify adjacency (token i of the phrase at
+    position p+i), score survivors with BM25 over the phrase's unique terms in
+    ascending-term order (the repo-wide bit-exactness rule)."""
+    uniq = sorted(set(phrase))
+    for ri, rd in enumerate(readers):
+        data = {}
+        for t in uniq:
+            if get_blocks is not None:
+                pb = get_blocks(ri, t)
+            else:
+                blob = rd.posting_blob(t)
+                pb = PostingBlocks(blob) if blob is not None else None
+            if pb is None:
+                data = None
+                break
+            data[t] = pb.decode_all()
+        if data is None:
+            continue
+        cand = data[uniq[0]][0]
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, data[t][0], assume_unique=True)
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        posmap: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in uniq:
+            ids, tfs, dls = data[t]
+            sel = np.searchsorted(ids, cand)
+            flat, counts = rd.term_positions(t, tfs, sel)
+            po = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=po[1:])
+            posmap[t] = (flat.astype(np.int64), po)
+            scores += bm25.contribution(idfs[t], tfs[sel], dls[sel], avgdl, k1, b)
+        f0, o0 = posmap[phrase[0]]
+        for ci in range(len(cand)):
+            ok = f0[o0[ci] : o0[ci + 1]]
+            for off in range(1, len(phrase)):
+                ft, ot = posmap[phrase[off]]
+                ok = ok[np.isin(ok + off, ft[ot[ci] : ot[ci + 1]], assume_unique=True)]
+                if ok.size == 0:
+                    break
+            if ok.size:
+                _heap_push(heap, k, float(scores[ci]), int(cand[ci]))
+
+
 def _score_bmw(
     readers: list[SegmentReader],
     terms: list[str],
@@ -314,7 +374,12 @@ class QueryShard:
             if k <= 0 or len(terms) == 0:
                 out.append([])
                 continue
-            if q["mode"] == "and" or q["method"] == "exhaustive":
+            if q["mode"] == "phrase":
+                _score_phrase(
+                    self.readers, q["phrase"], idfs, avgdl, k, heap,
+                    get_blocks=self._blocks, k1=k1, b=b,
+                )
+            elif q["mode"] == "and" or q["method"] == "exhaustive":
                 _score_exhaustive(
                     self.readers, terms, idfs, avgdl, k, q["mode"], heap,
                     get_blocks=self._blocks, k1=k1, b=b,
@@ -435,6 +500,17 @@ class QueryEngine:
             terms_all = self.analyze(q["text"])
             terms = [t for t in terms_all if df_map.get(t, 0) > 0]
             mode = q.get("mode", "or")
+            phrase: list[str] = []
+            if mode == "phrase":
+                if not self.man.config.positions:
+                    raise ValueError(
+                        "phrase queries need a positional index "
+                        "(IndexConfig(positions=True))"
+                    )
+                # ordered tokens WITH duplicates — adjacency is positional
+                phrase = self.analyzer.analyze_query(q["text"])
+                if any(df_map.get(t, 0) == 0 for t in phrase):
+                    terms = []  # a never-seen token can match no phrase
             if mode == "and" and len(terms) < len(terms_all):
                 terms = []  # AND with unknown term matches nothing
             idfs = {t: float(bm25.idf(self.N, df_map[t])) for t in terms}
@@ -444,7 +520,8 @@ class QueryEngine:
                 q_method = "exhaustive" if per_shard < self.AUTO_EXHAUSTIVE_PER_SHARD else "bmw"
             prepared.append(
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
-                 "mode": mode, "method": q_method, "k1": self.k1, "b": self.b}
+                 "mode": mode, "method": q_method, "k1": self.k1, "b": self.b,
+                 "phrase": phrase}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
         out = []

@@ -33,6 +33,9 @@ class IndexConfig:
     # when set, use this existing integer column as the document id instead of
     # hashing id_cols (e.g. the driver `documents` table's doc_id)
     doc_id_col: str | None = None
+    # index per-occurrence token positions in a sidecar stream (positions.bin)
+    # — enables mode="phrase" queries; postings.bin stays byte-identical
+    positions: bool = False
 
     def to_dict(self) -> dict:
         d = asdict(self)
