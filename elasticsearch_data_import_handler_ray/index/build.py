@@ -341,11 +341,11 @@ def verify_hashes(index_dir: str, sidecar_path: str) -> int:
     dm_files = [
         os.path.join(d, f) for d in dm_dirs for f in sorted(os.listdir(d)) if f.endswith(".parquet")
     ]
-    from ..functions.partitioning import shuffle_fanout
+    from ..functions.partitioning import join_fanout
 
     ours = ray.data.read_parquet(dm_files, columns=["doc_id", "sha256"])
     ref = ray.data.read_parquet(sidecar_path).rename_columns({"sha256": "ref_sha256"})
-    joined = ours.join(ref, join_type="inner", num_partitions=shuffle_fanout(ours), on=("doc_id",))
+    joined = ours.join(ref, join_type="inner", num_partitions=join_fanout(ours, ref), on=("doc_id",))
     bad = joined.filter(expr="sha256 != ref_sha256").count()
     n = joined.count()
     n_ours = ours.count()

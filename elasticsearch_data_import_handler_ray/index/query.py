@@ -152,14 +152,21 @@ def _score_exhaustive(
     get_blocks=None,
     k1: float = bm25.K1,
     b: float = bm25.B,
+    get_decoded=None,
+    reader_offset: int = 0,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
-    the Python heap)."""
-    for ri, rd in enumerate(readers):
+    the Python heap). ``get_decoded`` (the actor's LRU of decoded postings)
+    makes repeated hot terms skip the varbyte decode entirely."""
+    for ri, rd in enumerate(readers, reader_offset):
         per_term = []
         for t in terms:  # terms pre-sorted ascending
-            if get_blocks is not None:
+            if get_decoded is not None:
+                arrs = get_decoded(ri, t)
+                if arrs is not None:
+                    per_term.append((t, *arrs))
+            elif get_blocks is not None:
                 pb = get_blocks(ri, t)
                 if pb is not None:
                     per_term.append((t, *pb.decode_all()))
@@ -193,6 +200,8 @@ def _score_phrase(
     get_blocks=None,
     k1: float = bm25.K1,
     b: float = bm25.B,
+    get_decoded=None,
+    reader_offset: int = 0,
 ) -> None:
     """Exact phrase top-k (§2.B8 positional variant): AND-intersect the
     phrase terms' doc lists, decode positions for CANDIDATE docs only (the
@@ -200,18 +209,21 @@ def _score_phrase(
     position p+i), score survivors with BM25 over the phrase's unique terms in
     ascending-term order (the repo-wide bit-exactness rule)."""
     uniq = sorted(set(phrase))
-    for ri, rd in enumerate(readers):
+    for ri, rd in enumerate(readers, reader_offset):
         data = {}
         for t in uniq:
-            if get_blocks is not None:
+            if get_decoded is not None:
+                arrs = get_decoded(ri, t)
+            elif get_blocks is not None:
                 pb = get_blocks(ri, t)
+                arrs = pb.decode_all() if pb is not None else None
             else:
                 blob = rd.posting_blob(t)
-                pb = PostingBlocks(blob) if blob is not None else None
-            if pb is None:
+                arrs = decode_posting(blob) if blob is not None else None
+            if arrs is None:
                 data = None
                 break
-            data[t] = pb.decode_all()
+            data[t] = arrs
         if data is None:
             continue
         cand = data[uniq[0]][0]
@@ -253,9 +265,10 @@ def _score_bmw(
     get_blocks=None,
     k1: float = bm25.K1,
     b: float = bm25.B,
+    reader_offset: int = 0,
 ) -> None:
     """Block-max WAND over each segment, θ shared across segments via `heap`."""
-    for ri, rd in enumerate(readers):
+    for ri, rd in enumerate(readers, reader_offset):
         iters: list[tuple[str, _TermIter]] = []
         for t in terms:
             if get_blocks is not None:
@@ -329,26 +342,99 @@ def _score_bmw(
 
 class QueryShard:
     """One actor per doc-shard: loads every run's segment for its seg_id.
-    Decoded block headers (PostingBlocks) are cached per (reader, term) so
-    repeated query terms skip header parsing — actor state doing its job."""
+
+    Actor-resident caches (tail-latency levers, §3.3):
+      * PostingBlocks per (reader, term) — repeated terms skip header parsing;
+      * an LRU of FULLY-DECODED postings (ids, tfs, dls) bounded by posting
+        count — hot query terms (Zipfian skew guarantees repeats) skip the
+        varbyte decode entirely on every query after the first.
+    When one actor serves several segments (more shards than CPUs, or
+    unmerged incremental runs), readers are scored in a small thread pool —
+    the decode/score kernels are numpy (GIL released on the large ops) and
+    per-reader heaps merge losslessly (docs are disjoint across segments)."""
 
     _CACHE_MAX = 8192
+    # LRU budget in decoded postings: 3 arrays × 8 B ≈ 24 B/posting → ~96 MB
+    _DECODED_BUDGET = 4_000_000
 
     def __init__(self, seg_dirs: list[str]):
+        import threading
+        from collections import OrderedDict
+
         self.readers = [SegmentReader(d) for d in seg_dirs]
         self._pb_cache: dict[tuple[int, str], PostingBlocks | None] = {}
+        self._dec_cache: "OrderedDict[tuple[int, str], tuple]" = OrderedDict()
+        self._dec_size = 0
+        self._lock = threading.Lock()
+        self._pool = None
+        if len(self.readers) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=min(len(self.readers), 8))
 
     def _blocks(self, ri: int, term: str) -> PostingBlocks | None:
         key = (ri, term)
-        hit = self._pb_cache.get(key, False)
+        with self._lock:
+            hit = self._pb_cache.get(key, False)
         if hit is not False:
             return hit
         blob = self.readers[ri].posting_blob(term)
         pb = PostingBlocks(blob) if blob is not None else None
-        if len(self._pb_cache) >= self._CACHE_MAX:
-            self._pb_cache.clear()
-        self._pb_cache[key] = pb
+        with self._lock:
+            if len(self._pb_cache) >= self._CACHE_MAX:
+                self._pb_cache.clear()
+            self._pb_cache[key] = pb
         return pb
+
+    def _decoded(self, ri: int, term: str):
+        """(doc_ids, tfs, dls) of one term in one reader, LRU-cached."""
+        key = (ri, term)
+        with self._lock:
+            hit = self._dec_cache.get(key)
+            if hit is not None:
+                self._dec_cache.move_to_end(key)
+                return hit if hit[0] is not None else None
+        pb = self._blocks(ri, term)
+        if pb is None:
+            # negative entries are free (no arrays) and frequent for sharded
+            # vocabularies — cache them as (None,)
+            with self._lock:
+                self._dec_cache[key] = (None,)
+            return None
+        arrs = pb.decode_all()
+        n = len(arrs[0])
+        if n <= self._DECODED_BUDGET:
+            with self._lock:
+                while self._dec_size + n > self._DECODED_BUDGET and self._dec_cache:
+                    _, old = self._dec_cache.popitem(last=False)
+                    if old[0] is not None:
+                        self._dec_size -= len(old[0])
+                if key not in self._dec_cache:
+                    self._dec_cache[key] = arrs
+                    self._dec_size += n
+        return arrs
+
+    def warm_hot_terms(self, max_postings: int = 2_000_000, per_reader: int = 256) -> int:
+        """Pre-decode the highest-df terms into the LRU (tail-latency lever:
+        the cold p95 is dominated by the FIRST decode of the corpus's hottest
+        terms — exactly the terms Zipfian query traffic hits first). Called
+        fire-and-forget at engine init; the actor model serializes it before
+        the first search. Returns postings warmed."""
+        budget = min(max_postings, self._DECODED_BUDGET // 2)
+        cands: list[tuple[int, int, str]] = []
+        for ri, r in enumerate(self.readers):
+            if len(r.dfs):
+                top = np.argsort(r.dfs)[::-1][:per_reader]
+                for i in top:
+                    cands.append((int(r.dfs[i]), ri, str(r.terms[i])))
+        cands.sort(reverse=True)
+        used = 0
+        for df, ri, t in cands:
+            if used + df > budget:
+                break
+            if self._decoded(ri, t) is not None:
+                used += df
+        return used
 
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(sum(r.df(t) for r in self.readers)) for t in terms]
@@ -363,32 +449,55 @@ class QueryShard:
         terms = sorted(agg)
         return terms, np.array([agg[t] for t in terms], dtype=np.int64)
 
+    def _score_readers(self, ri_lo: int, ri_hi: int, q: dict, heap: list) -> None:
+        """Score readers [ri_lo, ri_hi) into ``heap`` (one thread's slice)."""
+        terms, idfs, avgdl, k = q["terms"], q["idfs"], q["avgdl"], q["k"]
+        k1, b = q.get("k1", bm25.K1), q.get("b", bm25.B)
+        rds = self.readers[ri_lo:ri_hi]
+        if q["mode"] == "phrase":
+            _score_phrase(
+                rds, q["phrase"], idfs, avgdl, k, heap,
+                get_blocks=self._blocks, k1=k1, b=b,
+                get_decoded=self._decoded, reader_offset=ri_lo,
+            )
+        elif q["mode"] == "and" or q["method"] == "exhaustive":
+            _score_exhaustive(
+                rds, terms, idfs, avgdl, k, q["mode"], heap,
+                get_blocks=self._blocks, k1=k1, b=b,
+                get_decoded=self._decoded, reader_offset=ri_lo,
+            )
+        else:
+            _score_bmw(
+                rds, terms, idfs, avgdl, k, heap,
+                get_blocks=self._blocks, k1=k1, b=b, reader_offset=ri_lo,
+            )
+
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
         """queries: [{terms (sorted), idfs, avgdl, k, mode, method}] →
         per query, local top-k as (score, doc_id)."""
         out = []
+        n_r = len(self.readers)
         for q in queries:
             heap: list = []
-            terms, idfs, avgdl, k = q["terms"], q["idfs"], q["avgdl"], q["k"]
-            k1, b = q.get("k1", bm25.K1), q.get("b", bm25.B)
-            if k <= 0 or len(terms) == 0:
+            if q["k"] <= 0 or len(q["terms"]) == 0:
                 out.append([])
                 continue
-            if q["mode"] == "phrase":
-                _score_phrase(
-                    self.readers, q["phrase"], idfs, avgdl, k, heap,
-                    get_blocks=self._blocks, k1=k1, b=b,
-                )
-            elif q["mode"] == "and" or q["method"] == "exhaustive":
-                _score_exhaustive(
-                    self.readers, terms, idfs, avgdl, k, q["mode"], heap,
-                    get_blocks=self._blocks, k1=k1, b=b,
-                )
+            if self._pool is not None and n_r > 1:
+                # per-reader heaps merged after: identical results (segments
+                # hold disjoint docs; for BMW a weaker per-thread θ only means
+                # less skipping, never different survivors)
+                local_heaps = [[] for _ in range(n_r)]
+                futs = [
+                    self._pool.submit(self._score_readers, ri, ri + 1, q, local_heaps[ri])
+                    for ri in range(n_r)
+                ]
+                for f in futs:
+                    f.result()
+                for h in local_heaps:
+                    for s, negd in h:
+                        _heap_push(heap, q["k"], s, -negd)
             else:
-                _score_bmw(
-                    self.readers, terms, idfs, avgdl, k, heap,
-                    get_blocks=self._blocks, k1=k1, b=b,
-                )
+                self._score_readers(0, n_r, q, heap)
             out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])
         return out
 
@@ -455,6 +564,13 @@ class QueryEngine:
                     for t, d in zip(terms_a, dfs_a.tolist()):
                         self._df_cache[t] = self._df_cache.get(t, 0) + d
                 self._df_complete = True
+        # fire-and-forget hot-term warmup (after the synchronous df preload so
+        # init does not queue behind it): each actor pre-decodes its top-df
+        # terms; the actor mailbox runs it before the first query, converting
+        # the cold-query tail (first decode of the hottest postings) into
+        # engine-setup-overlapped work
+        for a in self._actors:
+            a.warm_hot_terms.remote()
 
     def analyze(self, text: str) -> list[str]:
         return sorted(set(self.analyzer.analyze_query(text)))

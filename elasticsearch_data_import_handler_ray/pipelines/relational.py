@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.partitioning import shuffle_fanout
+from ..functions.partitioning import join_fanout, shuffle_fanout
 from ..functions.rounding import pa_round_half_away
 from ..sources.catalog import table
 
@@ -192,7 +192,7 @@ def q_join_hash(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=shuffle_fanout(orders),
+        num_partitions=join_fanout(orders, cust),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
