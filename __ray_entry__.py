@@ -267,6 +267,30 @@ def _bm25_on(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+_SQL_EXPR = """
+    SELECT l_orderkey,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents,
+           CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS qty_class
+    FROM {src} WHERE l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def _sql_expr(sf_dir: str):
+    """The reference's config surface was SQL strings; sql_transform runs a
+    row-local SELECT per Arrow batch via DuckDB-on-Arrow (D2 fidelity layer).
+    The oracle is the SAME SQL over the whole table — equality proves the
+    per-batch sharding is sound for map-only SQL."""
+    from elasticsearch_data_import_handler_ray.pipelines.sqlexpr import sql_transform
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    ds = table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    return sql_transform(_SQL_EXPR.format(src="t"))(ds)
+
+
 def _phrase_search(sf_dir: str):
     """Positional index + exact phrase top-k (mode='phrase'); rows-only —
     oracle-checked (rank+score identity vs a naive sliding-window scorer) in
@@ -341,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "term_df_salted": _term_df_salted,
             "bm25_topk": _bm25_on,
             "phrase_search": _phrase_search,
+            "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,
         }
     )
@@ -563,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_df_whitespace": _TERM_DF_SQL,
         "term_df_salted": _TERM_DF_SQL,
+        "sql_expr": _SQL_EXPR.format(src="lineitem"),
         # rows-only (non-SQL-expressible; oracle-checked in tests/):
         #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,
         #   ann_lsh, embed_neardup, bm25_topk, phrase_search, multimodal_decode

@@ -111,11 +111,28 @@ class PipelineSpec:
     imports: list[ImportSpec] = field(default_factory=list)
 
     @classmethod
-    def from_dict(cls, d: dict, registry: dict[str, Callable]) -> "PipelineSpec":
-        """Build from plain data; transform names resolve via ``registry``."""
+    def from_dict(cls, d: dict, registry: dict[str, Callable] | None = None) -> "PipelineSpec":
+        """Build from plain data. A step is either a registry name (a named
+        Dataset→Dataset function, the D2 surface) or ``{"sql": "SELECT ..."}``
+        — a row-local SQL expression evaluated per batch (pipelines/sqlexpr.py),
+        mirroring the reference's SQL-string config statements."""
+        registry = registry or {}
 
         def steps(lst):
-            return [TransformStep(s, registry[s]) for s in lst or []]
+            out = []
+            for s in lst or []:
+                if isinstance(s, dict) and "sql" in s:
+                    from .sqlexpr import sql_transform
+
+                    out.append(
+                        TransformStep(
+                            f"sql:{s['sql'][:40]}",
+                            sql_transform(s["sql"], view=s.get("view", "t")),
+                        )
+                    )
+                else:
+                    out.append(TransformStep(s, registry[s]))
+            return out
 
         return cls(
             sources=[SourceSpec(**s) for s in d.get("sources", [])],

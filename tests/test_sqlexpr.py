@@ -1,0 +1,120 @@
+"""SQL scalar-expression layer (pipelines/sqlexpr.py, SURVEY.md §2.D2).
+
+Pins: per-batch DuckDB evaluation equals the same SQL over the whole table
+(map-only soundness); unsound SQL is rejected; a spec built from a plain
+dict with SQL steps runs end-to-end to a parquet sink."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from elasticsearch_data_import_handler_ray.pipelines.sqlexpr import (
+    sql_transform,
+    validate_map_only,
+)
+
+
+SF = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_sql_transform_matches_full_table():
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    q = """
+        SELECT l_orderkey,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents,
+               CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS qty_class
+        FROM {src} WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """
+    ds = table(SF, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+    got = sql_transform(q.format(src="t"))(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    want = con.execute(q.format(src="lineitem")).df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT sum(x) FROM t",
+        "SELECT a FROM t GROUP BY a",
+        "SELECT * FROM t ORDER BY a LIMIT 5",
+        "SELECT DISTINCT a FROM t",
+        "SELECT a, row_number() OVER () FROM t",
+        "SELECT * FROM t JOIN u USING (a)",
+    ],
+)
+def test_non_map_sql_rejected(bad):
+    with pytest.raises(ValueError, match="map-only"):
+        validate_map_only(bad)
+
+
+def test_spec_from_dict_with_sql_steps(tmp_path):
+    """End-to-end: a plain-dict spec (the reference's config-file shape) whose
+    steps are SQL strings, run to a parquet sink and checked against DuckDB."""
+    from elasticsearch_data_import_handler_ray.pipelines.spec import PipelineSpec, run_pipeline
+
+    out_dir = str(tmp_path / "out")
+    d = {
+        "sources": [
+            {
+                "name": "events",
+                "path": os.path.join(SF, "events.parquet"),
+                "columns": ["event_id", "event_type", "value", "ts"],
+            }
+        ],
+        "preps": [
+            {
+                "name": "clicks",
+                "source": "events",
+                "steps": [{"sql": "SELECT * FROM t WHERE event_type = 'click'"}],
+            }
+        ],
+        "imports": [
+            {
+                "name": "click_values",
+                "source": "clicks",
+                "id_column": "event_id",
+                "sink": "parquet",
+                "target": out_dir,
+                "steps": [
+                    {
+                        "sql": "SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents, year(ts) AS y FROM t"
+                    }
+                ],
+            }
+        ],
+    }
+    spec = PipelineSpec.from_dict(d)
+    results = run_pipeline(spec)
+    assert results["click_values"]["status"] == "complete", results
+    import ray.data
+
+    got = ray.data.read_parquet(out_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.execute(
+        "SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents, year(ts) AS y "
+        "FROM events WHERE event_type = 'click'"
+    ).df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_sql_step_rejects_aggregate_in_spec():
+    from elasticsearch_data_import_handler_ray.pipelines.spec import PipelineSpec
+
+    d = {
+        "sources": [{"name": "e", "path": os.path.join(SF, "events.parquet")}],
+        "preps": [
+            {"name": "bad", "source": "e", "steps": [{"sql": "SELECT count(*) FROM t"}]}
+        ],
+    }
+    with pytest.raises(ValueError, match="map-only"):
+        PipelineSpec.from_dict(d)
