@@ -436,6 +436,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
+        "join_left": """
+            SELECT c.c_custkey,
+                   count(o.o_custkey)::BIGINT AS n_orders,
+                   COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)::BIGINT AS totalprice_cents
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        """,
+        "explode": """
+            SELECT doc_id, tok.t AS token
+            FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS tok(t)
+            WHERE tok.t <> ''
+        """,
+        "approx_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type, (user_id * 2654435761) % 4294967296 AS hv
+                FROM events
+            ), r AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                FROM h
+            )
+            SELECT event_type,
+                   CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE CAST(FLOOR(255 * 4294967296.0
+                                        / MAX(CASE WHEN rn = 256 THEN hv END)) AS BIGINT)
+                   END AS approx_users
+            FROM r WHERE rn <= 256 GROUP BY event_type
+        """,
         "semi_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -210,6 +210,110 @@ def q_join_hash(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- A10: left outer join
+def q_join_left(sf_dir: str):
+    """customer LEFT OUTER JOIN orders → per-customer order count/total
+    (customers with no orders survive with zeros). Dataset.join left_outer +
+    a null-aware per-batch combiner before the final groupby."""
+    cust = table(sf_dir, "customer", columns=["c_custkey"])
+    orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = cust.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=join_fanout(cust, orders),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"]
+        hit = pc.is_valid(price)
+        cents = pc.if_else(hit, _cents(pc.coalesce(price, pa.scalar(0.0))), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_i": pc.cast(hit, pa.int64()),
+                "cents_i": cents,
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = joined.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby("c_custkey").aggregate(
+        Sum("n_i", alias_name="n_orders"), Sum("cents_i", alias_name="totalprice_cents")
+    )
+
+
+# ---------------------------------------------------------------- explode / flat_map
+def q_explode(sf_dir: str):
+    """UNNEST / LATERAL explode (the inverse of A19's nested build): one row
+    per whitespace token of each document — pure vectorized list_flatten +
+    parent-index take, the Ray Data flat_map shape without per-row Python."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().take(parent.filter(keep)),
+                "token": pc.cast(flat.filter(keep), pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- approx distinct (KMV sketch)
+_KMV_K = 256
+_KMV_MULT = np.uint64(2654435761)  # Knuth multiplicative hash
+_KMV_MOD = np.uint64(1 << 32)
+
+
+def q_approx_distinct(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via a K-minimum-
+    values sketch: the shuffle carries at most K hash values per (batch,
+    group) — the sketch is what makes a 100 TB distinct-count a small
+    exchange instead of a full key shuffle. The hash (Knuth multiplicative,
+    mod 2^32) and the estimator (floor((K-1)·2^32 / h_K) — floor, not round:
+    floor of the same IEEE quotient is bit-stable across engines) are
+    deterministic and SQL-expressible, so the driver compares this EXACTLY
+    against the same sketch in DuckDB — while tests pin the estimate's error
+    vs the true count."""
+    ds = table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hv = (uid * _KMV_MULT) % _KMV_MOD
+        out_e, out_h = [], []
+        for e in np.unique(et):
+            h = np.unique(hv[et == e])
+            h = h[: _KMV_K] if len(h) > _KMV_K else h  # np.unique sorts → k min
+            out_e.append(np.full(len(h), e, dtype=object))
+            out_h.append(h)
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_e), type=pa.string()),
+                "hv": pa.array(np.concatenate(out_h), type=pa.uint64()),
+            }
+        )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(g["hv"].to_numpy())
+        if len(h) < _KMV_K:
+            n = len(h)
+        else:
+            n = int(np.floor((_KMV_K - 1) * float(_KMV_MOD) / float(h[_KMV_K - 1])))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]], "approx_users": [n]})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("event_type").map_groups(estimate, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- A11: semi / anti join
 def _key_filter(ds, key_col: str, keys_ref, keep: bool):
     """Broadcast the (small) distinct key set; vectorized pc.is_in mask —
@@ -642,6 +746,9 @@ QUERIES = {
     "json_extract": q_json_extract,
     "join_broadcast": q_join_broadcast,
     "join_hash": q_join_hash,
+    "join_left": q_join_left,
+    "explode": q_explode,
+    "approx_distinct": q_approx_distinct,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "groupby_agg": q_groupby_agg,

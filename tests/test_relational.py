@@ -103,3 +103,46 @@ def test_entry_smoke():
     assert t.num_rows >= 0
     assert set(t.column_names) == {"query_idx", "rank", "doc_id", "score"}
     assert t.num_rows > 0  # the fixed queries match sf0.001 documents
+
+
+def test_approx_distinct_error_bound():
+    """KMV estimate vs TRUE distinct count: exact when a group has < K
+    distinct users, within ~3/sqrt(K) relative error otherwise (the gate's
+    exact-hash compare checks Ray==DuckDB sketch; this pins sketch vs truth)."""
+    from elasticsearch_data_import_handler_ray.pipelines.relational import (
+        _KMV_K,
+        q_approx_distinct,
+    )
+
+    got = q_approx_distinct(SF).to_pandas().set_index("event_type")["approx_users"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    true = con.execute(
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n FROM events GROUP BY event_type"
+    ).df().set_index("event_type")["n"]
+    assert set(got.index) == set(true.index)
+    for e in true.index:
+        if true[e] < _KMV_K:
+            assert got[e] == true[e], e
+        else:
+            assert abs(got[e] - true[e]) / true[e] < 3.0 / np.sqrt(_KMV_K), (
+                e, got[e], true[e],
+            )
+
+
+def test_join_left_keeps_orderless_customers():
+    from elasticsearch_data_import_handler_ray.pipelines.relational import q_join_left
+
+    got = q_join_left(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+    n_orderless = con.execute(
+        "SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    ).fetchone()[0]
+    assert len(got) == n_cust
+    assert (got["n_orders"] == 0).sum() == n_orderless
+    assert (got.loc[got["n_orders"] == 0, "totalprice_cents"] == 0).all()
