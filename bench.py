@@ -116,6 +116,37 @@ def run_bench() -> dict:
     exhaustive_batch_s = time.monotonic() - t0
     eng.close()
 
+    # positional build + phrase latency (positions sidecar, mode="phrase")
+    pos_dir = INDEX_DIR + "_pos"
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(
+        corpus,
+        pos_dir,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=32, positions=True),
+        compute_sha=False,
+    )
+    pos_build_s = time.monotonic() - t0
+    engp = QueryEngine(pos_dir)
+    phrases = [
+        {"text": "hot term", "mode": "phrase"},
+        {"text": "parse json", "mode": "phrase"},
+        {"text": "read write buf", "mode": "phrase"},
+        {"text": "hash sort merge", "mode": "phrase"},
+        {"text": "init proc exec req", "mode": "phrase"},
+    ] * 6
+    engp.search_many(phrases[:2], k=10)
+    ph_lat = []
+    for q in phrases:
+        t0 = time.monotonic()
+        engp.search_many([q], k=10)
+        ph_lat.append((time.monotonic() - t0) * 1000)
+    ph_lat.sort()
+    phrase_p50 = statistics.median(ph_lat)
+    phrase_p95 = ph_lat[int(0.95 * len(ph_lat)) - 1]
+    engp.close()
+
     # relational / data-pipeline stage timings over SF_DIR
     import __ray_entry__ as entrymod
 
@@ -157,6 +188,9 @@ def run_bench() -> dict:
         "bmw_p50_ms": round(bmw_p50, 2),
         "bmw_p95_ms": round(bmw_p95, 2),
         "exhaustive_batch_s": round(exhaustive_batch_s, 3),
+        "pos_build_s": round(pos_build_s, 3),
+        "phrase_p50_ms": round(phrase_p50, 2),
+        "phrase_p95_ms": round(phrase_p95, 2),
     }
     ray.shutdown()
     return result

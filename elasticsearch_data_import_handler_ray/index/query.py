@@ -233,25 +233,29 @@ def _score_phrase(
                 break
         if cand.size == 0:
             continue
-        posmap: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # composite keys (candidate_rank << 32 | position) make adjacency a
+        # SINGLE sorted-membership pass over all candidates per phrase token —
+        # no per-candidate Python loop (positions < 2^32 by the uint32 codec)
+        keymap: dict[str, np.ndarray] = {}
         scores = np.zeros(len(cand), dtype=np.float64)
         for t in uniq:
             ids, tfs, dls = data[t]
             sel = np.searchsorted(ids, cand)
             flat, counts = rd.term_positions(t, tfs, sel)
-            po = np.zeros(len(counts) + 1, dtype=np.int64)
-            np.cumsum(counts, out=po[1:])
-            posmap[t] = (flat.astype(np.int64), po)
+            ci = np.repeat(np.arange(len(cand), dtype=np.uint64), counts)
+            keymap[t] = (ci << np.uint64(32)) | flat.astype(np.uint64)
             scores += bm25.contribution(idfs[t], tfs[sel], dls[sel], avgdl, k1, b)
-        f0, o0 = posmap[phrase[0]]
-        for ci in range(len(cand)):
-            ok = f0[o0[ci] : o0[ci + 1]]
-            for off in range(1, len(phrase)):
-                ft, ot = posmap[phrase[off]]
-                ok = ok[np.isin(ok + off, ft[ot[ci] : ot[ci + 1]], assume_unique=True)]
-                if ok.size == 0:
-                    break
-            if ok.size:
+        ok = keymap[phrase[0]]
+        for off in range(1, len(phrase)):
+            if ok.size == 0:
+                break
+            tgt = keymap[phrase[off]]  # sorted: ci asc, positions asc within
+            shifted = ok + np.uint64(off)
+            j = np.searchsorted(tgt, shifted)
+            j_c = np.minimum(j, max(len(tgt) - 1, 0))
+            ok = ok[(tgt[j_c] == shifted)] if len(tgt) else ok[:0]
+        if ok.size:
+            for ci in np.unique(ok >> np.uint64(32)).astype(np.int64):
                 _heap_push(heap, k, float(scores[ci]), int(cand[ci]))
 
 
