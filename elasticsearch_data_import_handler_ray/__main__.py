@@ -1,11 +1,11 @@
 """CLI entry points (SURVEY.md §2.E) — `ray job submit`-able.
 
     python -m elasticsearch_data_import_handler_ray build <corpus> <index_dir>
-        [--mode full|incremental] [--analyzer code|whitespace]
+        [--mode full|incremental] [--analyzer code|whitespace|unicode]
         [--num-segments N] [--doc-id-col COL] [--content-col COL]
-        [--verify-sidecar PATH]
+        [--verify-sidecar PATH] [--positions]
     python -m elasticsearch_data_import_handler_ray query <index_dir> <text>...
-        [-k 10] [--mode or|and] [--method bmw|exhaustive]
+        [-k 10] [--mode or|and|phrase] [--method auto|bmw|exhaustive]
     python -m elasticsearch_data_import_handler_ray merge <index_dir>
 
 These own their Ray session (guarded init) — library code never does.
@@ -33,13 +33,15 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--doc-id-col", default=None)
     b.add_argument("--content-col", default="content")
     b.add_argument("--verify-sidecar", default=None)
+    b.add_argument("--positions", action="store_true",
+                   help="index token positions (enables --mode phrase queries)")
 
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("text", nargs="+")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", default="or", choices=["or", "and"])
-    q.add_argument("--method", default="bmw", choices=["bmw", "exhaustive"])
+    q.add_argument("--mode", default="or", choices=["or", "and", "phrase"])
+    q.add_argument("--method", default="auto", choices=["auto", "bmw", "exhaustive"])
 
     m = sub.add_parser("merge")
     m.add_argument("index_dir")
@@ -74,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                     num_segments=args.num_segments,
                     doc_id_col=args.doc_id_col,
                     content_col=args.content_col,
+                    positions=args.positions,
                 )
             res = build_index(args.corpus, args.index_dir, mode=args.mode, config=cfg)
             out = {
