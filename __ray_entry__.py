@@ -200,6 +200,19 @@ def _ann_ivf(sf_dir: str):
     return knn_ivf(table(sf_dir, "embeddings"), qids, qm, k=5, n_lists=16, nprobe=4)
 
 
+def _ann_ivf_partitioned(sf_dir: str):
+    """IVF scale path: assignment at ingest → list-partitioned parquet →
+    search reads only probed partitions. Rows-only; equality with the inline
+    knn_ivf is pinned in tests/test_stages.py."""
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import ivf_build, ivf_search
+
+    qids, qm = _queries_embeddings(sf_dir)
+    idx = tempfile.mkdtemp(prefix="edih_ivf_")
+    ivf_build(table(sf_dir, "embeddings"), idx, n_lists=16, seed=13)
+    return ivf_search(idx, qids, qm, k=5, nprobe=4)
+
+
 def _embed_neardup(sf_dir: str):
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.ann import cosine_neardup_pairs
@@ -360,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_bruteforce": _ann_bruteforce,
             "ann_lsh": _ann_lsh,
             "ann_ivf": _ann_ivf,
+            "ann_ivf_partitioned": _ann_ivf_partitioned,
             "embed_neardup": _embed_neardup,
             "term_df_whitespace": _term_df_whitespace,
             "term_df_salted": _term_df_salted,

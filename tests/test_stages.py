@@ -345,3 +345,36 @@ def test_cosine_neardup_distributed_no_false_positives_and_exact_scores():
     for _, r in out.iterrows():
         assert round(float(mn[int(r.id_a)] @ mn[int(r.id_b)]), 4) == r.cos_sim
         assert r.cos_sim >= 0.98
+
+
+def test_ivf_build_search_matches_inline(tmp_path, sf_dir):
+    """ivf_build (list-partitioned parquet, assignment at ingest) +
+    ivf_search (reads only probed partitions) returns the SAME rows as the
+    inline knn_ivf with identical seed/sample — the scale path changes the
+    storage layout, not the answer."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from __ray_entry__ import _queries_embeddings
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import ivf_build, ivf_search, knn_ivf
+
+    qids, qm = _queries_embeddings(sf_dir)
+    ds = table(sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, idx, n_lists=16, seed=13)
+    # hive layout exists and the search prunes: fewer dirs read than exist
+    parts = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(parts) > 4
+    got = ivf_search(idx, qids, qm, k=5, nprobe=4).to_pandas()
+    want = knn_ivf(ds, qids, qm, k=5, n_lists=16, nprobe=4, seed=13).to_pandas()
+    key = ["query_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank", "cos_sim"]],
+        want[["query_id", "neighbor_id", "rank", "cos_sim"]],
+        check_dtype=False,
+    )
