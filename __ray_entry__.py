@@ -335,6 +335,40 @@ def _phrase_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _multifield_search(sf_dir: str):
+    """Multi-field weighted BM25 (text^1 + source^2) — the reference's
+    SQL-columns-to-ES-fields mapping rebuilt; rows-only, rank+score identity
+    vs the naive per-field oracle pinned in tests/test_multifield.py."""
+    from elasticsearch_data_import_handler_ray.index.multifield import (
+        MultiFieldEngine,
+        build_multifield_index,
+    )
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_mf_idx_")
+    build_multifield_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        fields={"text": 1.0, "source": 2.0},
+        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id"),
+    )
+    eng = MultiFieldEngine(index_dir)
+    qs = [
+        {"text": "hash join query", "mode": "or"},
+        {"text": "vector scan src3", "mode": "or"},
+        {"text": "merge sort", "mode": "and"},
+    ]
+    try:
+        results = eng.search_many(qs, k=10)
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id), "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _multimodal(sf_dir: str):
     """Binary media plumbing: synthesize payloads from documents, decode with
     the deterministic stub decoder in an actor-pool stage (rows-only)."""
@@ -379,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "term_df_salted": _term_df_salted,
             "bm25_topk": _bm25_on,
             "phrase_search": _phrase_search,
+            "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,
         }

@@ -1,0 +1,224 @@
+"""Multi-field indexing + weighted cross-field BM25 (ES `fields` fidelity).
+
+The reference mapped each SQL result column to a FIELD of the Elasticsearch
+document (`[PK: importStatements → es.mapping]`), and ES searches score
+multiple fields with per-field boosts (`title^2 body`). This module closes
+that gap on the doc-partitioned engine:
+
+* ``build_multifield_index`` builds ONE sub-index per field (same
+  ``num_segments``, same doc identity — ``seg = doc_id % D`` is therefore
+  IDENTICAL across fields), under ``<index_dir>/field_<name>/``. The docmap
+  is written once (first field); weights persist in ``multifield.json``.
+* ``MultiFieldEngine`` serves `score(doc) = Σ_f w_f · BM25_f(doc)` — each
+  field scored with its OWN df/N/avgdl (per-field length norms, the
+  ES/BM25F-style shape) — EXACTLY, not by merging per-field top-k lists
+  (which is not exact: a doc ranked k+1 in every field can win the combined
+  ranking). Exactness comes from doc-alignment: one actor holds ALL fields'
+  readers for its doc-shards, scores the union of matching docs with
+  field-major, ascending-term accumulation (the repo-wide bit-identity
+  rule), and per-shard top-k merges are exact because doc sets stay
+  disjoint across shards in every field.
+
+Scale shape: identical to the single-field engine — the multi-field part
+adds zero extra shuffles (fields build independently; query fan-out is the
+same 2-round scatter/gather).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import ray
+
+from ..functions import bm25
+from ..functions.analysis import get_analyzer
+from ..state.manifest import IndexConfig, Manifest
+from .build import BuildResult, build_index
+from .query import _heap_push
+from .segment import SegmentReader
+
+
+def build_multifield_index(
+    corpus: str | list[str],
+    index_dir: str,
+    *,
+    fields: dict[str, float],
+    config: IndexConfig | None = None,
+    mode: str = "full",
+    **build_kwargs,
+) -> dict[str, BuildResult]:
+    """Build one sub-index per field. ``fields`` maps content column → boost
+    weight. ``config.content_col`` is ignored (set per field); everything
+    else (analyzer, num_segments, id columns) is shared so doc identity and
+    sharding align across fields."""
+    base = config or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    results: dict[str, BuildResult] = {}
+    for i, (f, _w) in enumerate(sorted(fields.items())):
+        cfg = IndexConfig.from_dict({**base.to_dict(), "content_col": f})
+        results[f] = build_index(
+            corpus,
+            os.path.join(index_dir, f"field_{f}"),
+            mode=mode,
+            config=cfg,
+            write_docmap=(i == 0),  # identity is field-independent
+            compute_sha=build_kwargs.pop("compute_sha", i == 0),
+            **build_kwargs,
+        )
+    with open(os.path.join(index_dir, "multifield.json"), "w") as fh:
+        json.dump({"fields": {k: float(v) for k, v in fields.items()}}, fh, sort_keys=True)
+    return results
+
+
+class MultiFieldShard:
+    """One actor per doc-shard group, holding EVERY field's readers for its
+    shards. Scoring is exhaustive + vectorized (union searchsorted adds)."""
+
+    def __init__(self, field_dirs: dict[str, list[str]]):
+        self.fields = sorted(field_dirs)
+        self.readers = {f: [SegmentReader(d) for d in field_dirs[f]] for f in self.fields}
+
+    def dfs(self, terms: list[str]) -> dict[str, list[int]]:
+        return {
+            f: [int(sum(r.df(t) for r in self.readers[f])) for t in terms]
+            for f in self.fields
+        }
+
+    def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
+        """queries: [{terms (sorted), idfs: {field: {term: idf}},
+        avgdl: {field}, weights: {field}, k, mode, k1, b}] → local top-k."""
+        from ..functions.codec import decode_posting
+
+        out = []
+        for q in queries:
+            terms, k, mode = q["terms"], q["k"], q["mode"]
+            if k <= 0 or not terms:
+                out.append([])
+                continue
+            # gather (field, term, reader) postings; field-major/term order
+            parts = []  # (field, term, ids, tfs, dls)
+            for f in self.fields:
+                for t in terms:
+                    for rd in self.readers[f]:
+                        blob = rd.posting_blob(t)
+                        if blob is not None:
+                            parts.append((f, t, *decode_posting(blob)))
+            if not parts:
+                out.append([])
+                continue
+            union = np.unique(np.concatenate([p[2] for p in parts]))
+            scores = np.zeros(len(union), dtype=np.float64)
+            term_hit = {t: np.zeros(len(union), dtype=bool) for t in terms}
+            for f, t, ids, tfs, dls in parts:  # field-major, term asc (gather order)
+                pos = np.searchsorted(union, ids)
+                scores[pos] += q["weights"][f] * bm25.contribution(
+                    q["idfs"][f][t], tfs, dls, q["avgdl"][f], q["k1"], q["b"]
+                )
+                term_hit[t][pos] = True
+            if mode == "and":
+                m = np.logical_and.reduce([term_hit[t] for t in terms])
+                union, scores = union[m], scores[m]
+            heap: list = []
+            for i in bm25.topk_indices(scores, union, k):
+                _heap_push(heap, k, float(scores[i]), int(union[i]))
+            out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])
+        return out
+
+
+class MultiFieldEngine:
+    """Driver facade over per-field sub-indexes (mirrors QueryEngine's
+    2-round scatter/gather; never calls ray.init)."""
+
+    def __init__(self, index_dir: str, *, actor_num_cpus: float | None = None):
+        with open(os.path.join(index_dir, "multifield.json")) as fh:
+            self.weights: dict[str, float] = json.load(fh)["fields"]
+        self.fields = sorted(self.weights)
+        self.mans = {
+            f: Manifest.load(os.path.join(index_dir, f"field_{f}")) for f in self.fields
+        }
+        cfg0 = self.mans[self.fields[0]].config
+        for f in self.fields[1:]:
+            c = self.mans[f].config
+            if (c.analyzer, c.num_segments) != (cfg0.analyzer, cfg0.num_segments):
+                raise ValueError("field sub-indexes must share analyzer and num_segments")
+        self.analyzer = get_analyzer(cfg0.analyzer)
+        self.k1, self.b = float(cfg0.k1), float(cfg0.b)
+        self.N = {f: self.mans[f].n_docs for f in self.fields}
+        self.avgdl = {f: self.mans[f].avgdl for f in self.fields}
+        total = float(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4.0
+        if actor_num_cpus is None:
+            actor_num_cpus = max(0.01, min(0.25, (total * 0.5) / max(cfg0.num_segments, 1)))
+        remote = ray.remote(num_cpus=actor_num_cpus)(MultiFieldShard)
+        # group seg ids onto ≤ CPU actors; the SAME seg grouping for every
+        # field keeps doc shards aligned within one actor
+        seg_dirs = {
+            f: [self.mans[f].segment_dirs(s) for s in range(cfg0.num_segments)]
+            for f in self.fields
+        }
+        live = [s for s in range(cfg0.num_segments) if any(seg_dirs[f][s] for f in self.fields)]
+        n_actors = max(1, min(len(live), int(total)))
+        groups: list[dict[str, list[str]]] = [
+            {f: [] for f in self.fields} for _ in range(n_actors)
+        ]
+        for i, s in enumerate(live):
+            for f in self.fields:
+                groups[i % n_actors][f].extend(seg_dirs[f][s])
+        self._actors = [remote.remote(g) for g in groups]
+        self._df_cache: dict[tuple[str, str], int] = {}
+
+    def analyze(self, text: str) -> list[str]:
+        return sorted(set(self.analyzer.analyze_query(text)))
+
+    def _global_dfs(self, terms: list[str]) -> dict[str, dict[str, int]]:
+        missing = [t for t in terms if (self.fields[0], t) not in self._df_cache]
+        if missing:
+            per = ray.get([a.dfs.remote(missing) for a in self._actors])
+            for f in self.fields:
+                sums = np.sum(np.array([p[f] for p in per], dtype=np.int64), axis=0)
+                for t, v in zip(missing, sums):
+                    self._df_cache[(f, t)] = int(v)
+        return {f: {t: self._df_cache[(f, t)] for t in terms} for f in self.fields}
+
+    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        return self.search_many([{"text": text, "mode": mode}], k=k)[0]
+
+    def search_many(self, queries: list[dict], k: int = 10) -> list[list[tuple[int, float]]]:
+        all_terms = sorted({t for q in queries for t in self.analyze(q["text"])})
+        df = self._global_dfs(all_terms)
+        prepared = []
+        for q in queries:
+            terms_all = self.analyze(q["text"])
+            # a term participates if ANY field has it; "and" = every term in
+            # at least one field (ES cross_fields-style semantics)
+            terms = [t for t in terms_all if any(df[f][t] > 0 for f in self.fields)]
+            mode = q.get("mode", "or")
+            if mode == "and" and len(terms) < len(terms_all):
+                terms = []
+            idfs = {
+                f: {t: float(bm25.idf(self.N[f], df[f][t])) for t in terms}
+                for f in self.fields
+            }
+            prepared.append(
+                {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
+                 "mode": mode, "weights": self.weights, "k1": self.k1, "b": self.b}
+            )
+        shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
+        out = []
+        for qi in range(len(queries)):
+            cand = [c for sr in shard_results for c in sr[qi]]
+            if not cand:
+                out.append([])
+                continue
+            scores = np.array([c[0] for c in cand], dtype=np.float64)
+            docs = np.array([c[1] for c in cand], dtype=np.uint64)
+            top = bm25.topk_indices(scores, docs, k)
+            out.append([(int(docs[i]), float(scores[i])) for i in top])
+        return out
+
+    def close(self) -> None:
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []

@@ -89,6 +89,56 @@ class BM25Oracle:
         return [(int(cand_docs[i]), float(cand_scores[i])) for i in top]
 
 
+class MultiFieldOracle:
+    """Naive exact cross-field scorer: score(doc) = Σ_f w_f · BM25_f(doc),
+    each field with its own df/N/avgdl. Accumulates field-major (sorted field
+    names), ascending terms — the exact order MultiFieldShard uses, so scores
+    are bit-identical."""
+
+    def __init__(self, field_oracles: dict[str, BM25Oracle], weights: dict[str, float]):
+        self.fields = sorted(field_oracles)
+        self.oracles = field_oracles
+        self.weights = {f: float(weights[f]) for f in self.fields}
+        self.analyzer = field_oracles[self.fields[0]].analyzer
+
+    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        terms_all = sorted(set(self.analyzer.analyze_query(text)))
+        terms = [
+            t for t in terms_all if any(t in self.oracles[f].postings for f in self.fields)
+        ]
+        if mode == "and" and len(terms) < len(terms_all):
+            return []
+        if not terms:
+            return []
+        id_arrays = [
+            self.oracles[f].postings[t][0]
+            for f in self.fields
+            for t in terms
+            if t in self.oracles[f].postings
+        ]
+        union = np.unique(np.concatenate(id_arrays))
+        scores = np.zeros(len(union), dtype=np.float64)
+        term_hit = {t: np.zeros(len(union), dtype=bool) for t in terms}
+        for f in self.fields:
+            o = self.oracles[f]
+            for t in terms:
+                p = o.postings.get(t)
+                if p is None:
+                    continue
+                ids, tfs = p
+                pos = np.searchsorted(union, ids)
+                dls = o.doc_lens[np.searchsorted(o.all_docs, ids)]
+                scores[pos] += self.weights[f] * bm25.contribution(
+                    bm25.idf(o.N, len(ids)), tfs, dls, o.avgdl, o.k1, o.b
+                )
+                term_hit[t][pos] = True
+        if mode == "and":
+            m = np.logical_and.reduce([term_hit[t] for t in terms])
+            union, scores = union[m], scores[m]
+        top = bm25.topk_indices(scores, union, k)
+        return [(int(union[i]), float(scores[i])) for i in top]
+
+
 class PhraseOracle(BM25Oracle):
     """Naive phrase-search oracle: keeps every doc's analyzed token list and
     matches phrases by a literal Python sliding-window scan — the slow,

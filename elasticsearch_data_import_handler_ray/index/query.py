@@ -440,6 +440,32 @@ class QueryShard:
                 used += df
         return used
 
+    def matched_positions(self, terms: list[str], doc_ids: list[int]) -> list[tuple]:
+        """(doc_id, term, positions) for every (requested doc × term) hit in
+        this shard — the highlight primitive (ES-style): token indices come
+        straight from the positional sidecar, decoded ONLY for the requested
+        docs. Requires a positional index."""
+        want = np.array(sorted(doc_ids), dtype=np.uint64)
+        out = []
+        for ri, rd in enumerate(self.readers):
+            for t in sorted(set(terms)):
+                arrs = self._decoded(ri, t)
+                if arrs is None:
+                    continue
+                ids, tfs, _ = arrs
+                sel = np.searchsorted(ids, want)
+                sel_c = np.minimum(sel, max(len(ids) - 1, 0))
+                hit = len(ids) > 0 and (ids[sel_c] == want)
+                hit_idx = sel_c[hit] if len(ids) else np.empty(0, dtype=np.int64)
+                if len(hit_idx) == 0:
+                    continue
+                flat, counts = rd.term_positions(t, tfs, hit_idx)
+                po = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=po[1:])
+                for j, d in enumerate(want[hit]):
+                    out.append((int(d), t, flat[po[j] : po[j + 1]].astype(np.int64).tolist()))
+        return out
+
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(sum(r.df(t) for r in self.readers)) for t in terms]
 
@@ -656,6 +682,25 @@ class QueryEngine:
             docs = np.array([c[1] for c in cand], dtype=np.uint64)
             top = bm25.topk_indices(scores, docs, k)
             out.append([(int(docs[i]), float(scores[i])) for i in top])
+        return out
+
+    def highlight(self, text: str, doc_ids: list[int]) -> dict[int, dict[str, list[int]]]:
+        """ES-style highlight positions: for each requested doc, the analyzed
+        query terms' token indices within that doc (from the positional
+        sidecar — no corpus re-read, no re-tokenize). One scatter round; each
+        shard touches only its own docs' postings. The caller slices snippets
+        from its own copy of the text using the SAME analyzer's token stream.
+        Requires IndexConfig(positions=True)."""
+        if not self.man.config.positions:
+            raise ValueError("highlight needs a positional index (IndexConfig(positions=True))")
+        terms = self.analyze(text)
+        if not terms or not doc_ids:
+            return {}
+        per = ray.get([a.matched_positions.remote(terms, list(doc_ids)) for a in self._actors])
+        out: dict[int, dict[str, list[int]]] = {}
+        for shard in per:
+            for d, t, ps in shard:
+                out.setdefault(d, {})[t] = ps
         return out
 
     def resolve(self, doc_ids: list[int]):

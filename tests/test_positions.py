@@ -257,3 +257,35 @@ def test_phrase_after_incremental_without_merge(tiny_corpus, tmp_path_factory, p
         eng.close()
     for p, g in zip(phrases, got):
         assert g == [(d, s) for d, s in phrase_oracle.search_phrase(p, k=10)], p
+
+
+def test_highlight_positions_match_token_stream(pos_index, phrase_oracle):
+    """highlight() returns, per top-k doc, each query term's token indices —
+    cross-checked against the analyzer's actual token stream per doc."""
+    eng = QueryEngine(pos_index)
+    try:
+        hits = eng.search("hot term merge", k=5, mode="or")
+        assert hits
+        docs = [d for d, _ in hits]
+        hl = eng.highlight("hot term merge", docs)
+    finally:
+        eng.close()
+    checked = 0
+    for d in docs:
+        toks = phrase_oracle.doc_tokens[d]
+        for t, ps in hl.get(d, {}).items():
+            want = [i for i, tok in enumerate(toks) if tok == t]
+            assert ps == want, (d, t)
+            checked += 1
+    assert checked >= 5
+
+
+def test_highlight_requires_positions(tiny_corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("hlnopos") / "i")
+    build_index(tiny_corpus, idx, mode="full", config=IndexConfig(num_segments=2))
+    eng = QueryEngine(idx)
+    try:
+        with pytest.raises(ValueError, match="positional"):
+            eng.highlight("hot term", [1])
+    finally:
+        eng.close()
