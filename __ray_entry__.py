@@ -146,6 +146,19 @@ def _dedup_minhash(sf_dir: str):
     )
 
 
+def _dedup_corpus(sf_dir: str):
+    """End-to-end near-dedup: MinHash pairs → union-find clusters → streamed
+    corpus filter; returns the KEPT doc ids (rows-only; exact cluster
+    semantics pinned vs a BFS reference in tests/test_stages.py)."""
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import dedup_corpus
+
+    out = dedup_corpus(
+        lambda: table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+    )
+    return out.select_columns(["doc_id"])
+
+
 def _dedup_simhash(sf_dir: str):
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.dedup import simhash_pairs
@@ -402,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lang_id": _lang_id,
             "dedup_exact": _dedup_exact,
             "dedup_minhash": _dedup_minhash,
+            "dedup_corpus": _dedup_corpus,
             "dedup_simhash": _dedup_simhash,
             "ngram_jaccard": _ngram_jaccard,
             "ann_bruteforce": _ann_bruteforce,

@@ -637,3 +637,86 @@ def exact_dedup(
         return pd.DataFrame({"doc_id": agg["min"].astype("int64"), "n_dups": agg["size"].astype("int64")})
 
     return hashed.groupby("_bucket").map_groups(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- clusters + apply
+def neardup_clusters(pairs: pa.Table) -> pa.Table:
+    """Near-duplicate PAIRS → connected components: (doc_id, cluster_id,
+    keep) where cluster_id = the component's minimum doc id and keep marks
+    the one canonical doc per cluster. Union-find with path halving on the
+    driver — the pair set is candidate-sized by the module contract (the
+    corpus never appears here). Deterministic: output depends only on the
+    pair set."""
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("keep", pa.bool_())]
+    )
+    if len(pairs) == 0:
+        return out_schema.empty_table()
+    a = pairs.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for ai, bi in zip(a, b):
+        ra, rb = find(idx[int(ai)]), find(idx[int(bi)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-root union → min-id canon
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    # cluster id = min doc id in component = ids[root] (roots are min index,
+    # and ids is sorted so min index == min id)
+    cluster = ids[roots]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+            "keep": pa.array(ids == cluster),
+        }
+    )
+
+
+def apply_dedup(
+    ds: ray.data.Dataset, clusters: pa.Table, *, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Drop every non-canonical near-duplicate from the corpus: the drop set
+    (cluster members with keep=False — duplicate-sized, not corpus-sized) is
+    broadcast once via ray.put and filtered vectorized per batch. Docs in no
+    cluster pass through untouched — the corpus streams, nothing
+    materializes."""
+    drop = clusters.filter(pc.equal(clusters["keep"], False))["doc_id"]
+    drop_ref = ray.put(drop.combine_chunks() if isinstance(drop, pa.ChunkedArray) else drop)
+
+    class Filter:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.drop)
+            return t.filter(pc.invert(m))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+
+def dedup_corpus(
+    ds_factory,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """End-to-end near-dedup: MinHash pairs → clusters → filtered corpus.
+    ``ds_factory`` is a zero-arg callable returning a fresh Dataset over the
+    corpus (it is read twice: the sketch passes and the final filter pass).
+    Returns the deduplicated Dataset (streaming)."""
+    pairs = minhash_dedup_pairs(
+        ds_factory(), text_col=text_col, id_col=id_col, threshold=threshold, **minhash_kwargs
+    )
+    clusters = neardup_clusters(pairs.select(["doc_a", "doc_b"]))
+    return apply_dedup(ds_factory(), clusters, id_col=id_col)

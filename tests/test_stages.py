@@ -378,3 +378,69 @@ def test_ivf_build_search_matches_inline(tmp_path, sf_dir):
         want[["query_id", "neighbor_id", "rank", "cos_sim"]],
         check_dtype=False,
     )
+
+
+def test_neardup_clusters_union_find():
+    """Clusters == connected components of the pair graph (BFS reference),
+    canonical member = min id, exactly one keep per cluster."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elasticsearch_data_import_handler_ray.stages.dedup import neardup_clusters
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 5, 10, 30], type=pa.int64()),
+            "doc_b": pa.array([2, 3, 6, 11, 1], type=pa.int64()),
+        }
+    )
+    got = neardup_clusters(pairs)
+    # BFS reference
+    adj = {}
+    for x, y in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = {}
+    seen = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        for v in comp:
+            want[v] = min(comp)
+    rows = {int(d): int(c) for d, c in zip(got["doc_id"].to_pylist(), got["cluster_id"].to_pylist())}
+    assert rows == want
+    keeps = [int(d) for d, k in zip(got["doc_id"].to_pylist(), got["keep"].to_pylist()) if k]
+    assert sorted(keeps) == sorted(set(want.values()))
+
+
+def test_dedup_corpus_end_to_end(sf_dir):
+    """Planted near-dups at threshold 0.5 → dedup_corpus drops exactly the
+    non-canonical members of each pair-graph component and nothing else."""
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import (
+        dedup_corpus,
+        minhash_dedup_pairs,
+        neardup_clusters,
+    )
+
+    factory = lambda: table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(factory(), threshold=0.5)
+    clusters = neardup_clusters(pairs.select(["doc_a", "doc_b"]))
+    out = dedup_corpus(factory, threshold=0.5)
+    kept = sorted(out.to_pandas()["doc_id"])
+    all_ids = sorted(factory().to_pandas()["doc_id"])
+    dropped = {
+        int(d)
+        for d, k in zip(clusters["doc_id"].to_pylist(), clusters["keep"].to_pylist())
+        if not k
+    }
+    assert len(pairs) > 0 and dropped  # the testdata actually plants dups
+    assert sorted(set(all_ids) - dropped) == kept
