@@ -62,7 +62,9 @@ class BM25Oracle:
         p = self.postings.get(term)
         return 0 if p is None else len(p[0])
 
-    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+    def search(
+        self, text: str, k: int = 10, mode: str = "or", exclude: str | None = None
+    ) -> list[tuple[int, float]]:
         terms_all = sorted(set(self.analyzer.analyze_query(text)))
         terms = [t for t in terms_all if t in self.postings]
         if mode == "and" and len(terms) < len(terms_all):
@@ -83,10 +85,41 @@ class BM25Oracle:
             mask = hits == len(terms)
         else:
             mask = hits > 0
+        if exclude:
+            for t in sorted(set(self.analyzer.analyze_query(exclude))):
+                p = self.postings.get(t)
+                if p is not None:
+                    mask &= ~np.isin(self.all_docs, p[0], assume_unique=True)
         cand_scores = scores[mask]
         cand_docs = self.all_docs[mask]
         top = bm25.topk_indices(cand_scores, cand_docs, k)
         return [(int(cand_docs[i]), float(cand_scores[i])) for i in top]
+
+    def search_prefix(
+        self, text: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """Mirror of QueryEngine.search_prefix: last analyzed token expands
+        to the first max_expansions dictionary terms (lexicographic)."""
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        prefix, rest = toks[-1], toks[:-1]
+        expanded = sorted(t for t in self.postings if t.startswith(prefix))[:max_expansions]
+        terms = [t for t in sorted(set(rest) | set(expanded)) if t in self.postings]
+        if not terms:
+            return []
+        scores = np.zeros(self.N, dtype=np.float64)
+        hits = np.zeros(self.N, dtype=np.int32)
+        for t in terms:
+            ids, tfs = self.postings[t]
+            pos = np.searchsorted(self.all_docs, ids)
+            scores[pos] += bm25.contribution(
+                bm25.idf(self.N, len(ids)), tfs, self.doc_lens[pos], self.avgdl, self.k1, self.b
+            )
+            hits[pos] += 1
+        mask = hits > 0
+        top = bm25.topk_indices(scores[mask], self.all_docs[mask], k)
+        return [(int(self.all_docs[mask][i]), float(scores[mask][i])) for i in top]
 
 
 class MultiFieldOracle:

@@ -154,11 +154,15 @@ def _score_exhaustive(
     b: float = bm25.B,
     get_decoded=None,
     reader_offset: int = 0,
+    exclude_terms: list[str] | None = None,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
     the Python heap). ``get_decoded`` (the actor's LRU of decoded postings)
-    makes repeated hot terms skip the varbyte decode entirely."""
+    makes repeated hot terms skip the varbyte decode entirely.
+    ``exclude_terms`` = ES bool must_not: matching docs are dropped before
+    the heap (exclusion routes through this scorer; skipping can't prune
+    against a NOT set)."""
     for ri, rd in enumerate(readers, reader_offset):
         per_term = []
         for t in terms:  # terms pre-sorted ascending
@@ -186,6 +190,23 @@ def _score_exhaustive(
         if mode == "and":
             m = hits == len(terms)
             union, scores = union[m], scores[m]
+        if exclude_terms:
+            # ES bool must_not: drop docs containing ANY excluded term —
+            # membership masks only, excluded postings never score
+            drop = np.zeros(len(union), dtype=bool)
+            for t in exclude_terms:
+                if get_decoded is not None:
+                    arrs = get_decoded(ri, t)
+                elif get_blocks is not None:
+                    pb = get_blocks(ri, t)
+                    arrs = pb.decode_all() if pb is not None else None
+                else:
+                    blob = rd.posting_blob(t)
+                    arrs = decode_posting(blob) if blob is not None else None
+                if arrs is None:
+                    continue
+                drop |= np.isin(union, arrs[0], assume_unique=True)
+            union, scores = union[~drop], scores[~drop]
         for i in bm25.topk_indices(scores, union, k):
             _heap_push(heap, k, float(scores[i]), int(union[i]))
 
@@ -466,6 +487,18 @@ class QueryShard:
                     out.append((int(d), t, flat[po[j] : po[j + 1]].astype(np.int64).tolist()))
         return out
 
+    def expand_prefix(self, prefix: str, cap: int) -> list[str]:
+        """First ``cap`` dictionary terms (lexicographic) starting with
+        ``prefix`` across this actor's readers — binary search over the
+        sorted term dictionaries, no scan."""
+        hi_key = prefix + "\U0010ffff"
+        found: set[str] = set()
+        for r in self.readers:
+            lo = int(np.searchsorted(r.terms, prefix))
+            hi = int(np.searchsorted(r.terms, hi_key))
+            found.update(str(t) for t in r.terms[lo : min(hi, lo + cap)])
+        return sorted(found)[:cap]
+
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(sum(r.df(t) for r in self.readers)) for t in terms]
 
@@ -490,11 +523,12 @@ class QueryShard:
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo,
             )
-        elif q["mode"] == "and" or q["method"] == "exhaustive":
+        elif q["mode"] == "and" or q["method"] == "exhaustive" or q.get("exclude_terms"):
             _score_exhaustive(
                 rds, terms, idfs, avgdl, k, q["mode"], heap,
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo,
+                exclude_terms=q.get("exclude_terms"),
             )
         else:
             _score_bmw(
@@ -638,12 +672,14 @@ class QueryEngine:
         and block-max WAND when postings are large enough that skipping pays.
         Both scorers are oracle-identical, so this is purely a latency choice.
         """
-        all_terms = sorted({t for q in queries for t in self.analyze(q["text"])})
+        all_terms = sorted(
+            {t for q in queries for t in (q.get("terms_override") or self.analyze(q["text"]))}
+        )
         dfs = self.global_dfs(all_terms)
         df_map = dict(zip(all_terms, dfs.tolist()))
         prepared = []
         for q in queries:
-            terms_all = self.analyze(q["text"])
+            terms_all = q.get("terms_override") or self.analyze(q["text"])
             terms = [t for t in terms_all if df_map.get(t, 0) > 0]
             mode = q.get("mode", "or")
             phrase: list[str] = []
@@ -664,10 +700,13 @@ class QueryEngine:
             if method == "auto":
                 per_shard = sum(df_map[t] for t in terms) / max(len(self._actors), 1)
                 q_method = "exhaustive" if per_shard < self.AUTO_EXHAUSTIVE_PER_SHARD else "bmw"
+            # ES bool must_not: q["exclude"] text analyzes with the same
+            # analyzer; docs containing ANY excluded term are dropped
+            exclude_terms = self.analyze(q["exclude"]) if q.get("exclude") else []
             prepared.append(
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
                  "mode": mode, "method": q_method, "k1": self.k1, "b": self.b,
-                 "phrase": phrase}
+                 "phrase": phrase, "exclude_terms": exclude_terms}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
         out = []
@@ -683,6 +722,28 @@ class QueryEngine:
             top = bm25.topk_indices(scores, docs, k)
             out.append([(int(docs[i]), float(scores[i])) for i in top])
         return out
+
+    def search_prefix(
+        self, text: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES prefix-query / autocomplete shape: the LAST analyzed token of
+        ``text`` is a prefix, expanded to the first ``max_expansions``
+        dictionary terms (lexicographic, globally consistent: each shard
+        returns its first ``max_expansions`` matches, so the capped union
+        contains the global first ``max_expansions``); expanded terms then
+        score as a normal OR query with their own per-term idf."""
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        prefix, rest = toks[-1], toks[:-1]
+        per = ray.get([a.expand_prefix.remote(prefix, max_expansions) for a in self._actors])
+        expanded = sorted(set().union(*map(set, per)))[:max_expansions]
+        terms = sorted(set(rest) | set(expanded))
+        if not terms:
+            return []
+        return self.search_many(
+            [{"text": text, "mode": "or", "terms_override": terms}], k=k
+        )[0]
 
     def highlight(self, text: str, doc_ids: list[int]) -> dict[int, dict[str, list[int]]]:
         """ES-style highlight positions: for each requested doc, the analyzed

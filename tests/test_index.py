@@ -137,3 +137,40 @@ def test_unicode_analyzer_rank_identity(tmp_path_factory, sf_dir):
             assert got == [(d, s) for d, s in want], (text, mode)
     finally:
         eng.close()
+
+
+def test_must_not_exclusion(engine, oracle):
+    """ES bool must_not: docs containing any excluded term drop from the
+    ranking; surviving ranks and scores stay oracle-identical."""
+    cases = [
+        ("hot_term_0", "hot_term_1", "or"),
+        ("foo bar", "parse", "or"),
+        ("hot_term_2 merge", "sort", "and"),
+        ("foo", "zzzunknownterm", "or"),  # unknown exclusion = no-op
+    ]
+    for text, excl, mode in cases:
+        got = engine.search_many(
+            [{"text": text, "mode": mode, "exclude": excl}], k=10
+        )[0]
+        want = oracle.search(text, k=10, mode=mode, exclude=excl)
+        assert got == [(d, s) for d, s in want], (text, excl, mode)
+        # exclusion actually removes something vs the plain query (first case)
+    plain = engine.search("hot_term_0", k=10)
+    excl = engine.search_many(
+        [{"text": "hot_term_0", "mode": "or", "exclude": "hot_term_1"}], k=10
+    )[0]
+    assert plain != excl
+
+
+def test_prefix_search_rank_identity(engine, oracle):
+    """Prefix/autocomplete queries: last token expands via the term
+    dictionary; ranks and scores oracle-identical, expansion cap honored."""
+    for text in ["pars", "hot_ter", "foo ba", "get", "zzznoprefix"]:
+        got = engine.search_prefix(text, k=10)
+        want = oracle.search_prefix(text, k=10)
+        assert got == [(d, s) for d, s in want], text
+    # tight cap still oracle-identical (cap semantics shared)
+    got = engine.search_prefix("ge", k=10, max_expansions=5)
+    want = oracle.search_prefix("ge", k=10, max_expansions=5)
+    assert got == [(d, s) for d, s in want]
+    assert engine.search_prefix("pars", k=10)  # actually matches something
