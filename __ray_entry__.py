@@ -159,6 +159,20 @@ def _dedup_corpus(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _curation(sf_dir: str):
+    """Composed curation recipe: quality gate → near-dedup → per-language
+    report (rows-only; each stage is oracle-checked individually and the
+    composition is pinned against per-operator recomputation in tests)."""
+    from elasticsearch_data_import_handler_ray.pipelines.curation import (
+        curate,
+        curation_report,
+    )
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    factory = lambda: table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return curation_report(curate(factory, dedup_threshold=0.5))
+
+
 def _dedup_simhash(sf_dir: str):
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.dedup import simhash_pairs
@@ -416,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_exact": _dedup_exact,
             "dedup_minhash": _dedup_minhash,
             "dedup_corpus": _dedup_corpus,
+            "curation": _curation,
             "dedup_simhash": _dedup_simhash,
             "ngram_jaccard": _ngram_jaccard,
             "ann_bruteforce": _ann_bruteforce,

@@ -444,3 +444,51 @@ def test_dedup_corpus_end_to_end(sf_dir):
     }
     assert len(pairs) > 0 and dropped  # the testdata actually plants dups
     assert sorted(set(all_ids) - dropped) == kept
+
+
+def test_curation_pipeline_end_to_end(sf_dir):
+    """curate() == apply each gate independently: quality floor, language
+    whitelist, near-dedup drop — verified by recomputing the expected id set
+    with the individual tested operators."""
+    import pyarrow.compute as pc
+
+    from elasticsearch_data_import_handler_ray.pipelines.curation import (
+        curate,
+        curation_report,
+    )
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import (
+        minhash_dedup_pairs,
+        neardup_clusters,
+    )
+    from elasticsearch_data_import_handler_ray.stages.text import LangId, quality_batch
+
+    factory = lambda: table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = curate(factory, min_tokens=5, max_punct_ratio=0.3, dedup_threshold=0.5)
+    got = sorted(out.to_pandas()["doc_id"])
+
+    # expected: same gates applied via the individual operators
+    full = factory().to_pandas()
+    q = quality_batch(
+        __import__("pyarrow").Table.from_pandas(full[["doc_id", "text"]], preserve_index=False)
+    ).to_pandas()
+    ok_quality = set(q[(q.n_tokens >= 5) & (q.punct_ratio <= 0.3)]["doc_id"])
+    surv = full[full.doc_id.isin(ok_quality)]
+    import ray.data
+
+    pairs = minhash_dedup_pairs(
+        ray.data.from_pandas(surv[["doc_id", "text"]]), threshold=0.5
+    )
+    clusters = neardup_clusters(pairs.select(["doc_a", "doc_b"]))
+    drop = {
+        int(d)
+        for d, k in zip(clusters["doc_id"].to_pylist(), clusters["keep"].to_pylist())
+        if not k
+    }
+    want = sorted(set(surv.doc_id) - drop)
+    assert got == want
+    assert 0 < len(got) < len(full)
+
+    rep = curation_report(curate(factory, dedup_threshold=0.5)).to_pandas()
+    assert rep["n_docs"].sum() == len(got)
+    assert (rep["total_tokens"] > 0).all()
