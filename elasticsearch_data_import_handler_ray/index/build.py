@@ -245,6 +245,23 @@ def build_index(
             config.doc_id_col,
             config.content_col,
         ]
+        # The shuffle strategy must be set BEFORE the dataset is created: Ray
+        # Data snapshots the DataContext into the plan at creation time, so
+        # setting it just around the groupby silently leaves the default in
+        # place (observed: "AllToAllOperator[Sort]" in the plan).
+        # Measured defaults (600k docs / 32 CPUs, quiet host): plain tf rows
+        # — sort 59.5 s vs hash 68.5 s; positional rows (list payloads) —
+        # sort 203 s (spills) vs hash 105 s. So: SORT for plain postings,
+        # HASH for positional; EDIH_SHUFFLE_STRATEGY=sort|hash overrides.
+        from ray.data.context import ShuffleStrategy
+
+        ctx = ray.data.DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        override = os.environ.get("EDIH_SHUFFLE_STRATEGY")
+        use_hash = config.positions if override is None else (override == "hash")
+        ctx.shuffle_strategy = (
+            ShuffleStrategy.HASH_SHUFFLE if use_hash else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        )
         ds = ray.data.read_parquet(pending, columns=cols)
         postings = ds.map_batches(
             _tokenize_batch,
@@ -272,18 +289,12 @@ def build_index(
             total = int(ray.cluster_resources().get("CPU", 4))
             segment_concurrency = max(2, min(config.num_segments, total // 4))
 
-        # Use the HASH shuffle for the seg groupby: the default sort-shuffle
-        # emits size-based blocks and map_groups runs ONE task per block, so a
-        # multi-GiB posting set collapses to ceil(bytes / 128 MiB) concurrent
-        # segment builds (measured: 16 segments built with parallelism 2).
-        # Hash-partitioning on the key with num_partitions=num_segments gives
-        # one whole-segment task per partition — and is the scalable exchange
-        # for this groupby on a real cluster. Restored after execution.
-        from ray.data.context import ShuffleStrategy
-
-        ctx = ray.data.DataContext.get_current()
-        prev_strategy = ctx.shuffle_strategy
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # Strategy chosen above (before dataset creation). num_partitions is
+        # honored by the hash path (one whole-segment task per partition);
+        # the sort path shuffles by range of the key. Both give full
+        # segment-build parallelism here; the positional/plain split is a
+        # spill-behavior choice, see the measured defaults above. Restored
+        # after execution.
         try:
             summaries = postings.groupby(
                 "seg", num_partitions=config.num_segments
