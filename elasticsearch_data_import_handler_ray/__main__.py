@@ -7,6 +7,7 @@
     python -m elasticsearch_data_import_handler_ray query <index_dir> <text>...
         [-k 10] [--mode or|and|phrase] [--method auto|bmw|exhaustive]
     python -m elasticsearch_data_import_handler_ray merge <index_dir>
+    python -m elasticsearch_data_import_handler_ray fsck <index_dir>
 
 These own their Ray session (guarded init) — library code never does.
 The reference's equivalent was `java -jar kohesive-dih.jar <config.conf>`;
@@ -45,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
 
     m = sub.add_parser("merge")
     m.add_argument("index_dir")
+
+    fs = sub.add_parser("fsck", help="verify every on-disk index invariant")
+    fs.add_argument("index_dir")
 
     pl = sub.add_parser("pipeline", help="run a JSON pipeline spec (the reference's config file)")
     pl.add_argument("spec_json")
@@ -107,6 +111,10 @@ def main(argv: list[str] | None = None) -> int:
             from .index.merge import merge_index
 
             print(json.dumps({"merged_run": merge_index(args.index_dir)}))
+        elif args.cmd == "fsck":
+            from .index.fsck import verify_index
+
+            print(json.dumps(verify_index(args.index_dir)))
         elif args.cmd == "pipeline":
             import importlib
 

@@ -127,3 +127,55 @@ def test_incremental_noop_when_covered(tiny_corpus, tmp_path_factory):
     build_index(files, d, mode="full", config=CFG)
     res = build_index(files, d, mode="incremental", config=CFG)
     assert res.skipped
+
+
+def test_fsck_clean_and_corrupted(tiny_corpus, tmp_path_factory):
+    """verify_index passes a healthy incremental+positional index and
+    reports byte corruption, sidecar truncation, and manifest drift."""
+    import json
+    import os
+
+    import pytest
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.fsck import IndexCorruption, verify_index
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+    from fixtures.gen_corpus import corpus_files
+
+    files = corpus_files(tiny_corpus)
+    idx = str(tmp_path_factory.mktemp("fsck") / "i")
+    build_index(files[:2], idx, mode="full",
+                config=IndexConfig(num_segments=3, positions=True))
+    build_index(files, idx, mode="incremental")
+    rep = verify_index(idx)
+    assert rep["segments"] == 3 and rep["n_docs"] == 1000 and rep["problems"] == []
+
+    # corrupt one byte mid-postings → decode invariants break
+    import glob
+
+    post = sorted(glob.glob(os.path.join(idx, "runs", "*", "seg_*", "postings.bin")))[0]
+    data = bytearray(open(post, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(post, "wb").write(bytes(data))
+    with pytest.raises(IndexCorruption):
+        verify_index(idx)
+    data[len(data) // 2] ^= 0xFF  # restore
+    open(post, "wb").write(bytes(data))
+    verify_index(idx)
+
+    # truncate a positions sidecar
+    posf = sorted(glob.glob(os.path.join(idx, "runs", "*", "seg_*", "positions.bin")))[0]
+    orig = open(posf, "rb").read()
+    open(posf, "wb").write(orig[:-3])
+    with pytest.raises(IndexCorruption, match="position"):
+        verify_index(idx)
+    open(posf, "wb").write(orig)
+
+    # manifest drift: claim one more doc than the segments hold
+    man_path = os.path.join(idx, "manifest.json")
+    man = json.load(open(man_path))
+    rid = next(iter(man["runs"]))
+    man["runs"][rid]["n_docs"] += 1
+    json.dump(man, open(man_path, "w"))
+    with pytest.raises(IndexCorruption, match="manifest n_docs"):
+        verify_index(idx)
