@@ -397,8 +397,10 @@ def _multifield_search(sf_dir: str):
 
 
 def _multimodal(sf_dir: str):
-    """Binary media plumbing: synthesize payloads from documents, decode with
-    the deterministic stub decoder in an actor-pool stage (rows-only)."""
+    """Binary media columns: synthesize REAL payloads (PPM images, WAV audio,
+    concatenated-PPM video) keyed by doc_id and decode them with the real
+    stdlib+numpy kernels in an actor-pool stage (rows-only; codec roundtrips
+    + feature equality pinned in tests/test_stages.py)."""
     import ray.data
 
     from elasticsearch_data_import_handler_ray.sources.catalog import table

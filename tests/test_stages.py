@@ -135,25 +135,71 @@ def test_langid_english():
     assert out["predicted_lang"].to_pylist() == ["en", "unknown"]
 
 
-def test_multimodal_stub_plumbing():
+def test_multimodal_real_decode_pipeline():
+    """Synthesized media is REAL (PPM/WAV/frame-container) and the feature
+    stage really decodes it: image features match a direct numpy decode,
+    audio features match computed RMS/duration; unsupported mimes still
+    refuse loudly."""
+    import numpy as np
+
+    from elasticsearch_data_import_handler_ray.stages.multimodal import (
+        Decoder,
+        decode_ppm,
+        decode_wav,
+    )
+
     docs = pa.table(
-        {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
-         "text": pa.array(["abc", "defg", "hi"], type=pa.large_string())}
+        {"doc_id": pa.array([0, 1, 2], type=pa.int64()),  # image, audio, video
+         "text": pa.array(["a", "b", "c"], type=pa.large_string())}
     )
     media = synthesize_media_dataset(docs, "doc_id", "text")
     ds = ray.data.from_arrow(media)
     out = ds.map_batches(
-        MediaFeatureStage, batch_format="pyarrow", batch_size=2, concurrency=1
+        MediaFeatureStage, batch_format="pyarrow", batch_size=2, concurrency=1,
+        fn_constructor_kwargs=dict(decoder=Decoder()),
     ).to_pandas().sort_values("media_id")
-    assert out.n_bytes.tolist() == [3, 4, 2]
-    import zlib
-
-    assert out.crc32.tolist() == [zlib.crc32(b"abc"), zlib.crc32(b"defg"), zlib.crc32(b"hi")]
-    # real decoder base class refuses (stub is explicit, not silent)
-    from elasticsearch_data_import_handler_ray.stages.multimodal import Decoder
-
+    payloads = {int(m.as_py()): p.as_py() for m, p in zip(media["media_id"], media["payload"])}
+    assert out.n_bytes.tolist() == [len(payloads[0]), len(payloads[1]), len(payloads[2])]
+    # image row: features == channel means/std of the actual pixels
+    img = decode_ppm(payloads[0])
+    feat_img = out[out.media_id == 0].feature.iloc[0]
+    want = img.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(feat_img[:3], want, atol=1e-6)
+    # audio row: duration == 0.25 s, rms matches direct computation
+    samples, rate = decode_wav(payloads[1])
+    x = samples.astype(np.float64) / 32768.0
+    feat_au = out[out.media_id == 1].feature.iloc[0]
+    assert np.isclose(feat_au[3], len(x) / rate, atol=1e-6)
+    assert np.isclose(feat_au[0], np.sqrt(np.mean(x**2)), atol=1e-6)
     with pytest.raises(NotImplementedError):
         Decoder().decode(b"x", "image/png")
+
+
+def test_multimodal_codec_roundtrips():
+    import numpy as np
+
+    from elasticsearch_data_import_handler_ray.stages.multimodal import (
+        decode_frame_container,
+        decode_ppm,
+        decode_wav,
+        encode_frame_container,
+        encode_ppm,
+        encode_wav,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+    # nearest-neighbor: 2x upscale duplicates pixels exactly
+    up = resize_nearest(img, 34, 26)
+    np.testing.assert_array_equal(up[::2, ::2], img)
+    s = (rng.standard_normal(1000) * 10000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(got, s)
+    frames = [b"one", b"four", b""]
+    assert decode_frame_container(encode_frame_container(frames)) == frames
 
 
 def test_pipeline_spec_end_to_end(tmp_path):
