@@ -466,12 +466,20 @@ def q_sort_topk(sf_dir: str):
 
 # ---------------------------------------------------------------- A16: per-group top-k
 def q_topk_per_group(sf_dir: str):
+    """Top-3 per segment: per-batch PARTIAL top-3 per group first (combiner —
+    the shuffle then carries ≤ 3×groups rows per batch instead of the whole
+    table; a plain groupby(segment) holds 1/|groups| of the corpus in one
+    pandas group at scale), then the tiny final per-group top-3."""
     ds = table(sf_dir, "customer", columns=["c_mktsegment", "c_custkey", "c_acctbal"])
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort").head(3)
+        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort")
+        return g.groupby("c_mktsegment", sort=False).head(3)
 
-    return ds.groupby("c_mktsegment").map_groups(top3, batch_format="pandas")
+    partial = ds.map_batches(top3, batch_format="pandas")
+    return partial.groupby("c_mktsegment").map_groups(
+        lambda g: top3(g).reset_index(drop=True), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------- A17: union all
@@ -636,7 +644,14 @@ def q_window_sliding(sf_dir: str):
 # ---------------------------------------------------------------- grouped quantiles
 def q_quantiles(sf_dir: str):
     """Median / p90 of event value per type — per-group vectorized numpy
-    percentile (linear interpolation, same as SQL quantile_cont)."""
+    percentile (linear interpolation, same as SQL quantile_cont).
+
+    Partitioning assumption (documented per §2 custom-operator rules): EXACT
+    interpolated quantiles need each group's full value vector in one task —
+    one group ≈ corpus/|groups| here. At 100 TB this operator's scale path is
+    a mergeable sketch (t-digest / KLL) traded for exactness, the same trade
+    ``q_approx_distinct`` makes for distinct counts; the exact form is kept
+    because the driver gate compares against SQL quantile_cont exactly."""
     ds = table(sf_dir, "events", columns=["event_type", "value"])
 
     def q(g: pd.DataFrame) -> pd.DataFrame:
