@@ -75,11 +75,42 @@ def build_multifield_index(
 
 class MultiFieldShard:
     """One actor per doc-shard group, holding EVERY field's readers for its
-    shards. Scoring is exhaustive + vectorized (union searchsorted adds)."""
+    shards. Scoring is exhaustive + vectorized (union searchsorted adds);
+    decoded postings are LRU-cached per (field, reader, term) — the same
+    Zipf-repeat tail-latency lever as the single-field QueryShard."""
+
+    _DECODED_BUDGET = 4_000_000  # postings (~96 MB across the 3 arrays)
 
     def __init__(self, field_dirs: dict[str, list[str]]):
+        from collections import OrderedDict
+
         self.fields = sorted(field_dirs)
         self.readers = {f: [SegmentReader(d) for d in field_dirs[f]] for f in self.fields}
+        self._dec: "OrderedDict[tuple[str, int, str], tuple]" = OrderedDict()
+        self._dec_size = 0
+
+    def _decoded(self, f: str, ri: int, term: str):
+        from ..functions.codec import decode_posting
+
+        key = (f, ri, term)
+        hit = self._dec.get(key)
+        if hit is not None:
+            self._dec.move_to_end(key)
+            return hit if hit[0] is not None else None
+        blob = self.readers[f][ri].posting_blob(term)
+        if blob is None:
+            self._dec[key] = (None,)
+            return None
+        arrs = decode_posting(blob)
+        n = len(arrs[0])
+        if n <= self._DECODED_BUDGET:
+            while self._dec_size + n > self._DECODED_BUDGET and self._dec:
+                _, old = self._dec.popitem(last=False)
+                if old[0] is not None:
+                    self._dec_size -= len(old[0])
+            self._dec[key] = arrs
+            self._dec_size += n
+        return arrs
 
     def dfs(self, terms: list[str]) -> dict[str, list[int]]:
         return {
@@ -90,8 +121,6 @@ class MultiFieldShard:
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
         """queries: [{terms (sorted), idfs: {field: {term: idf}},
         avgdl: {field}, weights: {field}, k, mode, k1, b}] → local top-k."""
-        from ..functions.codec import decode_posting
-
         out = []
         for q in queries:
             terms, k, mode = q["terms"], q["k"], q["mode"]
@@ -102,10 +131,10 @@ class MultiFieldShard:
             parts = []  # (field, term, ids, tfs, dls)
             for f in self.fields:
                 for t in terms:
-                    for rd in self.readers[f]:
-                        blob = rd.posting_blob(t)
-                        if blob is not None:
-                            parts.append((f, t, *decode_posting(blob)))
+                    for ri in range(len(self.readers[f])):
+                        arrs = self._decoded(f, ri, t)
+                        if arrs is not None:
+                            parts.append((f, t, *arrs))
             if not parts:
                 out.append([])
                 continue
