@@ -102,6 +102,7 @@ class ImportSpec:
     index_content_col: str = "text"
     index_analyzer: str = "code"
     index_num_segments: int = 8
+    index_positions: bool = False
 
 
 @dataclass
@@ -152,6 +153,7 @@ class PipelineSpec:
                     index_content_col=i.get("index_content_col", "text"),
                     index_analyzer=i.get("index_analyzer", "code"),
                     index_num_segments=i.get("index_num_segments", 8),
+                    index_positions=i.get("index_positions", False),
                 )
                 for i in d.get("imports", [])
             ],
@@ -204,6 +206,7 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
                     num_segments=imp.index_num_segments,
                     doc_id_col=imp.id_column,
                     content_col=imp.index_content_col,
+                    positions=imp.index_positions,
                 )
                 stage_dir = os.path.join(imp.target, "imports", imp.name)
                 if imp.mode == "full":
