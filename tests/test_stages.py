@@ -538,3 +538,41 @@ def test_curation_pipeline_end_to_end(sf_dir):
     rep = curation_report(curate(factory, dedup_threshold=0.5)).to_pandas()
     assert rep["n_docs"].sum() == len(got)
     assert (rep["total_tokens"] > 0).all()
+
+
+def test_curation_lang_gate(sf_dir):
+    """keep_langs engages the LangId gate: result == quality gate ∘ langid
+    filter ∘ dedup recomputed with the individual operators."""
+    import pyarrow as pa
+
+    from elasticsearch_data_import_handler_ray.pipelines.curation import curate
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import LangId, quality_batch
+
+    factory = lambda: table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    got = sorted(
+        curate(factory, min_tokens=5, max_punct_ratio=0.3,
+               keep_langs=("en",), dedup_threshold=0.5).to_pandas()["doc_id"]
+    )
+    full = factory().to_pandas()
+    t = pa.Table.from_pandas(full[["doc_id", "text"]], preserve_index=False)
+    q = quality_batch(t).to_pandas()
+    ok_q = set(q[(q.n_tokens >= 5) & (q.punct_ratio <= 0.3)]["doc_id"])
+    pred = LangId()(t).to_pandas()
+    ok_l = set(pred[pred.predicted_lang == "en"]["doc_id"])
+    surv = sorted(ok_q & ok_l)
+    assert set(got) <= set(surv)          # dedup only removes further
+    assert len(got) > 0
+    # every gate-surviving doc that is not a dropped near-dup is present
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.dedup import (
+        minhash_dedup_pairs,
+        neardup_clusters,
+    )
+
+    sdf = full[full.doc_id.isin(surv)]
+    pairs = minhash_dedup_pairs(ray.data.from_pandas(sdf[["doc_id", "text"]]), threshold=0.5)
+    clusters = neardup_clusters(pairs.select(["doc_a", "doc_b"]))
+    drop = {int(d) for d, k in zip(clusters["doc_id"].to_pylist(), clusters["keep"].to_pylist()) if not k}
+    assert got == sorted(set(surv) - drop)
