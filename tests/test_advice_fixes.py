@@ -181,3 +181,28 @@ def test_knn_lsh_no_bucket_match_and_empty_batch():
     # query opposite the cluster: every hyperplane sign flips → zero overlap
     out = knn_lsh(ds, np.array([999]), -rows[:1], k=3).to_pandas()
     assert len(out) == 0
+
+
+def test_fanout_policies(sf_dir):
+    """shuffle_fanout: 2xCPU floor + bytes-driven growth; join_fanout:
+    ~CPUs/4 floor (hash-join aggregator actors are expensive) + growth."""
+    import os
+
+    import ray
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.functions.partitioning import (
+        cluster_cpus,
+        join_fanout,
+        shuffle_fanout,
+    )
+
+    cpus = cluster_cpus()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    assert shuffle_fanout(ds) >= 2 * cpus          # floor
+    assert join_fanout(ds) == max(2, cpus // 4)    # small input → floor only
+    assert shuffle_fanout(None) == 2 * cpus
+    # bytes-driven growth: tiny bytes_per_part forces the need term to win
+    big = shuffle_fanout(ds, bytes_per_part=1024)
+    assert big > 2 * cpus and big <= 4096
+    assert join_fanout(ds, bytes_per_part=1024) > max(2, cpus // 4)
