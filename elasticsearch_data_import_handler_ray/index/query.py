@@ -379,17 +379,23 @@ class QueryShard:
     per-reader heaps merge losslessly (docs are disjoint across segments)."""
 
     _CACHE_MAX = 8192
-    # LRU budget in decoded postings: 3 arrays × 8 B ≈ 24 B/posting → ~96 MB
+    # default LRU budget in decoded postings: 3 arrays × 8 B ≈ 24 B/posting
+    # → ~96 MB; the engine passes a capacity-aware budget (its actor's share
+    # of the index) so a Zipfian query working set fits instead of thrashing
     _DECODED_BUDGET = 4_000_000
 
-    def __init__(self, seg_dirs: list[str]):
+    def __init__(self, seg_dirs: list[str], decoded_budget: int | None = None):
         import threading
         from collections import OrderedDict
 
+        if decoded_budget:
+            self._DECODED_BUDGET = int(decoded_budget)
         self.readers = [SegmentReader(d) for d in seg_dirs]
         self._pb_cache: dict[tuple[int, str], PostingBlocks | None] = {}
         self._dec_cache: "OrderedDict[tuple[int, str], tuple]" = OrderedDict()
         self._dec_size = 0
+        self._dec_hits = 0
+        self._dec_misses = 0
         self._lock = threading.Lock()
         self._pool = None
         if len(self.readers) > 1:
@@ -417,8 +423,10 @@ class QueryShard:
         with self._lock:
             hit = self._dec_cache.get(key)
             if hit is not None:
+                self._dec_hits += 1
                 self._dec_cache.move_to_end(key)
                 return hit if hit[0] is not None else None
+            self._dec_misses += 1
         pb = self._blocks(ri, term)
         if pb is None:
             # negative entries are free (no arrays) and frequent for sharded
@@ -439,13 +447,26 @@ class QueryShard:
                     self._dec_size += n
         return arrs
 
-    def warm_hot_terms(self, max_postings: int = 2_000_000, per_reader: int = 256) -> int:
+    def cache_stats(self) -> dict:
+        """Decoded-LRU diagnostics (ops tool): size/budget/hits/misses."""
+        with self._lock:
+            return {
+                "entries": len(self._dec_cache),
+                "postings": self._dec_size,
+                "budget": self._DECODED_BUDGET,
+                "hits": self._dec_hits,
+                "misses": self._dec_misses,
+            }
+
+    def warm_hot_terms(self, max_postings: int | None = None, per_reader: int = 256) -> int:
         """Pre-decode the highest-df terms into the LRU (tail-latency lever:
         the cold p95 is dominated by the FIRST decode of the corpus's hottest
         terms — exactly the terms Zipfian query traffic hits first). Called
         fire-and-forget at engine init; the actor model serializes it before
         the first search. Returns postings warmed."""
-        budget = min(max_postings, self._DECODED_BUDGET // 2)
+        budget = self._DECODED_BUDGET // 2 if max_postings is None else min(
+            max_postings, self._DECODED_BUDGET // 2
+        )
         cands: list[tuple[int, int, str]] = []
         for ri, r in enumerate(self.readers):
             if len(r.dfs):
@@ -609,12 +630,23 @@ class QueryEngine:
         ]
         shard_dirs = [d for d in shard_dirs if d]
         n_actors = max(1, min(len(shard_dirs), int(total)))
+        # capacity-aware decoded-postings budget: enough to hold the actor's
+        # whole share of the index when that is feasible (Zipf query traffic
+        # touches a working set ∝ the hot vocabulary; a fixed small budget
+        # thrashes — measured at 2.4M docs: every query re-decoded, p50 ~1 s),
+        # capped at 16M postings (~384 MB) per actor
+        total_postings = sum(
+            s.get("n_postings", 0)
+            for r in self.man.complete_runs().values()
+            for s in r["segments"]
+        )
+        budget = max(4_000_000, min(16_000_000, -(-total_postings // n_actors)))
         groups: list[list[str]] = [[] for _ in range(n_actors)]
         for i, dirs in enumerate(shard_dirs):
             groups[i % n_actors].extend(dirs)
         for g in groups:
             if g:
-                self._actors.append(remote.remote(g))
+                self._actors.append(remote.remote(g, budget))
         self._df_complete = False
         if df_preload == "always" or (df_preload == "auto" and self._actors):
             est_terms = sum(
@@ -655,7 +687,7 @@ class QueryEngine:
                 self._df_cache[t] = int(v)
         return np.array([self._df_cache[t] for t in terms], dtype=np.int64)
 
-    def search(self, text: str, k: int = 10, mode: str = "or", method: str = "bmw"):
+    def search(self, text: str, k: int = 10, mode: str = "or", method: str = "auto"):
         return self.search_many([{"text": text, "mode": mode}], k=k, method=method)[0]
 
     # below this many candidate postings per shard, the vectorized exhaustive
@@ -663,7 +695,7 @@ class QueryEngine:
     AUTO_EXHAUSTIVE_PER_SHARD = 200_000
 
     def search_many(
-        self, queries: list[dict], k: int = 10, method: str = "bmw"
+        self, queries: list[dict], k: int = 10, method: str = "auto"
     ) -> list[list[tuple[int, float]]]:
         """Batch API: 2 RPC rounds total for any number of queries.
 
@@ -699,7 +731,17 @@ class QueryEngine:
             q_method = method
             if method == "auto":
                 per_shard = sum(df_map[t] for t in terms) / max(len(self._actors), 1)
-                q_method = "exhaustive" if per_shard < self.AUTO_EXHAUSTIVE_PER_SHARD else "bmw"
+                # block-max WAND only pays when skipping is possible: DENSE
+                # posting lists (df/N high) make every block's upper bound
+                # beat θ, so the DAAT loop visits ~every doc in Python
+                # (measured at 2.4M docs with df/N≈0.95 terms: seconds/query
+                # vs ~30 ms exhaustive). Dense or small → exhaustive.
+                max_density = max((df_map[t] / max(self.N, 1) for t in terms), default=0.0)
+                q_method = (
+                    "bmw"
+                    if per_shard >= self.AUTO_EXHAUSTIVE_PER_SHARD and max_density < 0.10
+                    else "exhaustive"
+                )
             # ES bool must_not: q["exclude"] text analyzes with the same
             # analyzer; docs containing ANY excluded term are dropped
             exclude_terms = self.analyze(q["exclude"]) if q.get("exclude") else []
