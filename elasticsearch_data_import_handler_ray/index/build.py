@@ -249,16 +249,32 @@ def build_index(
         # Data snapshots the DataContext into the plan at creation time, so
         # setting it just around the groupby silently leaves the default in
         # place (observed: "AllToAllOperator[Sort]" in the plan).
-        # Measured defaults (600k docs / 32 CPUs, quiet host): plain tf rows
-        # — sort 59.5 s vs hash 68.5 s; positional rows (list payloads) —
-        # sort 203 s (spills) vs hash 105 s. So: SORT for plain postings,
-        # HASH for positional; EDIH_SHUFFLE_STRATEGY=sort|hash overrides.
+        # Measured (32 CPUs, quiet host): sort is ~13% faster on plain tf
+        # rows BELOW its spill cliff (600k docs: 59.5 s vs 68.5 s hash;
+        # 2.4M: 278 s sort OK) but the sort barrier materializes the whole
+        # posting exchange and DIES at scale (9.6M docs / 821M postings:
+        # OutOfDiskError from spill, while hash streamed it in 939 s at
+        # 10.2k docs/s — faster per doc than 2.4M). Positional list rows
+        # spill even earlier (600k: 203 s sort vs 105 s hash). Default:
+        # HASH for positional or large inputs (> _SORT_INPUT_BYTES_MAX of
+        # source bytes), SORT for small plain builds;
+        # EDIH_SHUFFLE_STRATEGY=sort|hash overrides.
         from ray.data.context import ShuffleStrategy
 
+        _SORT_INPUT_BYTES_MAX = 4 << 30
         ctx = ray.data.DataContext.get_current()
         prev_strategy = ctx.shuffle_strategy
         override = os.environ.get("EDIH_SHUFFLE_STRATEGY")
-        use_hash = config.positions if override is None else (override == "hash")
+        if override is None:
+            in_bytes = 0
+            for f in pending:
+                try:
+                    in_bytes += os.path.getsize(f)
+                except OSError:
+                    pass
+            use_hash = config.positions or in_bytes > _SORT_INPUT_BYTES_MAX
+        else:
+            use_hash = override == "hash"
         ctx.shuffle_strategy = (
             ShuffleStrategy.HASH_SHUFFLE if use_hash else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
         )
