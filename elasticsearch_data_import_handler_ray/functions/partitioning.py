@@ -30,6 +30,17 @@ def cluster_cpus(default: int = 4) -> int:
     return default
 
 
+def pool_concurrency(lo: int = 1) -> tuple[int, int]:
+    """Autoscaling (min, max) size for a stateful map_batches actor pool.
+
+    A FIXED pool size is a scale trap: Ray fuses adjacent map_batches into
+    the actor-pool operator, so `concurrency=2` caps the whole fused chain
+    (a 2.4M-doc tokenize ran on 2 actors for an hour). Autoscaling from
+    ``lo`` keeps tiny test inputs cheap (no 32-actor cold start) while
+    letting backpressure grow the pool to the cluster on real corpora."""
+    return (lo, max(2, cluster_cpus()))
+
+
 def shuffle_fanout(
     ds=None,
     *,

@@ -28,11 +28,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 from ..functions.codec import encode_segment, merge_postings
+
+# worker-local memo for broadcast hot-term arrays (keyed by ObjectRef hex)
+_hot_cache: dict = {}
 
 
 def explode_postings(
@@ -59,12 +63,25 @@ def explode_postings(
     return out.drop_columns(["seg"])
 
 
+#: a term is "hot" when its posting list alone would fill more than this
+#: fraction of one shuffle bucket's row budget — hotness is CAPACITY-relative,
+#: never an absolute df. (An absolute threshold calibrated on a 60k corpus
+#: marked ~10⁴ common-vocab terms hot at 2.4M docs: every batch then probed a
+#: huge membership set and the per-hot-term merge round exploded.)
+_HOT_CAPACITY_FRACTION = 0.125
+#: sampled-count floor below which a term can never reach the driver in the
+#: capacity mode — bounds the candidate collect to the sampled head
+_HOT_CANDIDATE_FLOOR = 8
+
+
 def estimate_hot_terms(
     postings: ray.data.Dataset,
     *,
     sample_rate: float = 0.02,
-    hot_threshold: int = 5_000,
+    hot_threshold: int | None = None,
     seed: int = 23,
+    num_partitions: int | None = None,
+    capacity_fraction: float = _HOT_CAPACITY_FRACTION,
 ) -> set[str]:
     """Deterministic UNIFORM sampled df estimate in one streamed pass.
 
@@ -72,10 +89,19 @@ def estimate_hot_terms(
     hash of (term, doc_id) — unlike the round-1 ``limit()`` pre-pass, the
     sample is uniform over the whole input, so hot terms concentrated in
     late files are still seen. Sampled rows are partially counted per batch
-    (Arrow group_by) and summed in a small distributed groupby; only the
-    terms whose extrapolated df exceeds the threshold — a handful — reach
-    the driver. Nothing corpus-sized is collected and the upstream pipeline
-    executes exactly once for the estimate."""
+    (Arrow group_by) and summed in a small distributed groupby.
+
+    Two thresholding modes:
+      * ``hot_threshold`` given — absolute: hot iff extrapolated df exceeds
+        it (legacy semantics, used by tests that plant known-df terms);
+      * ``hot_threshold=None`` (the scale default) — capacity-relative:
+        hot iff the term's sampled share exceeds ``capacity_fraction`` of
+        one bucket's sampled row budget (total/num_partitions). Total
+        sampled rows ride the same exchange as a sentinel ``""`` row, so
+        the pipeline still executes exactly once and only the sampled head
+        (counts > floor) ever reaches the driver. Sampling cancels out of
+        the share ratio, so doc- or row-sampled inputs both work unscaled.
+    """
     from ray.data.aggregate import Sum
 
     denom = np.uint64(1 << 20)
@@ -83,35 +109,69 @@ def estimate_hot_terms(
     mix = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed | 1)
 
     def samp(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], type=pa.large_string()),
+                          "n": pa.array([], type=pa.int64())})
         if len(t) == 0:
-            return pa.table({"term": pa.array([], type=pa.large_string()),
-                             "n": pa.array([], type=pa.int64())})
+            return empty
         th = pd.util.hash_array(t["term"].to_numpy(zero_copy_only=False))
         docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (th + docs) * mix
         keep = (h % denom) < cut
         sel = t.filter(pa.array(keep)).select(["term"])
         if len(sel) == 0:
-            return pa.table({"term": pa.array([], type=pa.large_string()),
-                             "n": pa.array([], type=pa.int64())})
+            return empty
         agg = sel.group_by("term").aggregate([("term", "count")])
+        # sentinel "" row carries the batch's total sampled rows (real terms
+        # are never empty — the tokenizer drops them)
         return pa.table(
-            {"term": agg["term"].cast(pa.large_string()),
-             "n": agg["term_count"].cast(pa.int64())}
+            {"term": pa.concat_arrays(
+                [agg["term"].cast(pa.large_string()).combine_chunks(),
+                 pa.array([""], type=pa.large_string())]),
+             "n": pa.concat_arrays(
+                [agg["term_count"].cast(pa.int64()).combine_chunks(),
+                 pa.array([len(sel)], type=pa.int64())])}
         )
 
     counts = postings.map_batches(samp, batch_format="pyarrow", zero_copy_batch=True)
-    agg = counts.groupby("term").aggregate(Sum("n", alias_name="n_sampled"))
-    cutoff = hot_threshold * (float(cut) / float(denom))
-    hot = agg.filter(expr=f"n_sampled > {cutoff}")
-    return set(t for t in hot.select_columns(["term"]).to_pandas()["term"])
+    # per-batch partial counts make this exchange tiny — don't let the hash
+    # strategy default to 200 aggregator actors for it
+    from ..functions.partitioning import cluster_cpus
+
+    agg = counts.groupby("term", num_partitions=max(2, cluster_cpus() // 4)).aggregate(
+        Sum("n", alias_name="n_sampled")
+    )
+    if hot_threshold is not None:
+        cutoff = hot_threshold * (float(cut) / float(denom))
+
+        def above(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater(t["n_sampled"], cutoff), pc.not_equal(t["term"], ""))
+            return t.filter(m)
+
+        hot = agg.map_batches(above, batch_format="pyarrow")
+        return set(hot.select_columns(["term"]).to_pandas()["term"])
+
+    floor = _HOT_CANDIDATE_FLOOR
+
+    def head_only(t: pa.Table) -> pa.Table:
+        m = pc.or_(pc.greater(t["n_sampled"], floor), pc.equal(t["term"], ""))
+        return t.filter(m)
+
+    cand = agg.map_batches(head_only, batch_format="pyarrow").to_pandas()
+    sent = cand["term"] == ""
+    total = int(cand.loc[sent, "n_sampled"].sum())
+    if total == 0:
+        return set()
+    parts = num_partitions or max(2, cluster_cpus())
+    budget = capacity_fraction * (total / parts)
+    sel = cand[(~sent) & (cand["n_sampled"] > max(floor, budget))]
+    return set(sel["term"])
 
 
 def build_term_postings(
     postings: ray.data.Dataset,
     *,
     hot_terms: set[str] | None = None,
-    hot_threshold: int = 5_000,
+    hot_threshold: int | None = None,
     num_salts: int = 8,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
@@ -132,35 +192,48 @@ def build_term_postings(
 
         num_partitions = shuffle_fanout(postings, explode_factor=2.0)
     if hot_terms is None:
-        hot_terms = estimate_hot_terms(postings, hot_threshold=hot_threshold)
-    hot_ref = ray.put(hot_terms)
+        hot_terms = estimate_hot_terms(
+            postings, hot_threshold=hot_threshold, num_partitions=num_partitions
+        )
+    # broadcast as an Arrow array: pc.is_in probes it with a C++ hash table
+    # (np.isin on object strings is sort-based — ~minutes/batch at 10⁴ hot)
+    hot_pa = pa.array(sorted(hot_terms), type=pa.large_string())
+    hot_ref = ray.put(hot_pa)
 
-    class Salt:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)
+    def salt_batch(t: pa.Table) -> pa.Table:
+        # Plain TASK function, not an actor pool: Ray fuses the upstream
+        # tokenize map_batches into this operator, so an actor pool here caps
+        # the whole pre-shuffle pipeline at its size (a fixed concurrency=2
+        # once bottlenecked a 2.4M-doc run to 2 tokenizing actors for an
+        # hour; even an autoscaling pool starved behind the pre-allocated
+        # hash-shuffle aggregator actors). Tasks scale freely. The broadcast
+        # hot set is fetched from the LOCAL object store and memoized per
+        # worker process.
+        hot = _hot_cache.get(hot_ref.hex())
+        if hot is None:
+            hot = ray.get(hot_ref)
+            _hot_cache[hot_ref.hex()] = hot
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        salt = np.zeros(len(t), dtype=np.int64)
+        is_hot = np.zeros(len(t), dtype=bool)
+        if len(hot):
+            is_hot = pc.is_in(t["term"], value_set=hot).to_numpy(zero_copy_only=False)
+            salt[is_hot] = (docs[is_hot] % np.uint64(num_salts)).astype(np.int64)
+        th = pd.util.hash_array(terms)
+        bucket = ((th + np.uint64(0x9E3779B97F4A7C15) * salt.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "term": t["term"],
+                "doc_id": t["doc_id"],
+                "tf": t["tf"],
+                "dl": t["dl"],
+                "is_hot": pa.array(is_hot),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            terms = t["term"].to_numpy(zero_copy_only=False)
-            docs = t["doc_id"].to_numpy(zero_copy_only=False)
-            salt = np.zeros(len(t), dtype=np.int64)
-            is_hot = np.zeros(len(t), dtype=bool)
-            if self.hot:
-                is_hot = np.isin(terms, list(self.hot))
-                salt[is_hot] = (docs[is_hot] % np.uint64(num_salts)).astype(np.int64)
-            th = pd.util.hash_array(terms)
-            bucket = ((th + np.uint64(0x9E3779B97F4A7C15) * salt.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
-            return pa.table(
-                {
-                    "bucket": pa.array(bucket),
-                    "term": t["term"],
-                    "doc_id": t["doc_id"],
-                    "tf": t["tf"],
-                    "dl": t["dl"],
-                    "is_hot": pa.array(is_hot),
-                }
-            )
-
-    salted = postings.map_batches(Salt, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    salted = postings.map_batches(salt_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     def encode_bucket(g: pa.Table) -> pa.Table:
         from .segment import _term_ranks
@@ -191,6 +264,14 @@ def build_term_postings(
     parts = salted.groupby("bucket", num_partitions=num_partitions).map_groups(
         encode_bucket, batch_format="pyarrow"
     )
+    # Branching a Dataset into cold/hot and re-uniting them would re-execute
+    # the ENTIRE upstream pipeline once per branch (Ray Data unions do not
+    # share common subplans — observed as two full read→tokenize→shuffle
+    # chains in the plan, doubling the work and fragmenting the executor's
+    # per-op resource budgets). Materialize the stage-1 encoded table once:
+    # it is term→blob rows (far smaller than the posting exchange), spillable,
+    # and the natural per-partition checkpoint for resumability.
+    parts = parts.materialize()
     cold = parts.filter(expr="is_hot == False").drop_columns(["is_hot"])
     hot_parts = parts.filter(expr="is_hot == True")
 
@@ -206,8 +287,30 @@ def build_term_postings(
             }
         )
 
-    merged_hot = hot_parts.groupby("term").map_groups(merge_group, batch_format="pyarrow")
+    # hot terms are a handful by construction — keep this merge exchange small
+    from ..functions.partitioning import cluster_cpus
+
+    merged_hot = hot_parts.groupby(
+        "term", num_partitions=max(2, cluster_cpus() // 4)
+    ).map_groups(merge_group, batch_format="pyarrow")
     return cold.union(merged_hot)
+
+
+def _doc_sample(ds: ray.data.Dataset, q: float, *, doc_id_col: str = "doc_id", seed: int = 29):
+    """Keep each DOC w.p. ``q`` by a seeded hash of its id — runs BEFORE
+    tokenize, so the df pre-pass tokenizes only the sample (df_sample is
+    Binomial(df, q), the same distribution a post-tokenize row sample gives,
+    at 1/q-th of the tokenize cost)."""
+    denom = np.uint64(1 << 20)
+    cut = np.uint64(int(q * float(denom)))
+    mix = np.uint64(0x9E3779B97F4A7C15) | np.uint64(seed)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[doc_id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * mix
+        return t.filter(pa.array((h % denom) < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def term_df_salted(
@@ -215,7 +318,29 @@ def term_df_salted(
 ) -> ray.data.Dataset:
     """Global (term, df) via the salted two-stage shuffle, top-N by
     (df desc, term asc) — the DuckDB-oracle-checked entry for this path."""
+    from ..functions.partitioning import shuffle_fanout
+
     postings = explode_postings(ds, analyzer=analyzer, content_col=content_col)
-    full = build_term_postings(postings, hot_threshold=200)
+    num_partitions = shuffle_fanout(postings, explode_factor=2.0)
+    # Hot-term estimate (capacity-relative — see estimate_hot_terms) from a
+    # DOC-sampled pipeline: tokenizing the whole corpus twice (estimate +
+    # main) was the dominant cost at 2.4M docs. Sampling cancels out of the
+    # capacity ratio, so no threshold rescaling is needed. Small inputs skip
+    # doc-sampling (the estimate pass is already cheap there). The hot set
+    # only affects the salting plan, never the result.
+    in_bytes = 0
+    try:
+        for f in ds.input_files():
+            import os as _os
+
+            in_bytes += _os.path.getsize(f)
+    except Exception:
+        pass
+    if in_bytes > (256 << 20):
+        est = explode_postings(_doc_sample(ds, 0.02), analyzer=analyzer, content_col=content_col)
+        hot = estimate_hot_terms(est, sample_rate=1.0, num_partitions=num_partitions)
+    else:
+        hot = estimate_hot_terms(postings, sample_rate=1.0, num_partitions=num_partitions)
+    full = build_term_postings(postings, hot_terms=hot, num_partitions=num_partitions)
     out = full.select_columns(["term", "df"])
     return out.sort(["df", "term"], descending=[True, False]).limit(top_n)

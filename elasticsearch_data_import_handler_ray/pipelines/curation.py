@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..functions.partitioning import pool_concurrency
+
 
 def curate(
     ds_factory,
@@ -65,7 +67,7 @@ def curate(
 
         return ds.map_batches(
             Gate, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 2), num_cpus=0.5,
+            concurrency=pool_concurrency(), num_cpus=0.5,
         )
 
     def filtered() -> ray.data.Dataset:

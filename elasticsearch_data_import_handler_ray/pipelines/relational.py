@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.partitioning import join_fanout, shuffle_fanout
+from ..functions.partitioning import join_fanout, shuffle_fanout, pool_concurrency
 from ..functions.rounding import pa_round_half_away
 from ..sources.catalog import table
 
@@ -178,7 +178,7 @@ def q_join_broadcast(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-    out = ds.map_batches(JoinDims, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    out = ds.map_batches(JoinDims, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
     return out.groupby("r_name").aggregate(
         Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents")
     )
@@ -330,7 +330,7 @@ def _key_filter(ds, key_col: str, keys_ref, keep: bool):
                 m = pc.invert(m)
             return t.filter(m)
 
-    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
 
 
 def q_semi_join(sf_dir: str):

@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.partitioning import pool_concurrency
+
 
 def _embedding_matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t[col].combine_chunks()
@@ -96,7 +98,7 @@ def knn_bruteforce(
         _BruteScore,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=pool_concurrency(),
         fn_constructor_args=(ref, id_col, emb_col, k),
     )
 
@@ -145,7 +147,7 @@ def knn_lsh(
             keep = np.isin(b, self.qbucket_arr)
             return super().__call__(t.filter(pa.array(keep)))
 
-    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(
@@ -240,7 +242,7 @@ def knn_ivf(
                 }
             )
 
-    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(
@@ -288,7 +290,7 @@ def ivf_build(
             return t.append_column("list_id", pa.array(lists))
 
     os.makedirs(out_dir, exist_ok=True)
-    ds.map_batches(Assign, batch_format="pyarrow", zero_copy_batch=True, concurrency=2).write_parquet(
+    ds.map_batches(Assign, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency()).write_parquet(
         out_dir, partition_cols=["list_id"]
     )
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
@@ -376,7 +378,7 @@ def ivf_search(
                 }
             )
 
-    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(
@@ -478,14 +480,14 @@ def cosine_neardup_pairs(
     exact-scored. Partitioning assumption: the candidate set fits a
     broadcast; the embedding table itself is never materialized."""
     if num_buckets is None:
-        from ..functions.partitioning import shuffle_fanout
+        from ..functions.partitioning import shuffle_fanout, pool_concurrency
 
         num_buckets = shuffle_fanout(ds)
     rows = ds.map_batches(
         _HyperplaneLSHStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=pool_concurrency(),
         fn_constructor_args=(id_col, emb_col, n_planes, n_tables, seed, num_buckets),
     )
 
@@ -546,7 +548,7 @@ def cosine_neardup_pairs(
             )
 
     small = _collect_blocks(
-        ds.map_batches(FetchStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2),
+        ds.map_batches(FetchStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency()),
         pa.schema([("vec_id", pa.int64()), ("emb", pa.large_list(pa.float64()))]),
     )
     got_ids = small["vec_id"].to_numpy(zero_copy_only=False)

@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.partitioning import shuffle_fanout
+from ..functions.partitioning import shuffle_fanout, pool_concurrency
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV = np.uint64(1099511628211)
@@ -264,7 +264,7 @@ def lsh_candidate_pairs(
         MinHashStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=pool_concurrency(),
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, shingle_k=shingle_k,
             num_hashes=num_hashes, seed=seed,
@@ -317,7 +317,7 @@ def _candidate_signatures(
         _CandidateSigStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=pool_concurrency(),
         fn_constructor_kwargs=dict(ids_ref=ids_ref, **sig_kwargs),
     )
     num_hashes = sig_kwargs.get("num_hashes", 64)
@@ -544,7 +544,7 @@ def ngram_jaccard_pairs(
             )
 
     small = ds.map_batches(
-        ShingleStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        ShingleStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency()
     )
     tbl = _collect_blocks(
         small, pa.schema([("doc_id", pa.int64()), ("shingles", pa.large_list(pa.uint64()))])
@@ -700,7 +700,7 @@ def apply_dedup(
             m = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.drop)
             return t.filter(pc.invert(m))
 
-    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
 
 
 def dedup_corpus(
