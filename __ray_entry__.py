@@ -23,6 +23,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from elasticsearch_data_import_handler_ray.functions.partitioning import pool_concurrency
+
 
 # --------------------------------------------------------------------- entry
 def entry() -> Any:
@@ -125,7 +127,8 @@ def _lang_id(sf_dir: str):
     from elasticsearch_data_import_handler_ray.stages.text import LangId
 
     ds = table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        LangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool_concurrency(),
     )
     return ds.groupby("predicted_lang").aggregate(Count(alias_name="n"))
 
@@ -413,7 +416,8 @@ def _multimodal(sf_dir: str):
     media = synthesize_media_dataset(pa.Table.from_pandas(docs), "doc_id", "text")
     ds = ray.data.from_arrow(media)
     return ds.map_batches(
-        MediaFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2
+        MediaFeatureStage, batch_format="pyarrow", batch_size=64,
+        concurrency=pool_concurrency(),
     )
 
 

@@ -70,7 +70,7 @@ class SQLBatch:
 
 
 def sql_transform(
-    query: str, *, view: str = "t", concurrency: int | tuple[int, int] = (1, 4)
+    query: str, *, view: str = "t", concurrency: int | tuple[int, int] | None = None
 ) -> Callable[[ray.data.Dataset], ray.data.Dataset]:
     """→ Dataset→Dataset transform running ``query`` per Arrow batch.
 
@@ -78,6 +78,10 @@ def sql_transform(
     Raises ValueError for SQL whose per-batch evaluation would be unsound.
     """
     validate_map_only(query)
+    if concurrency is None:
+        from ..functions.partitioning import pool_concurrency
+
+        concurrency = pool_concurrency()
     return lambda ds: ds.map_batches(
         SQLBatch,
         batch_format="pyarrow",
