@@ -20,9 +20,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.partitioning import pool_concurrency
-
-
 def _embedding_matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t[col].combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
@@ -39,8 +36,11 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _BruteScore:
-    """Stateful batch scorer: normalizes the broadcast query matrix once per
-    actor (__init__), one matmul per batch (__call__)."""
+    """Batch scorer: normalizes the broadcast query matrix (a zero-copy
+    plasma read + a tiny normalize — cheap enough to run per task), one
+    matmul per batch (__call__). The pipelines run these scorers as TASK
+    pools: an actor pool here pays cold-start/scale-up lag to cache
+    microseconds of setup (measured 3-5× slower end-to-end at sf0.1)."""
 
     def __init__(self, queries_ref, id_col: str, emb_col: str, k: int):
         q = ray.get(queries_ref)
@@ -95,11 +95,9 @@ def knn_bruteforce(
     rank 1-based by (cos desc, neighbor_id asc), cos rounded to 4 decimals."""
     ref = ray.put({"qids": np.asarray(query_ids, dtype=np.int64), "matrix": np.asarray(query_matrix, dtype=np.float64)})
     partial = ds.map_batches(
-        _BruteScore,
+        lambda t: _BruteScore(ref, id_col, emb_col, k)(t),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_concurrency(),
-        fn_constructor_args=(ref, id_col, emb_col, k),
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -133,21 +131,17 @@ def knn_lsh(
     planes_ref = ray.put(planes)
     qb_ref = ray.put(qbuckets)
 
-    class Stage(_BruteScore):
-        def __init__(self):
-            super().__init__(ref, id_col, emb_col, k)
-            self.planes = ray.get(planes_ref)
-            self.qbucket_arr = np.fromiter(ray.get(qb_ref), dtype=np.int64)
+    def stage(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _BruteScore._EMPTY
+        planes_ = ray.get(planes_ref)
+        qbucket_arr = np.fromiter(ray.get(qb_ref), dtype=np.int64)
+        m = _embedding_matrix(t, emb_col)
+        b = (m @ planes_ > 0).dot(1 << np.arange(planes_.shape[1])).astype(int)
+        keep = np.isin(b, qbucket_arr)
+        return _BruteScore(ref, id_col, emb_col, k)(t.filter(pa.array(keep)))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return self._EMPTY
-            m = _embedding_matrix(t, self.emb_col)
-            b = (m @ self.planes > 0).dot(1 << np.arange(self.planes.shape[1])).astype(int)
-            keep = np.isin(b, self.qbucket_arr)
-            return super().__call__(t.filter(pa.array(keep)))
-
-    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
+    partial = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(
@@ -206,43 +200,14 @@ def knn_ivf(
         }
     )
 
-    class Stage:
-        def __init__(self):
-            d = ray.get(ref)
-            self.qids, self.qm = d["qids"], _normalize(d["matrix"])
-            self.centroids, self.q_lists = d["centroids"], d["q_lists"]
+    def stage(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _BruteScore._EMPTY
+        d = ray.get(ref)
+        qids, qm_n = d["qids"], _normalize(d["matrix"])
+        return _ivf_probe_score(t, id_col, emb_col, k, qids, qm_n, d["centroids"], d["q_lists"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return _BruteScore._EMPTY
-            m = _normalize(_embedding_matrix(t, emb_col))
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            lists = (m @ self.centroids.T).argmax(axis=1)
-            out_q, out_n, out_c = [], [], []
-            for qi, qid in enumerate(self.qids):
-                probe = np.isin(lists, self.q_lists[qi])
-                probe &= ids != qid
-                if not probe.any():
-                    continue
-                cos = m[probe] @ self.qm[qi]
-                cand_ids = ids[probe]
-                if len(cand_ids) > k:
-                    part = np.argpartition(-cos, k)[:k]
-                    cand_ids, cos = cand_ids[part], cos[part]
-                out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
-                out_n.append(cand_ids.astype(np.int64))
-                out_c.append(cos)
-            if not out_q:
-                return _BruteScore._EMPTY
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q)),
-                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
-                    "cos_sim": pa.array(np.concatenate(out_c), type=pa.float64()),
-                }
-            )
-
-    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
+    partial = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(
@@ -251,6 +216,46 @@ def knn_ivf(
         return g.assign(rank=np.arange(1, len(g) + 1), cos_sim=g["cos_sim"].round(4))
 
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def _ivf_probe_score(
+    t: pa.Table,
+    id_col: str,
+    emb_col: str,
+    k: int,
+    qids: np.ndarray,
+    qm_n: np.ndarray,
+    centroids: np.ndarray,
+    q_lists: np.ndarray,
+) -> pa.Table:
+    """Shared IVF batch kernel: assign rows to lists, score each query only
+    against rows in its probed lists, keep per-batch top-k."""
+    m = _normalize(_embedding_matrix(t, emb_col))
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    lists = (m @ centroids.T).argmax(axis=1)
+    out_q, out_n, out_c = [], [], []
+    for qi, qid in enumerate(qids):
+        probe = np.isin(lists, q_lists[qi])
+        probe &= ids != qid
+        if not probe.any():
+            continue
+        cos = m[probe] @ qm_n[qi]
+        cand_ids = ids[probe]
+        if len(cand_ids) > k:
+            part = np.argpartition(-cos, k)[:k]
+            cand_ids, cos = cand_ids[part], cos[part]
+        out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+        out_n.append(cand_ids.astype(np.int64))
+        out_c.append(cos)
+    if not out_q:
+        return _BruteScore._EMPTY
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+            "cos_sim": pa.array(np.concatenate(out_c), type=pa.float64()),
+        }
+    )
 
 
 def ivf_build(
@@ -278,19 +283,15 @@ def ivf_build(
     centroids = _normalize(_kmeans(sm, n_lists, seed=seed))
     cref = ray.put(centroids)
 
-    class Assign:
-        def __init__(self):
-            self.centroids = ray.get(cref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return t.append_column("list_id", pa.array([], type=pa.int32()))
-            m = _normalize(_embedding_matrix(t, emb_col))
-            lists = (m @ self.centroids.T).argmax(axis=1).astype(np.int32)
-            return t.append_column("list_id", pa.array(lists))
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("list_id", pa.array([], type=pa.int32()))
+        m = _normalize(_embedding_matrix(t, emb_col))
+        lists = (m @ ray.get(cref).T).argmax(axis=1).astype(np.int32)
+        return t.append_column("list_id", pa.array(lists))
 
     os.makedirs(out_dir, exist_ok=True)
-    ds.map_batches(Assign, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency()).write_parquet(
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         out_dir, partition_cols=["list_id"]
     )
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
@@ -341,44 +342,15 @@ def ivf_search(
     # assignment, which is cheaper than threading the partition value through
     cref = ray.put(centroids)
 
-    class Stage:
-        def __init__(self):
-            d = ray.get(ref)
-            self.qids, self.qm = d["qids"], _normalize(d["matrix"])
-            self.q_lists = d["q_lists"]
-            self.centroids = ray.get(cref)
+    def stage(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _BruteScore._EMPTY
+        d = ray.get(ref)
+        return _ivf_probe_score(
+            t, id_col, emb_col, k, d["qids"], _normalize(d["matrix"]), ray.get(cref), d["q_lists"]
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return _BruteScore._EMPTY
-            m = _normalize(_embedding_matrix(t, emb_col))
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            lists = (m @ self.centroids.T).argmax(axis=1)
-            out_q, out_n, out_c = [], [], []
-            for qi, qid in enumerate(self.qids):
-                probe = np.isin(lists, self.q_lists[qi])
-                probe &= ids != qid
-                if not probe.any():
-                    continue
-                cos = m[probe] @ self.qm[qi]
-                cand_ids = ids[probe]
-                if len(cand_ids) > k:
-                    part = np.argpartition(-cos, k)[:k]
-                    cand_ids, cos = cand_ids[part], cos[part]
-                out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
-                out_n.append(cand_ids.astype(np.int64))
-                out_c.append(cos)
-            if not out_q:
-                return _BruteScore._EMPTY
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q)),
-                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
-                    "cos_sim": pa.array(np.concatenate(out_c), type=pa.float64()),
-                }
-            )
-
-    partial = ds.map_batches(Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
+    partial = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(
@@ -480,15 +452,13 @@ def cosine_neardup_pairs(
     exact-scored. Partitioning assumption: the candidate set fits a
     broadcast; the embedding table itself is never materialized."""
     if num_buckets is None:
-        from ..functions.partitioning import shuffle_fanout, pool_concurrency
+        from ..functions.partitioning import shuffle_fanout
 
         num_buckets = shuffle_fanout(ds)
     rows = ds.map_batches(
-        _HyperplaneLSHStage,
+        lambda t: _HyperplaneLSHStage(id_col, emb_col, n_planes, n_tables, seed, num_buckets)(t),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_concurrency(),
-        fn_constructor_args=(id_col, emb_col, n_planes, n_tables, seed, num_buckets),
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -524,31 +494,27 @@ def cosine_neardup_pairs(
     cand_ids = np.unique(np.concatenate([a, b]))
     ids_ref = ray.put(pa.array(cand_ids.astype(np.int64)))
 
-    class FetchStage:
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.ids)
-            t = t.filter(keep)
-            if len(t) == 0:
-                return pa.table(
-                    {"vec_id": pa.array([], type=pa.int64()),
-                     "emb": pa.array([], type=pa.large_list(pa.float64()))}
-                )
-            m = _embedding_matrix(t, emb_col)
-            offs = np.arange(len(t) + 1, dtype=np.int64) * m.shape[1]
+    def fetch_stage(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=ray.get(ids_ref))
+        t = t.filter(keep)
+        if len(t) == 0:
             return pa.table(
-                {
-                    "vec_id": pc.cast(t[id_col], pa.int64()),
-                    "emb": pa.LargeListArray.from_arrays(
-                        pa.array(offs), pa.array(m.reshape(-1), type=pa.float64())
-                    ),
-                }
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "emb": pa.array([], type=pa.large_list(pa.float64()))}
             )
+        m = _embedding_matrix(t, emb_col)
+        offs = np.arange(len(t) + 1, dtype=np.int64) * m.shape[1]
+        return pa.table(
+            {
+                "vec_id": pc.cast(t[id_col], pa.int64()),
+                "emb": pa.LargeListArray.from_arrays(
+                    pa.array(offs), pa.array(m.reshape(-1), type=pa.float64())
+                ),
+            }
+        )
 
     small = _collect_blocks(
-        ds.map_batches(FetchStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency()),
+        ds.map_batches(fetch_stage, batch_format="pyarrow", zero_copy_batch=True),
         pa.schema([("vec_id", pa.int64()), ("emb", pa.large_list(pa.float64()))]),
     )
     got_ids = small["vec_id"].to_numpy(zero_copy_only=False)

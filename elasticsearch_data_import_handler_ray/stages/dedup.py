@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.partitioning import shuffle_fanout, pool_concurrency
+from ..functions.partitioning import shuffle_fanout
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV = np.uint64(1099511628211)
@@ -127,10 +127,13 @@ def minhash_signatures(
 
 
 class MinHashStage:
-    """map_batches stage: text → ONE row per doc (doc_id, sig). Stateful
-    (hash params) → callable class / actor pool. Band explosion happens in a
-    separate cheap stage so the 512-byte signature never multiplies through
-    the LSH shuffle."""
+    """map_batches stage: text → ONE row per doc (doc_id, sig). The "state"
+    (hash params) is derived from the seed in microseconds, so the pipelines
+    run this as a TASK-pool function (``_minhash_stage_fn``) — an actor pool
+    here pays cold-start/scale-up lag for nothing (measured at sf0.1:
+    3.2 s actor pool vs 0.6 s tasks for the same stage). Band explosion
+    happens in a separate cheap stage so the 512-byte signature never
+    multiplies through the LSH shuffle."""
 
     def __init__(self, text_col="text", id_col="doc_id", shingle_k=5, num_hashes=64, seed=7):
         self.text_col, self.id_col = text_col, id_col
@@ -157,6 +160,16 @@ class MinHashStage:
                 ),
             }
         )
+
+
+def _minhash_stage_fn(
+    t: pa.Table, *, text_col="text", id_col="doc_id", shingle_k=5, num_hashes=64, seed=7
+) -> pa.Table:
+    """Task-pool form of MinHashStage (see its docstring for why tasks)."""
+    return MinHashStage(
+        text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, seed=seed,
+    )(t)
 
 
 def _sig_matrix(t: pa.Table, num_hashes: int) -> np.ndarray:
@@ -261,11 +274,10 @@ def lsh_candidate_pairs(
     if num_buckets is None:
         num_buckets = shuffle_fanout(ds)
     sig_ds = ds.map_batches(
-        MinHashStage,
+        _minhash_stage_fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_concurrency(),
-        fn_constructor_kwargs=dict(
+        fn_kwargs=dict(
             text_col=text_col, id_col=id_col, shingle_k=shingle_k,
             num_hashes=num_hashes, seed=seed,
         ),
@@ -295,17 +307,15 @@ def lsh_candidate_pairs(
     )
 
 
-class _CandidateSigStage(MinHashStage):
+def _candidate_sig_fn(t: pa.Table, *, ids_ref, **sig_kwargs) -> pa.Table:
     """Second corpus pass: signatures for ONLY the candidate docs (broadcast
-    id set, vectorized filter, then the normal signature kernel)."""
-
-    def __init__(self, ids_ref, **kw):
-        super().__init__(**kw)
-        self.ids = ray.get(ids_ref)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        keep = pc.is_in(pc.cast(t[self.id_col], pa.int64()), value_set=self.ids)
-        return super().__call__(t.filter(keep))
+    id set — ray.get per task is a zero-copy plasma read — vectorized filter,
+    then the normal signature kernel). Task pool, not actors (see
+    MinHashStage docstring)."""
+    ids = ray.get(ids_ref)
+    id_col = sig_kwargs.get("id_col", "doc_id")
+    keep = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=ids)
+    return _minhash_stage_fn(t.filter(keep), **sig_kwargs)
 
 
 def _candidate_signatures(
@@ -314,11 +324,10 @@ def _candidate_signatures(
     """→ (sorted candidate doc_ids, their signature matrix)."""
     ids_ref = ray.put(pa.array(np.sort(pair_ids).astype(np.int64)))
     small = ds.map_batches(
-        _CandidateSigStage,
+        _candidate_sig_fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_concurrency(),
-        fn_constructor_kwargs=dict(ids_ref=ids_ref, **sig_kwargs),
+        fn_kwargs=dict(ids_ref=ids_ref, **sig_kwargs),
     )
     num_hashes = sig_kwargs.get("num_hashes", 64)
     tbl = _collect_blocks(
@@ -509,43 +518,38 @@ def ngram_jaccard_pairs(
     cand = np.unique(np.concatenate([a, b]))
     ids_ref = ray.put(pa.array(cand.astype(np.int64)))
 
-    class ShingleStage:
-        """Candidate-doc shingle sets: (doc_id, sorted unique shingle list)."""
-
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.ids))
-            if len(t) == 0:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], type=pa.int64()),
-                        "shingles": pa.array([], type=pa.large_list(pa.uint64())),
-                    }
-                )
-            tok_h, offsets = _token_hashes(t[text_col])
-            sh, sh_doc = _shingle_hashes(tok_h, offsets, shingle_k)
-            doc_ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-            lists = []
-            bounds = np.searchsorted(sh_doc, np.arange(len(doc_ids) + 1))
-            for d in range(len(doc_ids)):
-                lists.append(np.unique(sh[bounds[d] : bounds[d + 1]]))
-            offs = np.zeros(len(lists) + 1, dtype=np.int64)
-            np.cumsum([len(x) for x in lists], out=offs[1:])
-            flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.uint64)
+    def shingle_stage(t: pa.Table) -> pa.Table:
+        """Candidate-doc shingle sets: (doc_id, sorted unique shingle list).
+        Task pool — the only state is the broadcast id set (plasma read)."""
+        ids = ray.get(ids_ref)
+        t = t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=ids))
+        if len(t) == 0:
             return pa.table(
                 {
-                    "doc_id": pa.array(doc_ids, type=pa.int64()),
-                    "shingles": pa.LargeListArray.from_arrays(
-                        pa.array(offs), pa.array(flat, type=pa.uint64())
-                    ),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "shingles": pa.array([], type=pa.large_list(pa.uint64())),
                 }
             )
+        tok_h, offsets = _token_hashes(t[text_col])
+        sh, sh_doc = _shingle_hashes(tok_h, offsets, shingle_k)
+        doc_ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        lists = []
+        bounds = np.searchsorted(sh_doc, np.arange(len(doc_ids) + 1))
+        for d in range(len(doc_ids)):
+            lists.append(np.unique(sh[bounds[d] : bounds[d + 1]]))
+        offs = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in lists], out=offs[1:])
+        flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "shingles": pa.LargeListArray.from_arrays(
+                    pa.array(offs), pa.array(flat, type=pa.uint64())
+                ),
+            }
+        )
 
-    small = ds.map_batches(
-        ShingleStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency()
-    )
+    small = ds.map_batches(shingle_stage, batch_format="pyarrow", zero_copy_batch=True)
     tbl = _collect_blocks(
         small, pa.schema([("doc_id", pa.int64()), ("shingles", pa.large_list(pa.uint64()))])
     )
@@ -692,15 +696,11 @@ def apply_dedup(
     drop = clusters.filter(pc.equal(clusters["keep"], False))["doc_id"]
     drop_ref = ray.put(drop.combine_chunks() if isinstance(drop, pa.ChunkedArray) else drop)
 
-    class Filter:
-        def __init__(self):
-            self.drop = ray.get(drop_ref)
+    def drop_filter(t: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=ray.get(drop_ref))
+        return t.filter(pc.invert(m))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.drop)
-            return t.filter(pc.invert(m))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_concurrency())
+    return ds.map_batches(drop_filter, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_corpus(
