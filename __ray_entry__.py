@@ -120,6 +120,35 @@ def _quality(sf_dir: str):
     )
 
 
+def _chunk_text(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import chunk_batch
+
+    return table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        chunk_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs=dict(size=400, stride=300),
+    )
+
+
+def _redact(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import redact_batch
+
+    return table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        redact_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs=dict(pattern=r"\b(key|hash)\b", replacement="<K>"),
+    )
+
+
+def _repetition(sf_dir: str):
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.text import repetition_batch
+
+    return table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _lang_id(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -451,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,
+            "chunk_text": _chunk_text,
+            "redact": _redact,
+            "repetition": _repetition,
         }
     )
     return out
@@ -701,6 +733,57 @@ def oracle_sql() -> dict[str, str]:
         "term_df_whitespace": _TERM_DF_SQL,
         "term_df_salted": _TERM_DF_SQL,
         "sql_expr": _SQL_EXPR.format(src="lineitem"),
+        "window_rank": """
+            SELECT l_orderkey, l_linenumber,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber) AS rn,
+                   RANK() OVER (PARTITION BY l_orderkey
+                       ORDER BY CAST(l_quantity AS BIGINT) DESC) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY l_orderkey
+                       ORDER BY CAST(l_quantity AS BIGINT) DESC) AS drnk
+            FROM lineitem WHERE l_orderkey % 10 = 0
+        """,
+        "window_lag": """
+            SELECT event_id, user_id,
+                   COALESCE(CAST(date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS BIGINT), -1) AS gap_s
+            FROM events
+        """,
+        "rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_f,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "chunk_text": """
+            WITH e AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, CAST(floor((length(text)-1)/300) AS BIGINT))) AS chunk_idx
+                FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, chunk_idx,
+                   substring(text, CAST(chunk_idx*300+1 AS INT), 400) AS chunk
+            FROM e
+        """,
+        "redact": """
+            SELECT doc_id, regexp_replace(text, '\\b(key|hash)\\b', '<K>', 'g') AS redacted
+            FROM documents
+        """,
+        "repetition": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+                   ROUND(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+                         / len(string_split(text, ' ')), 6) AS rep_ratio
+            FROM documents
+        """,
         # rows-only (non-SQL-expressible; oracle-checked in tests/):
         #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,
         #   ann_lsh, embed_neardup, bm25_topk, phrase_search, multimodal_decode

@@ -741,6 +741,144 @@ def q_session_window(sf_dir: str):
     return bucketed.groupby("_bucket").map_groups(sessions, batch_format="pandas")
 
 
+# ---------------------------------------------------------------- window rank functions
+def q_window_rank(sf_dir: str):
+    """ROW_NUMBER / RANK / DENSE_RANK per partition (the Spark-SQL window-fn
+    surface ES-DIH configs could use) — bucketed groupby(l_orderkey hash) with
+    all ranking vectorized pandas inside the bucket. Output int64 ranks."""
+    ds = table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 10 == 0))
+
+    picked = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = picked.map_batches(
+        _add_bucket, batch_format="pandas",
+        fn_kwargs=dict(key_cols=["l_orderkey"], num_buckets=shuffle_fanout(ds)),
+    )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["l_orderkey", "l_extendedprice", "l_linenumber"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        grp = g.groupby("l_orderkey", sort=False)
+        rn = grp.cumcount() + 1
+        qty = g["l_quantity"].astype("int64")
+        rnk = qty.groupby(g["l_orderkey"], sort=False).rank(method="min", ascending=False)
+        drnk = qty.groupby(g["l_orderkey"], sort=False).rank(method="dense", ascending=False)
+        return pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"].astype("int64"),
+                "l_linenumber": g["l_linenumber"].astype("int64"),
+                "rn": rn.astype("int64"),
+                "rnk": rnk.astype("int64"),
+                "drnk": drnk.astype("int64"),
+            }
+        )
+
+    return bucketed.groupby("_bucket").map_groups(ranks, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- window lag/lead
+def q_window_lag(sf_dir: str):
+    """LAG() per partition: seconds since each user's previous event (-1 for
+    the first). Bucketed by user hash; the per-user diff is one vectorized
+    shift inside the bucket. Second-boundary semantics match DuckDB
+    date_diff('second', …): floor(epoch) difference, not floor(delta)."""
+    ev = table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    bucketed = ev.map_batches(
+        _add_bucket, batch_format="pandas",
+        fn_kwargs=dict(key_cols=["user_id"], num_buckets=shuffle_fanout(ev)),
+    )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        sec = g["ts"].astype("int64") // 1_000_000  # floor(epoch seconds)
+        gap = sec.diff()
+        gap[g["user_id"].ne(g["user_id"].shift())] = -1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "gap_s": gap.astype("int64"),
+            }
+        )
+
+    return bucketed.groupby("_bucket").map_groups(lag, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- GROUP BY ROLLUP
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest-level aggregate
+    runs distributed (per-batch partial sums → tiny groupby), then the rollup
+    levels are derived from that GROUPS-sized result on the driver — the
+    scale-correct plan (re-aggregating 6 rows, not re-shuffling the corpus).
+    Rolled-up cells use the 'ALL' sentinel (COALESCE in the oracle)."""
+    ds = table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        agg = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)["qty"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    lvl1 = fine.groupby("l_returnflag", as_index=False)["sum_qty"].sum().assign(l_linestatus="ALL")
+    lvl0 = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"], "sum_qty": [fine["sum_qty"].sum()]}
+    )
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty"]
+    ]
+    return pa.Table.from_pandas(out.astype({"sum_qty": "int64"}), preserve_index=False)
+
+
+# ---------------------------------------------------------------- pivot (conditional aggregation)
+def q_pivot(sf_dir: str):
+    """PIVOT l_linestatus into columns (qty_f / qty_o) per l_returnflag —
+    conditional aggregation: per-batch partial pivot (combiner; the shuffle
+    carries ≤|groups| rows per batch), tiny final groupby sum."""
+    ds = table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["l_linestatus"].to_pandas()
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "qty_f": np.where(ls == "F", qty, 0),
+                "qty_o": np.where(ls == "O", qty, 0),
+            }
+        )
+        agg = df.groupby("l_returnflag", sort=False, as_index=False)[["qty_f", "qty_o"]].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("qty_f", alias_name="qty_f"), Sum("qty_o", alias_name="qty_o"))
+    )
+
+
 # ---------------------------------------------------------------- A20: deterministic hash sample
 def q_sample_hash(sf_dir: str):
     """Deterministic 5% sample by key hash (reproducible sampling, A20)."""
@@ -782,4 +920,8 @@ QUERIES = {
     "session_window": q_session_window,
     "window_sliding": q_window_sliding,
     "quantiles": q_quantiles,
+    "window_rank": q_window_rank,
+    "window_lag": q_window_lag,
+    "rollup": q_rollup,
+    "pivot": q_pivot,
 }

@@ -112,6 +112,85 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())})
 
 
+def chunk_batch(
+    t: pa.Table, text_col: str = "text", *, size: int = 400, stride: int = 300
+) -> pa.Table:
+    """Document chunking for training pipelines: split each doc into windows
+    of ``size`` chars every ``stride`` chars (overlapping when size>stride).
+    1 doc row → ceil(len/stride) chunk rows; empty docs emit nothing. The
+    loop below is over CHUNK ORDINALS (bounded by the longest doc in the
+    batch), with every iteration a vectorized slice over all docs long
+    enough — never a per-row loop. SQL-equivalent:
+    unnest(generate_series) + substring (see oracle)."""
+    text = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    n_chunks = np.where(lens > 0, (lens + stride - 1) // stride, 0).astype(np.int64)
+    max_n = int(n_chunks.max()) if len(n_chunks) else 0
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out_id, out_idx, out_chunk = [], [], []
+    for i in range(max_n):
+        m = n_chunks > i
+        sel = pa.array(m)
+        sliced = pc.utf8_slice_codeunits(text.filter(sel), start=i * stride, stop=i * stride + size)
+        out_id.append(ids[m])
+        out_idx.append(np.full(int(m.sum()), i, dtype=np.int64))
+        out_chunk.append(sliced)
+    if not out_id:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "chunk_idx": pa.array([], type=pa.int64()),
+             "chunk": pa.array([], type=pa.string())}
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            "chunk_idx": pa.array(np.concatenate(out_idx), type=pa.int64()),
+            "chunk": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_chunk]),
+        }
+    )
+
+
+def redact_batch(
+    t: pa.Table,
+    text_col: str = "text",
+    *,
+    pattern: str = r"\b[\w.+-]+@[\w-]+\.[\w.]+\b",
+    replacement: str = "<REDACTED>",
+) -> pa.Table:
+    """PII-style scrubbing: replace every regex match (emails by default)
+    with a placeholder — one vectorized RE2 pass. Same RE2 engine as
+    DuckDB's regexp_replace(..., 'g'), so the oracle reproduces it exactly."""
+    red = pc.replace_substring_regex(t[text_col], pattern=pattern, replacement=replacement)
+    return pa.table({"doc_id": t["doc_id"], "redacted": red})
+
+
+def repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Repetition-ratio quality signal: 1 - distinct_tokens/total_tokens per
+    doc (space-split, matching SQL string_split(text,' ')). The distinct
+    count runs as one pandas drop_duplicates over (doc, token) — vectorized
+    C, no per-row set building."""
+    import pandas as pd
+
+    text = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    toks = pc.split_pattern(text, pattern=" ")
+    n_tok = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    uniq = pd.DataFrame({"p": parent, "t": flat}).drop_duplicates()
+    n_uniq = np.zeros(len(t), dtype=np.int64)
+    cnt = uniq.groupby("p", sort=False).size()
+    n_uniq[cnt.index.to_numpy()] = cnt.to_numpy()
+    ratio = 1.0 - n_uniq / np.maximum(n_tok, 1)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tok": pa.array(n_tok, type=pa.int64()),
+            "n_uniq": pa.array(n_uniq, type=pa.int64()),
+            "rep_ratio": pa_round_half_away(pa.array(ratio, type=pa.float64()), 6),
+        }
+    )
+
+
 def sha256_batch_table(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-row sha256 (the A22/BASELINE.json:15 invariant op, SQL-checkable)."""
     shas = [hashlib.sha256(v.encode()).hexdigest() for v in t[text_col].to_pylist()]

@@ -26,6 +26,13 @@ SUBSET = [
     "doc_sha256",
     "token_count",
     "term_df_whitespace",
+    "window_rank",
+    "window_lag",
+    "rollup",
+    "pivot",
+    "chunk_text",
+    "redact",
+    "repetition",
 ]
 
 
