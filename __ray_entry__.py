@@ -339,6 +339,72 @@ def _bm25_on(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _facet_search(sf_dir: str):
+    """ES terms-aggregation under a query: per-lang doc counts over ALL docs
+    matching 'hash join query' (whitespace analyzer → the match predicate is
+    SQL-expressible, so this one gets a full DuckDB oracle)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_facet_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("lang",),
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    try:
+        facets = eng.facets("hash join query", "lang", mode="or", top=100)
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "lang": pa.array([v for v, _ in facets], type=pa.string()),
+            "n": pa.array([n for _, n in facets], type=pa.int64()),
+        }
+    )
+
+
+def _fuzzy_wildcard(sf_dir: str):
+    """Fuzzy (edit-distance) + wildcard term queries over the documents index
+    (rows-only; rank identity vs the full-vocab scalar oracle is pinned in
+    tests/test_index.py)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_fz_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
+    )
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for qi, res in enumerate(
+            [eng.search_fuzzy("hashh", k=10), eng.search_fuzzy("joiin merge", k=10)]
+        ):
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"kind": "fuzzy", "query_idx": qi, "rank": rank,
+                             "doc_id": int(doc_id), "score": round(score, 6)})
+        for qi, res in enumerate(
+            [eng.search_wildcard("ha*h", k=10), eng.search_wildcard("quer?", k=10)]
+        ):
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"kind": "wildcard", "query_idx": qi, "rank": rank,
+                             "doc_id": int(doc_id), "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 _SQL_EXPR = """
     SELECT l_orderkey,
            CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents,
@@ -483,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "chunk_text": _chunk_text,
             "redact": _redact,
             "repetition": _repetition,
+            "facet_search": _facet_search,
+            "fuzzy_wildcard_search": _fuzzy_wildcard,
         }
     )
     return out
@@ -784,7 +852,14 @@ def oracle_sql() -> dict[str, str]:
                          / len(string_split(text, ' ')), 6) AS rep_ratio
             FROM documents
         """,
+        "facet_search": """
+            SELECT lang, count(*)::BIGINT AS n FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            GROUP BY lang
+        """,
         # rows-only (non-SQL-expressible; oracle-checked in tests/):
         #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,
-        #   ann_lsh, embed_neardup, bm25_topk, phrase_search, multimodal_decode
+        #   ann_lsh, embed_neardup, bm25_topk, phrase_search, multimodal_decode,
+        #   fuzzy_wildcard_search
     }

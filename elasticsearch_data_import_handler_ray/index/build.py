@@ -82,6 +82,7 @@ def _tokenize_batch(
     compute_sha: bool,
     emit_dl: bool = False,
     emit_positions: bool = False,
+    store_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """One corpus batch → exploded posting rows (seg, doc_id, term, tf[, dl]).
 
@@ -123,6 +124,9 @@ def _tokenize_batch(
         cols: dict = {"doc_id": pa.array(doc_ids, type=pa.uint64())}
         if doc_id_col is None:
             for c in id_cols:
+                cols[c] = batch[c]
+        for c in store_cols:  # ES stored-fields analogue (facet doc values)
+            if c not in cols:
                 cols[c] = batch[c]
         if compute_sha:
             cols["sha256"] = pa.array(sha256_batch(content), type=pa.string())
@@ -245,6 +249,7 @@ def build_index(
             config.doc_id_col,
             config.content_col,
         ]
+        cols += [c for c in config.store_cols if c not in cols]
         # The shuffle strategy must be set BEFORE the dataset is created: Ray
         # Data snapshots the DataContext into the plan at creation time, so
         # setting it just around the groupby silently leaves the default in
@@ -293,6 +298,7 @@ def build_index(
                 docmap_dir=docmap_dir,
                 compute_sha=compute_sha,
                 emit_positions=config.positions,
+                store_cols=config.store_cols,
             ),
         )
         if segment_concurrency is None:

@@ -105,7 +105,12 @@ class BM25Oracle:
             return []
         prefix, rest = toks[-1], toks[:-1]
         expanded = sorted(t for t in self.postings if t.startswith(prefix))[:max_expansions]
-        terms = [t for t in sorted(set(rest) | set(expanded)) if t in self.postings]
+        return self._score_or(sorted(set(rest) | set(expanded)), k)
+
+    def _score_or(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """OR-score an explicit term list (ascending-term accumulation order,
+        shared with the engine's terms_override path)."""
+        terms = [t for t in terms if t in self.postings]
         if not terms:
             return []
         scores = np.zeros(self.N, dtype=np.float64)
@@ -120,6 +125,58 @@ class BM25Oracle:
         mask = hits > 0
         top = bm25.topk_indices(scores[mask], self.all_docs[mask], k)
         return [(int(self.all_docs[mask][i]), float(scores[mask][i])) for i in top]
+
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """Mirror of QueryEngine.search_wildcard: regex-translate the
+        pattern, expand over the full vocabulary, OR-score the capped union."""
+        import re
+
+        pattern = pattern.lower()
+        rx = re.compile(
+            "".join(".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern)
+        )
+        expanded = sorted(t for t in self.postings if rx.fullmatch(t))[:max_expansions]
+        return self._score_or(expanded, k)
+
+    def search_fuzzy(
+        self, text: str, k: int = 10, max_edits: int = 1, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """Mirror of QueryEngine.search_fuzzy: reference (scalar-Python)
+        Levenshtein over the full vocabulary for the last token."""
+
+        def lev(a: str, b: str) -> int:
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    cur = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                    prev, dp[j] = dp[j], cur
+            return dp[-1]
+
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        fuzz, rest = toks[-1], toks[:-1]
+        expanded = sorted(
+            t for t in self.postings
+            if abs(len(t) - len(fuzz)) <= max_edits and lev(t, fuzz) <= max_edits
+        )[:max_expansions]
+        return self._score_or(sorted(set(rest) | set(expanded)), k)
+
+    def match_docs(self, text: str, mode: str = "or") -> np.ndarray:
+        """ALL doc ids matching the analyzed query (facet oracle)."""
+        terms_all = sorted(set(self.analyzer.analyze_query(text)))
+        terms = [t for t in terms_all if t in self.postings]
+        if not terms or (mode == "and" and len(terms) < len(terms_all)):
+            return np.empty(0, dtype=np.uint64)
+        hits = np.zeros(self.N, dtype=np.int32)
+        for t in terms:
+            ids, _ = self.postings[t]
+            hits[np.searchsorted(self.all_docs, ids)] += 1
+        mask = hits == len(terms) if mode == "and" else hits > 0
+        return self.all_docs[mask]
 
 
 class MultiFieldOracle:

@@ -28,6 +28,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -365,6 +366,32 @@ def _score_bmw(
                         ti.seek(pivot_doc)
 
 
+def _levenshtein_filter(cands: np.ndarray, q: str, max_edits: int) -> np.ndarray:
+    """Candidates within edit distance ``max_edits`` of ``q`` — one DP over
+    the whole candidate array at once (rows = candidates). O(|q| × width)
+    vectorized steps, no per-candidate Python."""
+    if len(cands) == 0:
+        return cands
+    width = cands.dtype.itemsize // 4  # fixed-width unicode: 4 bytes/codepoint
+    M = cands.view(np.uint32).reshape(len(cands), width)
+    L = np.char.str_len(cands)
+    qcp = np.frombuffer(np.array(q, dtype=f"U{max(len(q), 1)}").tobytes(), dtype=np.uint32)[
+        : len(q)
+    ]
+    n = len(cands)
+    prev = np.broadcast_to(np.arange(width + 1, dtype=np.int32), (n, width + 1)).copy()
+    for i, qc in enumerate(qcp, start=1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (M != qc)
+        for j in range(1, width + 1):
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], sub[:, j - 1], out=cur[:, j])
+        prev = cur
+    dist = prev[np.arange(n), L]
+    return cands[dist <= max_edits]
+
+
 class QueryShard:
     """One actor per doc-shard: loads every run's segment for its seg_id.
 
@@ -519,6 +546,80 @@ class QueryShard:
             hi = int(np.searchsorted(r.terms, hi_key))
             found.update(str(t) for t in r.terms[lo : min(hi, lo + cap)])
         return sorted(found)[:cap]
+
+    def expand_wildcard(self, pattern: str, cap: int) -> list[str]:
+        """Dictionary terms matching a ``*``/``?`` wildcard pattern. The
+        literal prefix before the first wildcard narrows the scan to a
+        binary-searched dictionary range (the ES "avoid leading wildcards"
+        cost model); matching within the range is one vectorized RE2 pass.
+        Returns the first ``cap`` matches lexicographically per shard (same
+        capped-union contract as expand_prefix)."""
+        import re as _re
+
+        prefix = _re.split(r"[*?]", pattern, 1)[0]
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern
+        ) + "$"
+        found: set[str] = set()
+        for r in self.readers:
+            if prefix:
+                lo = int(np.searchsorted(r.terms, prefix))
+                hi = int(np.searchsorted(r.terms, prefix + "\U0010ffff"))
+            else:
+                lo, hi = 0, len(r.terms)
+            cand = r.terms[lo:hi]
+            if len(cand) == 0:
+                continue
+            m = pc.match_substring_regex(
+                pa.array(cand, type=pa.string()), pattern=rx
+            ).to_numpy(zero_copy_only=False)
+            hits = cand[m]
+            found.update(str(t) for t in hits[:cap])
+        return sorted(found)[:cap]
+
+    def expand_fuzzy(self, term: str, max_edits: int, cap: int) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``max_edits`` of
+        ``term`` (the ES fuzzy-query expansion). Candidates are length-
+        filtered (|len-len(q)| ≤ d is a Levenshtein lower bound), then the
+        edit distance runs as a BATCH dynamic program over the whole
+        candidate array — numpy rows are candidates, the loops are only over
+        the query length × max candidate width (~200 vectorized ops)."""
+        found: set[str] = set()
+        for r in self.readers:
+            u = r.terms.astype("U")  # fixed-width unicode view of the dict
+            lens = np.char.str_len(u)
+            m = np.abs(lens - len(term)) <= max_edits
+            cand = u[m]
+            if len(cand) == 0:
+                continue
+            hits = _levenshtein_filter(cand, term, max_edits)
+            found.update(str(t) for t in hits)
+        return sorted(found)[:cap]
+
+    def match_doc_ids(self, terms: list[str], mode: str) -> np.ndarray:
+        """ALL doc ids matching the query (OR: any term; AND: every term) —
+        the aggregation/facet match set, not a top-k. Uses the decoded-
+        postings LRU; per-reader set algebra is numpy (docs are disjoint
+        across readers so results concatenate)."""
+        out: list[np.ndarray] = []
+        for ri in range(len(self.readers)):
+            per_term = [self._decoded(ri, t) for t in terms]
+            arrs = [p[0] for p in per_term if p is not None]
+            if mode == "and":
+                if len(arrs) < len(terms):
+                    continue
+                cur = arrs[0]
+                for a in arrs[1:]:
+                    cur = np.intersect1d(cur, a, assume_unique=True)
+                    if len(cur) == 0:
+                        break
+                if len(cur):
+                    out.append(cur)
+            elif arrs:
+                out.append(np.unique(np.concatenate(arrs)))
+        if not out:
+            return np.empty(0, dtype=np.uint64)
+        return np.unique(np.concatenate(out))
 
     def dfs(self, terms: list[str]) -> list[int]:
         return [int(sum(r.df(t) for r in self.readers)) for t in terms]
@@ -817,10 +918,23 @@ class QueryEngine:
         from the build's docmap — how a top-k result becomes user-facing rows.
         Streams the docmap with a broadcast membership mask; only the matched
         rows are materialized."""
-        import os
-
         import pyarrow.compute as pc
         import ray.data
+
+        files = self._docmap_files()
+        wanted = pa.array(np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.uint64))
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"], value_set=wanted))
+
+        return ray.data.read_parquet(files).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+
+    def _docmap_files(self) -> list[str]:
+        """All docmap parquet shards across complete runs (both lineage keys:
+        first-class builds record docmap_dir, merged runs docmap_dirs)."""
+        import os
 
         dm_dirs = []
         for r in self.man.complete_runs().values():
@@ -836,14 +950,87 @@ class QueryEngine:
         ]
         if not files:
             raise ValueError("index was built without docmap (write_docmap=False)")
-        wanted = pa.array(np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.uint64))
+        return files
 
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["doc_id"], value_set=wanted))
+    def search_wildcard(self, pattern: str, k: int = 10, max_expansions: int = 50):
+        """ES wildcard-query shape: ``*`` matches any run, ``?`` one char.
+        The pattern is matched against the term dictionary per shard (range-
+        narrowed by the literal prefix), the capped expansion union scores as
+        a normal OR query with per-term idf (same blending as search_prefix)."""
+        pattern = pattern.lower()
+        per = ray.get(
+            [a.expand_wildcard.remote(pattern, max_expansions) for a in self._actors]
+        )
+        expanded = sorted(set().union(*map(set, per)))[:max_expansions]
+        if not expanded:
+            return []
+        return self.search_many(
+            [{"text": pattern, "mode": "or", "terms_override": expanded}], k=k
+        )[0]
 
-        return ray.data.read_parquet(files).map_batches(
-            f, batch_format="pyarrow", zero_copy_batch=True
-        ).to_pandas()
+    def search_fuzzy(
+        self, text: str, k: int = 10, max_edits: int = 1, max_expansions: int = 50
+    ):
+        """ES fuzzy-query shape: the LAST analyzed token expands to every
+        dictionary term within ``max_edits`` Levenshtein edits (vectorized DP
+        per shard); expansions + the other tokens score as a normal OR query
+        with per-term idf."""
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        fuzz, rest = toks[-1], toks[:-1]
+        per = ray.get(
+            [a.expand_fuzzy.remote(fuzz, max_edits, max_expansions) for a in self._actors]
+        )
+        expanded = sorted(set().union(*map(set, per)))[:max_expansions]
+        terms = sorted(set(rest) | set(expanded))
+        if not terms:
+            return []
+        return self.search_many(
+            [{"text": text, "mode": "or", "terms_override": terms}], k=k
+        )[0]
+
+    def facets(
+        self, text: str, field: str, *, mode: str = "or", top: int = 10
+    ) -> list[tuple[str, int]]:
+        """ES terms-aggregation under a query: value counts of a docmap
+        identity column over ALL docs matching the query (not just top-k).
+        Shards compute their full match sets from the decoded-postings LRU;
+        the counting pass streams the docmap (column-pruned read, broadcast
+        membership mask, distributed groupby) — the corpus never lands on the
+        driver. Partitioning assumption (documented): the match-ID set fits
+        an object-store broadcast (8 B/match); at multi-node scale the
+        per-shard doc-values layout (each actor counting its own segment's
+        docs) removes even that — noted as the cluster path."""
+        import ray.data
+        from ray.data.aggregate import Count
+
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        per = ray.get([a.match_doc_ids.remote(terms, mode) for a in self._actors])
+        nonempty = [p for p in per if len(p)]
+        if not nonempty:
+            return []
+        ids = np.unique(np.concatenate(nonempty)).astype(np.uint64)
+        ids_ref = ray.put(pa.array(ids, type=pa.uint64()))
+        files = self._docmap_files()
+
+        def flt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            m = _pc.is_in(_pc.cast(t["doc_id"], pa.uint64()), value_set=ray.get(ids_ref))
+            return t.filter(m)
+
+        res = (
+            ray.data.read_parquet(files, columns=["doc_id", field])
+            .map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(field)
+            .aggregate(Count(alias_name="n"))
+            .to_pandas()
+        )
+        res = res.sort_values(["n", field], ascending=[False, True], kind="mergesort").head(top)
+        return [(str(v), int(n)) for v, n in zip(res[field], res["n"])]
 
     def close(self) -> None:
         for a in self._actors:

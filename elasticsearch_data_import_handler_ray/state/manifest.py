@@ -36,16 +36,21 @@ class IndexConfig:
     # index per-occurrence token positions in a sidecar stream (positions.bin)
     # — enables mode="phrase" queries; postings.bin stays byte-identical
     positions: bool = False
+    # extra source columns stored per doc in the docmap (ES stored-fields /
+    # doc-values analogue) — the columns facets() can aggregate over
+    store_cols: tuple[str, ...] = ()
 
     def to_dict(self) -> dict:
         d = asdict(self)
         d["id_cols"] = list(self.id_cols)
+        d["store_cols"] = list(self.store_cols)
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "IndexConfig":
         d = dict(d)
         d["id_cols"] = tuple(d.get("id_cols", ("repo", "path", "commit")))
+        d["store_cols"] = tuple(d.get("store_cols", ()))
         return cls(**d)
 
 

@@ -162,6 +162,50 @@ def test_must_not_exclusion(engine, oracle):
     assert plain != excl
 
 
+def test_wildcard_search_rank_identity(engine, oracle):
+    """Wildcard term queries: engine dictionary expansion (range-narrowed
+    RE2 scan) == full-vocab regex oracle, ranks and scores identical."""
+    for pattern in ["par*", "?arse", "h*t_term_*", "get*r", "*zznomatch"]:
+        got = engine.search_wildcard(pattern, k=10)
+        want = oracle.search_wildcard(pattern, k=10)
+        assert got == [(d, s) for d, s in want], pattern
+    got = engine.search_wildcard("h*", k=10, max_expansions=5)
+    want = oracle.search_wildcard("h*", k=10, max_expansions=5)
+    assert got == [(d, s) for d, s in want]
+    assert engine.search_wildcard("par*", k=10)  # non-empty
+
+
+def test_fuzzy_search_rank_identity(engine, oracle):
+    """Fuzzy queries: vectorized Levenshtein expansion == scalar reference
+    DP over the full vocabulary, ranks and scores identical."""
+    for text, d in [("parze", 1), ("hot_tarm_0", 1), ("mergq", 1), ("pxrze", 2), ("foo parze", 1)]:
+        got = engine.search_fuzzy(text, k=10, max_edits=d)
+        want = oracle.search_fuzzy(text, k=10, max_edits=d)
+        assert got == [(ds, s) for ds, s in want], (text, d)
+    assert engine.search_fuzzy("parze", k=10)  # the typo actually matches
+
+
+def test_facets_match_counts(engine, oracle, tiny_corpus):
+    """Terms-aggregation facets: per-value counts over ALL matching docs ==
+    a pandas count over the oracle's match set joined to the corpus."""
+    import pandas as pd
+
+    tables = [pq.read_table(f) for f in corpus_files(tiny_corpus)]
+    t = pa.concat_tables(tables)
+    ids = doc_ids_batch(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), t["commit"].combine_chunks()
+    )
+    meta = pd.DataFrame({"doc_id": ids.astype(np.uint64), "repo": t["repo"].to_pandas()})
+    for text, mode in [("parse json", "or"), ("parse json", "and"), ("hot_term_0", "or")]:
+        match = oracle.match_docs(text, mode=mode)
+        sub = meta[meta["doc_id"].isin(match)]
+        cnt = sub.groupby("repo").size().reset_index(name="n")
+        want = cnt.sort_values(["n", "repo"], ascending=[False, True], kind="mergesort")
+        got = engine.facets(text, "repo", mode=mode, top=10)
+        assert got == [(r, int(n)) for r, n in zip(want["repo"], want["n"])][:10], (text, mode)
+    assert engine.facets("zzzunknown", "repo") == []
+
+
 def test_prefix_search_rank_identity(engine, oracle):
     """Prefix/autocomplete queries: last token expands via the term
     dictionary; ranks and scores oracle-identical, expansion cap honored."""
