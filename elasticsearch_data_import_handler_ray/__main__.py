@@ -6,6 +6,7 @@
         [--verify-sidecar PATH] [--positions]
     python -m elasticsearch_data_import_handler_ray query <index_dir> <text>...
         [-k 10] [--mode or|and|phrase] [--method auto|bmw|exhaustive]
+        [--fuzzy N] [--wildcard] [--facet FIELD]
     python -m elasticsearch_data_import_handler_ray merge <index_dir>
     python -m elasticsearch_data_import_handler_ray fsck <index_dir>
 
@@ -36,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--verify-sidecar", default=None)
     b.add_argument("--positions", action="store_true",
                    help="index token positions (enables --mode phrase queries)")
+    b.add_argument("--store", action="append", default=[], metavar="FIELD",
+                   help="store a source column in the docmap (facet doc values); repeatable")
 
     q = sub.add_parser("query")
     q.add_argument("index_dir")
@@ -43,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", default="or", choices=["or", "and", "phrase"])
     q.add_argument("--method", default="auto", choices=["auto", "bmw", "exhaustive"])
+    q.add_argument("--fuzzy", type=int, default=0, metavar="N",
+                   help="fuzzy-expand the last token within N edits")
+    q.add_argument("--wildcard", action="store_true",
+                   help="treat each text as a */? wildcard term pattern")
+    q.add_argument("--facet", default=None, metavar="FIELD",
+                   help="print per-FIELD doc counts over ALL matches instead of top-k")
 
     m = sub.add_parser("merge")
     m.add_argument("index_dir")
@@ -81,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
                     doc_id_col=args.doc_id_col,
                     content_col=args.content_col,
                     positions=args.positions,
+                    store_cols=tuple(args.store),
                 )
             res = build_index(args.corpus, args.index_dir, mode=args.mode, config=cfg)
             out = {
@@ -98,11 +108,21 @@ def main(argv: list[str] | None = None) -> int:
 
             eng = QueryEngine(args.index_dir)
             try:
-                results = eng.search_many(
-                    [{"text": t, "mode": args.mode} for t in args.text],
-                    k=args.k,
-                    method=args.method,
-                )
+                if args.facet:
+                    for t in args.text:
+                        fac = eng.facets(t, args.facet, mode=args.mode)
+                        print(json.dumps({"query": t, "facets": [{"value": v, "n": n} for v, n in fac]}))
+                    results = []
+                elif args.wildcard:
+                    results = [eng.search_wildcard(t, k=args.k) for t in args.text]
+                elif args.fuzzy:
+                    results = [eng.search_fuzzy(t, k=args.k, max_edits=args.fuzzy) for t in args.text]
+                else:
+                    results = eng.search_many(
+                        [{"text": t, "mode": args.mode} for t in args.text],
+                        k=args.k,
+                        method=args.method,
+                    )
             finally:
                 eng.close()
             for t, res in zip(args.text, results):

@@ -90,9 +90,112 @@ ANALYZERS: dict[str, type[Analyzer]] = {
     UnicodeAnalyzer.name: UnicodeAnalyzer,
 }
 
+# ES "stop" filter analogue — fixed English list, deterministic by design
+# (affects doc_len exactly as ES's stop filter does)
+STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+
+def _s_stem(v: pa.Array) -> pa.Array:
+    """Harman-style "S stemmer" (public: Harman 1991, 'How effective is
+    suffixing?'), vectorized as an elif chain of suffix rules — a word is
+    claimed by the FIRST suffix that matches; excluded words stay unchanged:
+      1. -ies → -y   (unless -aies / -eies)
+      2. -es  → -e   (unless -aes / -ees / -oes)
+      3. -s   → ∅    (unless -us / -ss)
+    Words of ≤3 chars never stem."""
+    long_enough = pc.greater(pc.utf8_length(v), 3)
+    ies = pc.ends_with(v, pattern="ies")
+    ies_ok = pc.and_(
+        ies, pc.invert(pc.or_(pc.ends_with(v, pattern="aies"), pc.ends_with(v, pattern="eies")))
+    )
+    es = pc.ends_with(v, pattern="es")
+    es_ok = pc.and_(
+        es,
+        pc.invert(
+            pc.or_(
+                pc.or_(pc.ends_with(v, pattern="aes"), pc.ends_with(v, pattern="ees")),
+                pc.ends_with(v, pattern="oes"),
+            )
+        ),
+    )
+    s = pc.ends_with(v, pattern="s")
+    s_ok = pc.and_(
+        s, pc.invert(pc.or_(pc.ends_with(v, pattern="us"), pc.ends_with(v, pattern="ss")))
+    )
+    r_ies = pc.replace_substring_regex(v, pattern="ies$", replacement="y")
+    r_es = pc.replace_substring_regex(v, pattern="s$", replacement="")  # -es → -e
+    r_s = pc.replace_substring_regex(v, pattern="s$", replacement="")
+    not_ies = pc.invert(ies)
+    out = pc.if_else(
+        pc.and_(long_enough, ies_ok),
+        r_ies,
+        pc.if_else(
+            pc.and_(long_enough, pc.and_(not_ies, es_ok)),
+            r_es,
+            pc.if_else(
+                pc.and_(long_enough, pc.and_(pc.and_(not_ies, pc.invert(es)), s_ok)),
+                r_s,
+                v,
+            ),
+        ),
+    )
+    return out
+
+
+class FilteredAnalyzer(Analyzer):
+    """Token-filter wrapper (the ES analyzer = tokenizer + filters model):
+    stopword removal and/or S-stemming on top of any base analyzer. Filters
+    are VALUE transforms on the token stream — a stopword becomes "" (the
+    shared empty-token drop downstream removes it before positions/doc_len
+    are assigned, so phrase adjacency and norms see the filtered stream,
+    exactly like ES's stop filter), and stemming rewrites values in place
+    (list shape unchanged). Queries share the object, so both sides filter
+    identically (§2.B7)."""
+
+    def __init__(self, base: Analyzer, *, stop: bool = False, stem: bool = False):
+        self.base = base
+        self.stop = stop
+        self.stem = stem
+        self.name = base.name + ("+stop" if stop else "") + ("+stem" if stem else "")
+        self._stopset = pa.array(sorted(STOPWORDS), type=pa.large_string()) if stop else None
+
+    def tokens_of(self, content):
+        lst = self.base.tokens_of(content)
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        # null token-lists (null content rows) flatten to zero tokens
+        lengths_arr = pc.fill_null(pc.list_value_length(lst), 0)
+        lengths = lengths_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        v = pc.cast(flat, pa.large_string())
+        if self.stop:
+            v = pc.if_else(
+                pc.is_in(v, value_set=self._stopset), pa.scalar("", type=pa.large_string()), v
+            )
+        if self.stem:
+            v = _s_stem(v)
+        return pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), v)
+
 
 def get_analyzer(name: str) -> Analyzer:
-    return ANALYZERS[name]()
+    """``"code"`` → base analyzer; ``"code+stop"``, ``"unicode+stop+stem"``
+    etc. compose token filters onto the base (order-insensitive suffixes)."""
+    parts = name.split("+")
+    base = ANALYZERS[parts[0]]()
+    flags = set(parts[1:])
+    unknown = flags - {"stop", "stem"}
+    if unknown:
+        raise KeyError(f"unknown analyzer filters: {sorted(unknown)}")
+    if flags:
+        return FilteredAnalyzer(base, stop="stop" in flags, stem="stem" in flags)
+    return base
 
 
 def term_frequencies(

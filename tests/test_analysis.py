@@ -56,3 +56,78 @@ def test_unicode_analyzer():
     assert az.analyze_query("Héllo Wörld 你好 foo_bar 42") == ["héllo", "wörld", "你好", "foo", "bar", "42"]
     assert az.analyze_query("ÀÉÎ test") == ["àéî", "test"]
     # code analyzer would drop the CJK text entirely; unicode keeps it searchable
+
+
+def test_get_analyzer_filter_suffixes():
+    import pytest
+
+    from elasticsearch_data_import_handler_ray.functions.analysis import (
+        FilteredAnalyzer,
+        get_analyzer,
+    )
+
+    az = get_analyzer("code+stop")
+    assert isinstance(az, FilteredAnalyzer) and az.stop and not az.stem
+    az = get_analyzer("unicode+stem+stop")
+    assert az.stop and az.stem and az.name == "unicode+stop+stem"
+    assert not isinstance(get_analyzer("code"), FilteredAnalyzer)
+    with pytest.raises(KeyError):
+        get_analyzer("code+bogus")
+
+
+def test_stopword_filter_drops_and_renumbers_positions():
+    from elasticsearch_data_import_handler_ray.functions.analysis import (
+        get_analyzer,
+        term_frequencies_positions,
+    )
+
+    az = get_analyzer("code+stop")
+    # "the" and "of" are stopwords; surviving tokens are adjacent positions
+    post, dl = term_frequencies_positions(
+        az,
+        pa.array([1], type=pa.uint64()),
+        pa.array(["the hash of the join"], type=pa.large_string()),
+    )
+    rows = {r["term"]: (r["tf"], r["pos"]) for r in post.to_pylist()}
+    assert rows == {"hash": (1, [0]), "join": (1, [1])}
+    assert dl.to_pylist() == [{"doc_id": 1, "doc_len": 2}]
+    # query side filters identically
+    assert az.analyze_query("the hash of the join") == ["hash", "join"]
+
+
+def test_s_stemmer_goldens():
+    from elasticsearch_data_import_handler_ray.functions.analysis import get_analyzer
+
+    az = get_analyzer("whitespace+stem")
+    cases = {
+        "queries": "query",      # -ies -> -y
+        "tables": "table",       # -es -> -e
+        "joins": "join",         # -s -> drop
+        "pass": "pass",          # -ss excluded
+        "corpus": "corpus",      # -us excluded
+        "goes": "goes",          # -oes excluded
+        "trees": "trees",        # -ees excluded
+        "dies": "dies",          # len<=4 but -ies needs >3: d-i-e-s is 4 chars -> stems? see below
+        "its": "its",            # len 3, never stems
+        "gas": "gas",            # len 3, never stems
+    }
+    # "dies" has length 4 > 3 and ends in -ies without -aies/-eies: stems to "dy"
+    cases["dies"] = "dy"
+    for w, want in cases.items():
+        assert az.analyze_query(w) == [want], (w, az.analyze_query(w), want)
+
+
+def test_filtered_analyzer_null_content():
+    from elasticsearch_data_import_handler_ray.functions.analysis import (
+        get_analyzer,
+        term_frequencies,
+    )
+
+    az = get_analyzer("code+stop+stem")
+    post, dl = term_frequencies(
+        az,
+        pa.array([1, 2, 3], type=pa.uint64()),
+        pa.array(["the tables", None, "joins"], type=pa.large_string()),
+    )
+    d = {(r["doc_id"], r["term"]): r["tf"] for r in post.to_pylist()}
+    assert d == {(1, "table"): 1, (3, "join"): 1}

@@ -218,3 +218,46 @@ def test_prefix_search_rank_identity(engine, oracle):
     want = oracle.search_prefix("ge", k=10, max_expansions=5)
     assert got == [(d, s) for d, s in want]
     assert engine.search_prefix("pars", k=10)  # actually matches something
+
+
+def test_filtered_analyzer_rank_identity(tmp_path_factory, sf_dir):
+    """Build the documents table with stop+stem token filters and verify BM25
+    rank identity vs the naive oracle using the SAME FilteredAnalyzer (the
+    filters change tokenization, doc_len and df — both sides must agree)."""
+    import os
+
+    from elasticsearch_data_import_handler_ray.functions.analysis import get_analyzer
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    index_dir = str(tmp_path_factory.mktemp("filt") / "idx")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="unicode+stop+stem",
+            num_segments=4,
+            doc_id_col="doc_id",
+            content_col="text",
+        ),
+    )
+    oracle_f = BM25Oracle(
+        get_analyzer("unicode+stop+stem"),
+        docs["doc_id"].to_numpy(zero_copy_only=False).astype("uint64"),
+        docs["text"].combine_chunks(),
+    )
+    eng = QueryEngine(index_dir)
+    try:
+        # stopwords never reach the index
+        assert list(eng.global_dfs(["the", "and", "with"])) == [0, 0, 0]
+        # "tables"/"queries" stem to "table"/"query" on both doc and query side
+        for text, mode in [
+            ("hash joins queries", "or"),
+            ("the data tables", "and"),
+            ("vector merges scans sort", "or"),
+        ]:
+            got = eng.search(text, k=10, mode=mode, method="exhaustive")
+            want = oracle_f.search(text, k=10, mode=mode)
+            assert got == [(d, s) for d, s in want], (text, mode)
+    finally:
+        eng.close()
