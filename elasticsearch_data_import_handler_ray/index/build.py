@@ -360,23 +360,14 @@ def build_index(
 def verify_hashes(index_dir: str, sidecar_path: str) -> int:
     """Assert the per-row sha256 invariant (BASELINE.json:15) by joining the
     build's docmap (doc_id, sha256) against the reference sidecar — no corpus
-    re-read. Returns the number of verified rows; raises on any mismatch."""
+    re-read. Superseded versions (upsert tombstones) are excluded: an
+    upserted doc verifies against its LATEST content hash. Returns the number
+    of verified rows; raises on any mismatch."""
     man = Manifest.load(index_dir)
-    dm_dirs = []
-    for r in man.complete_runs().values():
-        if r["metrics"].get("docmap_dir"):
-            dm_dirs.append(os.path.join(index_dir, r["metrics"]["docmap_dir"]))
-        for d in r["metrics"].get("docmap_dirs") or []:
-            dm_dirs.append(os.path.join(index_dir, d))
-    if not dm_dirs:
-        raise ValueError("index was built without docmap; cannot verify")
-    # expand to files: read_parquet accepts one directory, not a list of them
-    dm_files = [
-        os.path.join(d, f) for d in dm_dirs for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-    ]
     from ..functions.partitioning import join_fanout
+    from .tombstones import docmap_dataset, find_superseded
 
-    ours = ray.data.read_parquet(dm_files, columns=["doc_id", "sha256"])
+    ours = docmap_dataset(man, find_superseded(man), columns=["doc_id", "sha256"])
     ref = ray.data.read_parquet(sidecar_path).rename_columns({"sha256": "ref_sha256"})
     joined = ours.join(ref, join_type="inner", num_partitions=join_fanout(ours, ref), on=("doc_id",))
     bad = joined.filter(expr="sha256 != ref_sha256").count()

@@ -114,11 +114,20 @@ def _check_segment(seg_dir: str) -> dict:
 def verify_index(index_dir: str) -> dict:
     """Full integrity check; returns {segments, n_docs, problems: []} or
     raises IndexCorruption listing every finding."""
+    from .tombstones import find_superseded
+
     man = Manifest.load(index_dir)
     problems: list[str] = []
+    # upsert tombstones: duplicate doc_ids across runs are LEGITIMATE when a
+    # later run supersedes them (pending merge) — only unexplained
+    # duplicates are corruption
+    tomb = find_superseded(man)
+    tomb_ref = ray.put(
+        {rid: t["doc_ids"] for rid, t in tomb.items()}
+    )
     # one work item per DOC-SHARD: all runs' segments of a shard are checked
-    # inside one task (doc sets stay in the task, never on the driver — the
-    # same partitioning assumption merge relies on)
+    # inside one task (doc sets stay in the driver's tasks, never gathered —
+    # the same partitioning assumption merge relies on)
     shards: dict[int, list[str]] = {}
     for run_id, run in man.complete_runs().items():
         for s in run["segments"]:
@@ -132,11 +141,15 @@ def verify_index(index_dir: str) -> dict:
     def do(batch: pa.Table) -> pa.Table:
         import json as _json
 
+        from .tombstones import run_of_segment_dir
+
+        tomb_ids = ray.get(tomb_ref)
         rows = []
         for sid, dirs in zip(batch["seg_id"].to_pylist(), batch["dirs"].to_pylist()):
             shard_problems: list[str] = []
             seen = np.empty(0, dtype=np.uint64)
             n_docs = 0
+            n_superseded = 0
             for d in dirs:
                 rep = _check_segment(d)
                 shard_problems.extend(f"{d}: {p}" for p in rep["problems"])
@@ -146,17 +159,32 @@ def verify_index(index_dir: str) -> dict:
                     shard_problems.append(
                         f"{d}: meta seg_id {meta.get('seg_id')} != manifest {sid}"
                     )
-                dup = np.intersect1d(seen, rep["doc_ids"], assume_unique=True)
+                doc_ids = rep["doc_ids"]
+                dead = tomb_ids.get(run_of_segment_dir(d))
+                if dead is not None:
+                    alive = ~np.isin(doc_ids, dead, assume_unique=True)
+                    n_superseded += int((~alive).sum())
+                    doc_ids = doc_ids[alive]
+                dup = np.intersect1d(seen, doc_ids, assume_unique=True)
                 if len(dup):
                     shard_problems.append(
-                        f"seg_id {sid}: {len(dup)} duplicate doc_ids across runs"
+                        f"seg_id {sid}: {len(dup)} duplicate doc_ids across runs "
+                        "not explained by upsert tombstones"
                     )
-                seen = np.union1d(seen, rep["doc_ids"])
-                n_docs += len(rep["doc_ids"])
-            rows.append({"seg_id": sid, "problems": shard_problems, "n_docs": n_docs})
+                seen = np.union1d(seen, doc_ids)
+                n_docs += len(doc_ids)
+            rows.append(
+                {
+                    "seg_id": sid,
+                    "problems": shard_problems,
+                    "n_docs": n_docs,
+                    "n_superseded": n_superseded,
+                }
+            )
         return pa.Table.from_pylist(rows)
 
     n_docs = 0
+    n_superseded = 0
     if work:
         seg_reports = (
             ray.data.from_items(work)
@@ -166,11 +194,16 @@ def verify_index(index_dir: str) -> dict:
         for _, row in seg_reports.iterrows():
             problems.extend(row["problems"])
             n_docs += int(row["n_docs"])
-    if n_docs != man.n_docs:
-        problems.append(f"Σ segment docs {n_docs} != manifest n_docs {man.n_docs}")
+            n_superseded += int(row["n_superseded"])
+    live_expect = man.n_docs - sum(t["n_nonempty"] for t in tomb.values())
+    if n_docs != live_expect:
+        problems.append(
+            f"Σ live segment docs {n_docs} != manifest n_docs minus tombstones {live_expect}"
+        )
     report = {
         "segments": len(work),
         "n_docs": n_docs,
+        "n_superseded": n_superseded,
         "problems": problems,
     }
     if problems:

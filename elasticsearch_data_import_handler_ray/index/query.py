@@ -156,6 +156,7 @@ def _score_exhaustive(
     get_decoded=None,
     reader_offset: int = 0,
     exclude_terms: list[str] | None = None,
+    get_dead=None,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
@@ -188,6 +189,12 @@ def _score_exhaustive(
             pos = np.searchsorted(union, ids)
             scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl, k1, b)
             hits[pos] += 1
+        dd = get_dead(ri) if get_dead is not None else None
+        if dd is not None:
+            from .tombstones import in_sorted
+
+            alive = ~in_sorted(union, dd)  # superseded doc versions (upsert)
+            union, scores, hits = union[alive], scores[alive], hits[alive]
         if mode == "and":
             m = hits == len(terms)
             union, scores = union[m], scores[m]
@@ -224,6 +231,7 @@ def _score_phrase(
     b: float = bm25.B,
     get_decoded=None,
     reader_offset: int = 0,
+    get_dead=None,
 ) -> None:
     """Exact phrase top-k (§2.B8 positional variant): AND-intersect the
     phrase terms' doc lists, decode positions for CANDIDATE docs only (the
@@ -253,6 +261,11 @@ def _score_phrase(
             cand = np.intersect1d(cand, data[t][0], assume_unique=True)
             if cand.size == 0:
                 break
+        dd = get_dead(ri) if get_dead is not None else None
+        if dd is not None and cand.size:
+            from .tombstones import in_sorted
+
+            cand = cand[~in_sorted(cand, dd)]  # superseded versions (upsert)
         if cand.size == 0:
             continue
         # composite keys (candidate_rank << 32 | position) make adjacency a
@@ -292,9 +305,11 @@ def _score_bmw(
     k1: float = bm25.K1,
     b: float = bm25.B,
     reader_offset: int = 0,
+    get_dead=None,
 ) -> None:
     """Block-max WAND over each segment, θ shared across segments via `heap`."""
     for ri, rd in enumerate(readers, reader_offset):
+        dd = get_dead(ri) if get_dead is not None else None
         iters: list[tuple[str, _TermIter]] = []
         for t in terms:
             if get_blocks is not None:
@@ -358,6 +373,12 @@ def _score_bmw(
                 for t, ti in iters:
                     if ti.ids is not None and ti.curr_doc == pivot_doc:
                         ti.advance()
+                # upsert tombstone: a superseded version never enters the
+                # heap (θ from live docs only underestimates — sound)
+                if dd is not None:
+                    j = int(np.searchsorted(dd, np.uint64(pivot_doc)))
+                    if j < len(dd) and int(dd[j]) == pivot_doc:
+                        continue
                 _heap_push(heap, k, score, pivot_doc)
             else:
                 # advance the lagging terms to the pivot
@@ -411,13 +432,45 @@ class QueryShard:
     # of the index) so a Zipfian query working set fits instead of thrashing
     _DECODED_BUDGET = 4_000_000
 
-    def __init__(self, seg_dirs: list[str], decoded_budget: int | None = None):
+    def __init__(
+        self,
+        seg_dirs: list[str],
+        decoded_budget: int | None = None,
+        dead: list[np.ndarray | None] | None = None,
+    ):
         import threading
         from collections import OrderedDict
 
         if decoded_budget:
             self._DECODED_BUDGET = int(decoded_budget)
         self.readers = [SegmentReader(d) for d in seg_dirs]
+        # upsert tombstones (index/tombstones.py): per reader, the SORTED
+        # doc_ids whose version in that reader's run is superseded by a later
+        # run. Scoring masks them; df is corrected exactly below.
+        self.dead: list[np.ndarray | None] = [None] * len(self.readers)
+        self._df_corr: dict[int, np.ndarray] = {}
+        if dead is not None:
+            from ..functions.codec import decode_segment
+            from .tombstones import in_sorted
+
+            for ri, dd in enumerate(dead):
+                if dd is None or len(dd) == 0:
+                    continue
+                dd = np.asarray(dd, dtype=np.uint64)
+                r = self.readers[ri]
+                # exact per-term df correction: one bulk decode of the
+                # segment, membership mask, segment-sum by dictionary bounds
+                # (the same vectorized shape as merge) — only paid by
+                # readers that actually hold superseded versions, and only
+                # until the next merge purges them physically
+                ids_r, _, _ = decode_segment(r._post, r.dfs)
+                mask = in_sorted(ids_r, dd)
+                if not mask.any():
+                    continue
+                self.dead[ri] = dd
+                bounds = np.zeros(len(r.dfs) + 1, dtype=np.int64)
+                np.cumsum(r.dfs, out=bounds[1:])
+                self._df_corr[ri] = np.add.reduceat(mask.astype(np.int64), bounds[:-1])
         self._pb_cache: dict[tuple[int, str], PostingBlocks | None] = {}
         self._dec_cache: "OrderedDict[tuple[int, str], tuple]" = OrderedDict()
         self._dec_size = 0
@@ -514,9 +567,17 @@ class QueryShard:
         this shard — the highlight primitive (ES-style): token indices come
         straight from the positional sidecar, decoded ONLY for the requested
         docs. Requires a positional index."""
-        want = np.array(sorted(doc_ids), dtype=np.uint64)
+        from .tombstones import in_sorted
+
+        want_all = np.array(sorted(doc_ids), dtype=np.uint64)
         out = []
         for ri, rd in enumerate(self.readers):
+            dd = self.dead[ri]
+            # a doc being highlighted may have a superseded version in an
+            # older run's reader — its stale positions must not answer
+            want = want_all[~in_sorted(want_all, dd)] if dd is not None else want_all
+            if len(want) == 0:
+                continue
             for t in sorted(set(terms)):
                 arrs = self._decoded(ri, t)
                 if arrs is None:
@@ -601,10 +662,13 @@ class QueryShard:
         the aggregation/facet match set, not a top-k. Uses the decoded-
         postings LRU; per-reader set algebra is numpy (docs are disjoint
         across readers so results concatenate)."""
+        from .tombstones import in_sorted
+
         out: list[np.ndarray] = []
         for ri in range(len(self.readers)):
             per_term = [self._decoded(ri, t) for t in terms]
             arrs = [p[0] for p in per_term if p is not None]
+            got: np.ndarray | None = None
             if mode == "and":
                 if len(arrs) < len(terms):
                     continue
@@ -614,24 +678,45 @@ class QueryShard:
                     if len(cur) == 0:
                         break
                 if len(cur):
-                    out.append(cur)
+                    got = cur
             elif arrs:
-                out.append(np.unique(np.concatenate(arrs)))
+                got = np.unique(np.concatenate(arrs))
+            if got is not None:
+                dd = self.dead[ri]
+                if dd is not None:
+                    got = got[~in_sorted(got, dd)]  # superseded versions
+                if len(got):
+                    out.append(got)
         if not out:
             return np.empty(0, dtype=np.uint64)
         return np.unique(np.concatenate(out))
 
+    def _rdf(self, ri: int, term: str) -> int:
+        """df of one term in one reader, tombstone-corrected."""
+        r = self.readers[ri]
+        i = r.lookup(term)
+        if i < 0:
+            return 0
+        d = int(r.dfs[i])
+        corr = self._df_corr.get(ri)
+        return d - int(corr[i]) if corr is not None else d
+
     def dfs(self, terms: list[str]) -> list[int]:
-        return [int(sum(r.df(t) for r in self.readers)) for t in terms]
+        return [
+            int(sum(self._rdf(ri, t) for ri in range(len(self.readers)))) for t in terms
+        ]
 
     def all_dfs(self) -> tuple[list[str], np.ndarray]:
         """Full (term, df) of this actor's segments — used by the driver's
-        one-shot df preload."""
+        one-shot df preload. Tombstone-corrected (terms whose every posting
+        is superseded report df 0 and are dropped)."""
         agg: dict[str, int] = {}
-        for r in self.readers:
-            for t, d in zip(r.terms, r.dfs):
+        for ri, r in enumerate(self.readers):
+            corr = self._df_corr.get(ri)
+            eff = r.dfs - corr if corr is not None else r.dfs
+            for t, d in zip(r.terms, eff):
                 agg[t] = agg.get(t, 0) + int(d)
-        terms = sorted(agg)
+        terms = sorted(t for t in agg if agg[t] > 0)
         return terms, np.array([agg[t] for t in terms], dtype=np.int64)
 
     def _score_readers(self, ri_lo: int, ri_hi: int, q: dict, heap: list) -> None:
@@ -639,23 +724,24 @@ class QueryShard:
         terms, idfs, avgdl, k = q["terms"], q["idfs"], q["avgdl"], q["k"]
         k1, b = q.get("k1", bm25.K1), q.get("b", bm25.B)
         rds = self.readers[ri_lo:ri_hi]
+        gd = (lambda ri: self.dead[ri]) if any(d is not None for d in self.dead) else None
         if q["mode"] == "phrase":
             _score_phrase(
                 rds, q["phrase"], idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b,
-                get_decoded=self._decoded, reader_offset=ri_lo,
+                get_decoded=self._decoded, reader_offset=ri_lo, get_dead=gd,
             )
         elif q["mode"] == "and" or q["method"] == "exhaustive" or q.get("exclude_terms"):
             _score_exhaustive(
                 rds, terms, idfs, avgdl, k, q["mode"], heap,
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo,
-                exclude_terms=q.get("exclude_terms"),
+                exclude_terms=q.get("exclude_terms"), get_dead=gd,
             )
         else:
             _score_bmw(
                 rds, terms, idfs, avgdl, k, heap,
-                get_blocks=self._blocks, k1=k1, b=b, reader_offset=ri_lo,
+                get_blocks=self._blocks, k1=k1, b=b, reader_offset=ri_lo, get_dead=gd,
             )
 
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
@@ -719,8 +805,16 @@ class QueryEngine:
             n_shards = max(self.man.config.num_segments, 1)
             actor_num_cpus = max(0.01, min(0.25, (total * 0.5) / n_shards))
         self.analyzer = get_analyzer(self.man.config.analyzer)
-        self.N = self.man.n_docs
-        self.avgdl = self.man.avgdl
+        # upsert tombstones (index/tombstones.py): doc versions superseded by
+        # a later run's re-import. {} for single-run / merged indexes (the
+        # common state — merge purges them physically).
+        from .tombstones import find_superseded
+
+        self._tomb = find_superseded(self.man)
+        n_dead = sum(t["n_nonempty"] for t in self._tomb.values())
+        dl_dead = sum(t["sum_dl"] for t in self._tomb.values())
+        self.N = self.man.n_docs - n_dead
+        self.avgdl = ((self.man.sum_dl - dl_dead) / self.N) if self.N else 0.0
         # honor configured BM25 parameters (the manifest records them; scoring
         # must not silently fall back to the module constants)
         self.k1 = float(self.man.config.k1)
@@ -731,10 +825,10 @@ class QueryEngine:
         # group segments onto at most ~CPU actors: a 2-round scatter over 32
         # single-segment actors is RPC-bound at small k; docs are disjoint
         # across segments, so one actor can serve several shards exactly
-        shard_dirs = [
-            self.man.segment_dirs(s)
-            for s in range(self.man.config.num_segments)
-        ]
+        from .tombstones import dead_for_segment
+
+        S = self.man.config.num_segments
+        shard_dirs = [self.man.segment_dirs(s) for s in range(S)]
         shard_dirs = [d for d in shard_dirs if d]
         n_actors = max(1, min(len(shard_dirs), int(total)))
         # capacity-aware decoded-postings budget: enough to hold the actor's
@@ -753,7 +847,10 @@ class QueryEngine:
             groups[i % n_actors].extend(dirs)
         for g in groups:
             if g:
-                self._actors.append(remote.remote(g, budget))
+                dead = (
+                    [dead_for_segment(self._tomb, d, S) for d in g] if self._tomb else None
+                )
+                self._actors.append(remote.remote(g, budget, dead))
         self._df_complete = False
         if df_preload == "always" or (df_preload == "auto" and self._actors):
             est_terms = sum(
@@ -917,40 +1014,22 @@ class QueryEngine:
         """doc_id → identity columns (repo/path/commit/…, sha256, doc_len)
         from the build's docmap — how a top-k result becomes user-facing rows.
         Streams the docmap with a broadcast membership mask; only the matched
-        rows are materialized."""
+        rows are materialized. Superseded versions are excluded, so an
+        upserted doc resolves to its LATEST identity row only."""
         import pyarrow.compute as pc
-        import ray.data
 
-        files = self._docmap_files()
+        from .tombstones import docmap_dataset
+
         wanted = pa.array(np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.uint64))
 
         def f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["doc_id"], value_set=wanted))
+            return t.filter(pc.is_in(pc.cast(t["doc_id"], pa.uint64()), value_set=wanted))
 
-        return ray.data.read_parquet(files).map_batches(
-            f, batch_format="pyarrow", zero_copy_batch=True
-        ).to_pandas()
-
-    def _docmap_files(self) -> list[str]:
-        """All docmap parquet shards across complete runs (both lineage keys:
-        first-class builds record docmap_dir, merged runs docmap_dirs)."""
-        import os
-
-        dm_dirs = []
-        for r in self.man.complete_runs().values():
-            if r["metrics"].get("docmap_dir"):
-                dm_dirs.append(os.path.join(self.man.index_dir, r["metrics"]["docmap_dir"]))
-            for d in r["metrics"].get("docmap_dirs") or []:
-                dm_dirs.append(os.path.join(self.man.index_dir, d))
-        files = [
-            os.path.join(d, f)
-            for d in dm_dirs
-            for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        ]
-        if not files:
-            raise ValueError("index was built without docmap (write_docmap=False)")
-        return files
+        return (
+            docmap_dataset(self.man, self._tomb)
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
 
     def search_wildcard(self, pattern: str, k: int = 10, max_expansions: int = 50):
         """ES wildcard-query shape: ``*`` matches any run, ``?`` one char.
@@ -1014,7 +1093,8 @@ class QueryEngine:
             return []
         ids = np.unique(np.concatenate(nonempty)).astype(np.uint64)
         ids_ref = ray.put(pa.array(ids, type=pa.uint64()))
-        files = self._docmap_files()
+
+        from .tombstones import docmap_dataset
 
         def flt(t: pa.Table) -> pa.Table:
             import pyarrow.compute as _pc
@@ -1023,7 +1103,7 @@ class QueryEngine:
             return t.filter(m)
 
         res = (
-            ray.data.read_parquet(files, columns=["doc_id", field])
+            docmap_dataset(self.man, self._tomb, columns=["doc_id", field])
             .map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(field)
             .aggregate(Count(alias_name="n"))

@@ -118,10 +118,24 @@ class Manifest:
         input_files: list[str],
         segments: list[dict],
         metrics: dict,
+        seq: int | None = None,
+        drop: list[str] | None = None,
     ) -> None:
-        """Atomically record a completed run (checkpoint commit, C4)."""
+        """Atomically record a completed run (checkpoint commit, C4).
+
+        ``seq`` is the commit sequence number that defines upsert precedence
+        (a doc_id re-imported in a higher-seq run supersedes earlier versions
+        — index/tombstones.py). Defaults to one past the highest existing
+        seq; a merged run passes the max seq of the runs it folded."""
+        if seq is None:
+            seq = 1 + max(
+                (int(r.get("seq", -1)) for r in self.runs.values()), default=-1
+            )
+        for r in drop or []:  # swap-in commit: merge replaces its constituents
+            self.runs.pop(r, None)  # in the SAME atomic save
         self.runs[run_id] = {
             "status": "complete",
+            "seq": int(seq),
             "input_files": sorted(input_files),
             "segments": sorted(segments, key=lambda s: s["seg_id"]),
             "n_docs": int(sum(s["n_docs"] for s in segments)),
@@ -141,9 +155,13 @@ class Manifest:
         return sum(r["n_docs"] for r in self.complete_runs().values())
 
     @property
+    def sum_dl(self) -> int:
+        return sum(r["sum_dl"] for r in self.complete_runs().values())
+
+    @property
     def avgdl(self) -> float:
         n = self.n_docs
-        return (sum(r["sum_dl"] for r in self.complete_runs().values()) / n) if n else 0.0
+        return (self.sum_dl / n) if n else 0.0
 
     def segment_dirs(self, seg_id: int) -> list[str]:
         """All on-disk segment dirs for one doc-shard, across completed runs
