@@ -303,6 +303,86 @@ def _term_df_whitespace(sf_dir: str):
     return out.sort(["df", "term"], descending=[True, False]).limit(100)
 
 
+def _term_df_stop_stem(sf_dir: str):
+    """Whitespace analyzer + ES-style token filters (stopword removal +
+    Harman S-stemmer, functions/analysis.FilteredAnalyzer) — the ENTIRE
+    filter chain is replicated in the DuckDB oracle (NOT IN stoplist + a
+    CASE/regexp_replace stemmer), so this is an exact end-to-end check of
+    the analysis pipeline including df-after-stemming semantics."""
+    from ray.data.aggregate import Count
+
+    from elasticsearch_data_import_handler_ray.functions.analysis import (
+        get_analyzer,
+        term_frequencies,
+    )
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    az = get_analyzer("whitespace+stop+stem")
+
+    def tok(t: pa.Table) -> pa.Table:
+        post, _ = term_frequencies(
+            az, t["doc_id"].combine_chunks().cast(pa.uint64()), t["text"].combine_chunks()
+        )
+        return post.select(["term"])
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("term").aggregate(Count(alias_name="df"))
+    return out.sort(["df", "term"], descending=[True, False]).limit(100)
+
+
+def _upsert_search(sf_dir: str):
+    """Id-mapped upsert (the reference's es.mapping.id re-import): build the
+    documents index, re-import every 25th doc with changed text in an
+    incremental run, query; the later version must win (rows-only here —
+    exact rank/score/byte-level oracles are pinned in tests/test_upsert.py)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_ups_idx_")
+    src = os.path.join(sf_dir, "documents.parquet")
+    build_index(
+        src, index_dir, mode="full",
+        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
+    )
+    t = pq.read_table(src)
+    ids_np = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    upd = t.filter(pa.array(ids_np % 25 == 0))
+    new_text = pc.binary_join_element_wise(
+        pc.cast(upd["text"].combine_chunks(), pa.large_string()),
+        pa.scalar("upserted sentinel revision", type=pa.large_string()),
+        pa.scalar(" ", type=pa.large_string()),
+    )
+    upd = upd.set_column(upd.schema.get_field_index("text"), "text", new_text)
+    upd_file = os.path.join(tempfile.mkdtemp(prefix="edih_ups_src_"), "update.parquet")
+    pq.write_table(upd, upd_file)
+    build_index([src, upd_file], index_dir, mode="incremental")
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        # df of the sentinel == number of upserted docs; stale versions gone
+        rows.append({"kind": "df", "query_idx": -1, "rank": 0,
+                     "doc_id": int(eng.global_dfs(["sentinel"])[0]), "score": 0.0})
+        for qi, res in enumerate(
+            eng.search_many(
+                [{"text": "upserted sentinel revision", "mode": "and"},
+                 {"text": "hash join query", "mode": "or"}],
+                k=10,
+            )
+        ):
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"kind": "hit", "query_idx": qi, "rank": rank,
+                             "doc_id": int(doc_id), "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _term_df_salted(sf_dir: str):
     """Same result via the term-partitioned SALTED shuffle path (B9)."""
     from elasticsearch_data_import_handler_ray.index.postings_global import term_df_salted
@@ -540,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_ivf_partitioned": _ann_ivf_partitioned,
             "embed_neardup": _embed_neardup,
             "term_df_whitespace": _term_df_whitespace,
+            "term_df_stop_stem": _term_df_stop_stem,
+            "upsert_search": _upsert_search,
             "term_df_salted": _term_df_salted,
             "bm25_topk": _bm25_on,
             "phrase_search": _phrase_search,
@@ -565,6 +647,38 @@ WITH toks AS (
 )
 SELECT term, count(*)::BIGINT AS df
 FROM toks GROUP BY term
+ORDER BY df DESC, term LIMIT 100
+"""
+
+# the FilteredAnalyzer chain (stopwords then the Harman S-stemmer) replicated
+# exactly in SQL: rule precedence -ies → -es → -s with the same exclusions
+_TERM_DF_STOP_STEM_SQL = """
+WITH raw AS (
+    SELECT doc_id, tok.t AS t
+    FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS tok(t)
+    WHERE tok.t <> ''
+      AND tok.t NOT IN ('a','an','and','are','as','at','be','but','by','for',
+                        'if','in','into','is','it','no','not','of','on','or',
+                        'such','that','the','their','then','there','these',
+                        'they','this','to','was','will','with')
+), stemmed AS (
+    SELECT DISTINCT doc_id,
+        CASE
+            WHEN len(t) > 3 AND t LIKE '%ies'
+                 AND t NOT LIKE '%aies' AND t NOT LIKE '%eies'
+                THEN regexp_replace(t, 'ies$', 'y')
+            WHEN len(t) > 3 AND t NOT LIKE '%ies' AND t LIKE '%es'
+                 AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+                THEN regexp_replace(t, 's$', '')
+            WHEN len(t) > 3 AND t NOT LIKE '%es' AND t LIKE '%s'
+                 AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+                THEN regexp_replace(t, 's$', '')
+            ELSE t
+        END AS term
+    FROM raw
+)
+SELECT term, count(*)::BIGINT AS df
+FROM stemmed GROUP BY term
 ORDER BY df DESC, term LIMIT 100
 """
 
@@ -799,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         "term_df_whitespace": _TERM_DF_SQL,
+        "term_df_stop_stem": _TERM_DF_STOP_STEM_SQL,
         "term_df_salted": _TERM_DF_SQL,
         "sql_expr": _SQL_EXPR.format(src="lineitem"),
         "window_rank": """
