@@ -450,6 +450,81 @@ def _facet_search(sf_dir: str):
     )
 
 
+def _dv_engine(sf_dir: str):
+    """documents index with lang/n_chars doc-values (shared by the filter /
+    stats / histogram entries; whitespace analyzer keeps the match predicate
+    SQL-expressible)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_dv_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("lang", "n_chars"),
+        ),
+    )
+    return QueryEngine(index_dir)
+
+
+def _stats_search(sf_dir: str):
+    """ES stats aggregation under a query: count/min/max/sum/avg of n_chars
+    over ALL docs matching 'hash join query' (OR) — exact DuckDB oracle."""
+    eng = _dv_engine(sf_dir)
+    try:
+        st = eng.stats("hash join query", "n_chars")
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "n": pa.array([st["count"]], type=pa.int64()),
+            "min_c": pa.array([int(st["min"])], type=pa.int64()),
+            "max_c": pa.array([int(st["max"])], type=pa.int64()),
+            "sum_c": pa.array([int(st["sum"])], type=pa.int64()),
+        }
+    )
+
+
+def _histogram_search(sf_dir: str):
+    """ES histogram aggregation under a query: 250-wide n_chars buckets over
+    all docs matching 'hash join query' — exact DuckDB oracle."""
+    eng = _dv_engine(sf_dir)
+    try:
+        buckets = eng.histogram("hash join query", "n_chars", 250.0)
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "bucket": pa.array([int(b) for b, _ in buckets], type=pa.int64()),
+            "n": pa.array([n for _, n in buckets], type=pa.int64()),
+        }
+    )
+
+
+def _filtered_search(sf_dir: str):
+    """ES bool filter context: BM25 top-k restricted by doc-values clauses,
+    scores untouched (rows-only; score identity vs the post-filtered naive
+    oracle is pinned in tests/test_docvalues.py)."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        cases = [
+            ("hash join query", [{"field": "lang", "eq": "en"}]),
+            ("vector scan", [{"field": "n_chars", "gte": 200, "lt": 900}]),
+        ]
+        for qi, (text, flt) in enumerate(cases):
+            for rank, (doc_id, score) in enumerate(eng.search_filtered(text, flt, k=10), 1):
+                rows.append({"query_idx": qi, "rank": rank,
+                             "doc_id": int(doc_id), "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _fuzzy_wildcard(sf_dir: str):
     """Fuzzy (edit-distance) + wildcard term queries over the documents index
     (rows-only; rank identity vs the full-vocab scalar oracle is pinned in
@@ -632,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "redact": _redact,
             "repetition": _repetition,
             "facet_search": _facet_search,
+            "stats_search": _stats_search,
+            "histogram_search": _histogram_search,
+            "filtered_search": _filtered_search,
             "fuzzy_wildcard_search": _fuzzy_wildcard,
         }
     )
@@ -972,6 +1050,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY lang
+        """,
+        "stats_search": """
+            SELECT count(*)::BIGINT AS n,
+                   min(n_chars)::BIGINT AS min_c,
+                   max(n_chars)::BIGINT AS max_c,
+                   sum(n_chars)::BIGINT AS sum_c
+            FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+        """,
+        "histogram_search": """
+            SELECT (FLOOR(n_chars / 250.0) * 250)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n
+            FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            GROUP BY bucket
         """,
         # rows-only (non-SQL-expressible; oracle-checked in tests/):
         #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,

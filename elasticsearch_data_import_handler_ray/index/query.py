@@ -157,6 +157,7 @@ def _score_exhaustive(
     reader_offset: int = 0,
     exclude_terms: list[str] | None = None,
     get_dead=None,
+    allowed: np.ndarray | None = None,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
@@ -195,6 +196,12 @@ def _score_exhaustive(
 
             alive = ~in_sorted(union, dd)  # superseded doc versions (upsert)
             union, scores, hits = union[alive], scores[alive], hits[alive]
+        if allowed is not None:
+            from .tombstones import in_sorted
+
+            # ES filter context: yes/no restriction, scores untouched
+            keep = in_sorted(union, allowed)
+            union, scores, hits = union[keep], scores[keep], hits[keep]
         if mode == "and":
             m = hits == len(terms)
             union, scores = union[m], scores[m]
@@ -232,6 +239,7 @@ def _score_phrase(
     get_decoded=None,
     reader_offset: int = 0,
     get_dead=None,
+    allowed: np.ndarray | None = None,
 ) -> None:
     """Exact phrase top-k (§2.B8 positional variant): AND-intersect the
     phrase terms' doc lists, decode positions for CANDIDATE docs only (the
@@ -266,6 +274,10 @@ def _score_phrase(
             from .tombstones import in_sorted
 
             cand = cand[~in_sorted(cand, dd)]  # superseded versions (upsert)
+        if allowed is not None and cand.size:
+            from .tombstones import in_sorted
+
+            cand = cand[in_sorted(cand, allowed)]  # ES filter context
         if cand.size == 0:
             continue
         # composite keys (candidate_rank << 32 | position) make adjacency a
@@ -306,6 +318,7 @@ def _score_bmw(
     b: float = bm25.B,
     reader_offset: int = 0,
     get_dead=None,
+    allowed: np.ndarray | None = None,
 ) -> None:
     """Block-max WAND over each segment, θ shared across segments via `heap`."""
     for ri, rd in enumerate(readers, reader_offset):
@@ -378,6 +391,12 @@ def _score_bmw(
                 if dd is not None:
                     j = int(np.searchsorted(dd, np.uint64(pivot_doc)))
                     if j < len(dd) and int(dd[j]) == pivot_doc:
+                        continue
+                if allowed is not None:
+                    # ES filter context: only allowed docs enter the heap (θ
+                    # from allowed docs only underestimates — sound)
+                    j = int(np.searchsorted(allowed, np.uint64(pivot_doc)))
+                    if j >= len(allowed) or int(allowed[j]) != pivot_doc:
                         continue
                 _heap_push(heap, k, score, pivot_doc)
             else:
@@ -691,6 +710,116 @@ class QueryShard:
             return np.empty(0, dtype=np.uint64)
         return np.unique(np.concatenate(out))
 
+    # ---------------- doc-values (ES doc_values / fielddata analogue) ------
+    # per-actor columnar (doc_id → field value) for the LIVE docs this actor
+    # serves — loaded once per field from the docmap, then filters and
+    # aggregations under a query are local actor work: no per-query docmap
+    # streaming and no driver-side id broadcasts. Cluster path note: each
+    # actor reads the full docmap column and keeps its own docs (read
+    # amplification = n_actors on one host; a multi-node deployment would
+    # seg-partition the docmap at build time to make this a local read).
+
+    def load_doc_values(
+        self,
+        field: str,
+        run_files: list[tuple[list[str], np.ndarray | None]],
+        num_segments: int,
+    ) -> int:
+        """Load one field's doc-values for this actor's segments.
+        ``run_files``: per run, (docmap parquet files, dead doc_ids|None).
+        Returns the number of docs loaded."""
+        import pyarrow.parquet as pq
+
+        from .tombstones import in_sorted
+
+        if not hasattr(self, "_doc_values"):
+            self._doc_values: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        my_segs = np.array(
+            sorted({int(r.meta["seg_id"]) for r in self.readers}), dtype=np.uint64
+        )
+        ids_parts, val_parts = [], []
+        for files, dd in run_files:
+            for f in files:
+                t = pq.read_table(f, columns=["doc_id", field])
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                keep = np.isin(ids % np.uint64(num_segments), my_segs)
+                if dd is not None and len(dd):
+                    keep &= ~in_sorted(ids, np.asarray(dd, dtype=np.uint64))
+                if keep.any():
+                    ids_parts.append(ids[keep])
+                    val_parts.append(
+                        t[field].to_numpy(zero_copy_only=False)[keep]
+                    )
+        if not ids_parts:
+            self._doc_values[field] = (np.empty(0, dtype=np.uint64), np.empty(0))
+            return 0
+        ids = np.concatenate(ids_parts)
+        vals = np.concatenate(val_parts)
+        order = np.argsort(ids)
+        self._doc_values[field] = (ids[order], vals[order])
+        return int(len(ids))
+
+    def has_doc_values(self, field: str) -> bool:
+        return hasattr(self, "_doc_values") and field in self._doc_values
+
+    def _values_of(self, field: str, ids: np.ndarray) -> np.ndarray:
+        """Field values aligned with ``ids``. Every id passed is a live doc
+        of this actor (callers pass match results, and the docmap covers
+        every indexed doc), so the lookup is a plain sorted gather."""
+        dv_ids, dv_vals = self._doc_values[field]
+        pos = np.searchsorted(dv_ids, ids)
+        if len(dv_ids) == 0 or not (dv_ids[np.minimum(pos, len(dv_ids) - 1)] == ids).all():
+            raise KeyError(f"doc-values for '{field}' missing some matched docs")
+        return dv_vals[pos]
+
+    def _allowed_ids(self, filters: list[dict]) -> np.ndarray:
+        """Sorted doc_ids of this actor passing ALL filter clauses (ES filter
+        context: pure yes/no, never affects scoring)."""
+        first = filters[0]["field"]
+        dv_ids, _ = self._doc_values[first]
+        keep = np.ones(len(dv_ids), dtype=bool)
+        for fl in filters:
+            _, vals = self._doc_values[fl["field"]]
+            if "eq" in fl:
+                keep &= vals == fl["eq"]
+            if "in" in fl:
+                keep &= np.isin(vals, np.asarray(fl["in"]))
+            if "gte" in fl:
+                keep &= vals >= fl["gte"]
+            if "gt" in fl:
+                keep &= vals > fl["gt"]
+            if "lte" in fl:
+                keep &= vals <= fl["lte"]
+            if "lt" in fl:
+                keep &= vals < fl["lt"]
+        return dv_ids[keep]
+
+    def agg_under_query(
+        self,
+        terms: list[str],
+        mode: str,
+        field: str,
+        histogram_interval: float | None = None,
+    ):
+        """Aggregations over ALL matching docs (ES aggs under a query),
+        computed locally from this actor's doc-values: stats partials
+        (count, sum, min, max) or histogram bucket counts keyed by
+        ``floor(v / interval) * interval``."""
+        ids = self.match_doc_ids(terms, mode)
+        if len(ids) == 0:
+            return None
+        vals = self._values_of(field, ids)
+        if histogram_interval is not None:
+            b = np.floor(vals / histogram_interval) * histogram_interval
+            uniq, counts = np.unique(b, return_counts=True)
+            return (uniq.tolist(), counts.tolist())
+        return (
+            int(len(vals)),
+            float(vals.sum()),
+            float(vals.min()),
+            float(vals.max()),
+        )
+
     def _rdf(self, ri: int, term: str) -> int:
         """df of one term in one reader, tombstone-corrected."""
         r = self.readers[ri]
@@ -725,11 +854,13 @@ class QueryShard:
         k1, b = q.get("k1", bm25.K1), q.get("b", bm25.B)
         rds = self.readers[ri_lo:ri_hi]
         gd = (lambda ri: self.dead[ri]) if any(d is not None for d in self.dead) else None
+        allowed = q.get("_allowed")
         if q["mode"] == "phrase":
             _score_phrase(
                 rds, q["phrase"], idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo, get_dead=gd,
+                allowed=allowed,
             )
         elif q["mode"] == "and" or q["method"] == "exhaustive" or q.get("exclude_terms"):
             _score_exhaustive(
@@ -737,11 +868,13 @@ class QueryShard:
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo,
                 exclude_terms=q.get("exclude_terms"), get_dead=gd,
+                allowed=allowed,
             )
         else:
             _score_bmw(
                 rds, terms, idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b, reader_offset=ri_lo, get_dead=gd,
+                allowed=allowed,
             )
 
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
@@ -760,6 +893,10 @@ class QueryShard:
             if q["k"] <= 0 or len(q["terms"]) == 0:
                 out.append([])
                 continue
+            if q.get("filters"):
+                # ES filter context: the allowed-id set is actor-local doc-
+                # values work, computed once per (query, actor)
+                q = {**q, "_allowed": self._allowed_ids(q["filters"])}
             if use_pool:
                 # per-reader heaps merged after: identical results (segments
                 # hold disjoint docs; for BMW a weaker per-thread θ only means
@@ -952,7 +1089,8 @@ class QueryEngine:
             prepared.append(
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
                  "mode": mode, "method": q_method, "k1": self.k1, "b": self.b,
-                 "phrase": phrase, "exclude_terms": exclude_terms}
+                 "phrase": phrase, "exclude_terms": exclude_terms,
+                 "filters": q.get("filters")}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
         out = []
@@ -1111,6 +1249,99 @@ class QueryEngine:
         )
         res = res.sort_values(["n", field], ascending=[False, True], kind="mergesort").head(top)
         return [(str(v), int(n)) for v, n in zip(res[field], res["n"])]
+
+    def _ensure_doc_values(self, fields: list[str]) -> None:
+        """Load doc-values for ``fields`` into every shard actor (once per
+        field per engine): each actor keeps (doc_id → value) for ITS live
+        docs, so filters/aggregations become local actor work."""
+        from .tombstones import _run_docmap_files
+
+        if not hasattr(self, "_dv_loaded"):
+            self._dv_loaded: set[str] = set()
+        missing = [f for f in fields if f not in self._dv_loaded]
+        if not missing:
+            return
+        run_files = []
+        for rid, r in self.man.complete_runs().items():
+            files = _run_docmap_files(self.man, r)
+            if files:
+                t = self._tomb.get(rid)
+                run_files.append((files, t["doc_ids"] if t else None))
+        if not run_files:
+            raise ValueError("doc-values need a docmap (write_docmap=True builds)")
+        S = self.man.config.num_segments
+        for f in missing:
+            ray.get([a.load_doc_values.remote(f, run_files, S) for a in self._actors])
+            self._dv_loaded.add(f)
+
+    def search_filtered(
+        self,
+        text: str,
+        filters: list[dict] | dict,
+        k: int = 10,
+        mode: str = "or",
+        method: str = "auto",
+    ) -> list[tuple[int, float]]:
+        """ES bool filter context: BM25 top-k restricted to docs whose
+        doc-values pass every clause — scores are UNCHANGED (same idf/N as
+        the unfiltered query; a filter never affects relevance, exactly like
+        ES filter vs must). Clauses: {"field": f, "eq": v} | {"field": f,
+        "in": [...]} | {"field": f, "gte"/"gt"/"lte"/"lt": x} (combinable)."""
+        if isinstance(filters, dict):
+            filters = [filters]
+        self._ensure_doc_values(sorted({f["field"] for f in filters}))
+        return self.search_many(
+            [{"text": text, "mode": mode, "filters": filters}], k=k, method=method
+        )[0]
+
+    def stats(self, text: str, field: str, *, mode: str = "or") -> dict | None:
+        """ES stats aggregation under a query: count/min/max/sum/avg of a
+        numeric doc-value over ALL matching docs. Local per-actor partials
+        (docs are disjoint across actors) + a driver combine — no docmap
+        streaming per query."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return None
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [a.agg_under_query.remote(terms, mode, field) for a in self._actors]
+        )
+        parts = [p for p in per if p is not None]
+        if not parts:
+            return None
+        n = sum(p[0] for p in parts)
+        s = sum(p[1] for p in parts)
+        return {
+            "count": int(n),
+            "sum": float(s),
+            "min": float(min(p[2] for p in parts)),
+            "max": float(max(p[3] for p in parts)),
+            "avg": float(s / n),
+        }
+
+    def histogram(
+        self, text: str, field: str, interval: float, *, mode: str = "or"
+    ) -> list[tuple[float, int]]:
+        """ES histogram aggregation under a query: per-bucket doc counts of a
+        numeric doc-value over ALL matching docs; bucket key =
+        floor(v / interval) * interval. Sorted by bucket key."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.agg_under_query.remote(terms, mode, field, histogram_interval=interval)
+                for a in self._actors
+            ]
+        )
+        agg: dict[float, int] = {}
+        for p in per:
+            if p is None:
+                continue
+            for key, cnt in zip(*p):
+                agg[key] = agg.get(key, 0) + int(cnt)
+        return sorted(agg.items())
 
     def close(self) -> None:
         for a in self._actors:

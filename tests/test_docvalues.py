@@ -1,0 +1,122 @@
+"""ES filter context + aggregations on per-actor doc-values (index/query.py).
+
+A filter restricts the candidate docs without touching scores (ES filter vs
+must); stats/histogram aggregate a numeric doc-value over ALL matching docs.
+Oracles: the naive BM25 scorer post-filtered for search, and direct pandas
+computation over the documents table for the aggregations."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_data_import_handler_ray.functions.analysis import get_analyzer
+from elasticsearch_data_import_handler_ray.index.build import build_index
+from elasticsearch_data_import_handler_ray.index.oracle import BM25Oracle
+from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def dv_engine(sf_dir, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("dv") / "idx")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("lang", "n_chars"),
+        ),
+    )
+    eng = QueryEngine(idx)
+    yield eng
+    eng.close()
+
+
+@pytest.fixture(scope="module")
+def ws_oracle(docs):
+    return BM25Oracle(
+        get_analyzer("whitespace"),
+        docs["doc_id"].to_numpy().astype("uint64"),
+        __import__("pyarrow").array(docs["text"], type=__import__("pyarrow").large_string()),
+    )
+
+
+def _matches(docs, text, mode="or"):
+    """Row mask of docs matching the whitespace-analyzed query."""
+    terms = set(text.lower().split())
+    toks = docs["text"].str.lower().str.split()
+    if mode == "and":
+        return toks.apply(lambda ts: terms <= set(ts))
+    return toks.apply(lambda ts: bool(terms & set(ts)))
+
+
+FILTER_CASES = [
+    ("hash join query", {"field": "lang", "eq": "en"}, lambda d: d["lang"] == "en"),
+    ("vector scan", {"field": "lang", "in": ["fr", "de"]}, lambda d: d["lang"].isin(["fr", "de"])),
+    ("merge sort", {"field": "n_chars", "gte": 200, "lt": 900},
+     lambda d: (d["n_chars"] >= 200) & (d["n_chars"] < 900)),
+]
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "bmw"])
+def test_filtered_search_matches_postfiltered_oracle(dv_engine, ws_oracle, docs, method):
+    for text, clause, pred in FILTER_CASES:
+        got = dv_engine.search_filtered(text, clause, k=10, method=method)
+        allowed = set(docs.loc[pred(docs), "doc_id"].astype(np.uint64))
+        full = ws_oracle.search(text, k=ws_oracle.N, mode="or")
+        want = [(d, s) for d, s in full if d in allowed][:10]
+        assert got == want, (method, text, clause)
+
+
+def test_filter_never_changes_scores(dv_engine, ws_oracle):
+    """Scores of surviving docs equal the UNFILTERED scores bit-for-bit (ES
+    filter context does not contribute to relevance)."""
+    got = dv_engine.search_filtered("hash join query", {"field": "lang", "eq": "zh"}, k=5)
+    unfiltered = dict(ws_oracle.search("hash join query", k=ws_oracle.N, mode="or"))
+    for d, s in got:
+        assert s == unfiltered[d]
+
+
+def test_combined_filter_clauses(dv_engine, docs, ws_oracle):
+    got = dv_engine.search_filtered(
+        "hash join", [{"field": "lang", "eq": "en"}, {"field": "n_chars", "gt": 500}], k=10
+    )
+    pred = (docs["lang"] == "en") & (docs["n_chars"] > 500)
+    allowed = set(docs.loc[pred, "doc_id"].astype(np.uint64))
+    full = ws_oracle.search("hash join", k=ws_oracle.N, mode="or")
+    assert got == [(d, s) for d, s in full if d in allowed][:10]
+
+
+def test_stats_under_query(dv_engine, docs):
+    m = _matches(docs, "hash join query")
+    sub = docs.loc[m, "n_chars"]
+    got = dv_engine.stats("hash join query", "n_chars")
+    assert got["count"] == int(m.sum())
+    assert got["sum"] == pytest.approx(float(sub.sum()))
+    assert got["min"] == float(sub.min()) and got["max"] == float(sub.max())
+    assert got["avg"] == pytest.approx(float(sub.mean()))
+
+
+def test_stats_and_mode_and_empty(dv_engine, docs):
+    m = _matches(docs, "hash join", mode="and")
+    got = dv_engine.stats("hash join", "n_chars", mode="and")
+    assert got["count"] == int(m.sum())
+    assert dv_engine.stats("zzzneverseen", "n_chars") is None
+
+
+def test_histogram_under_query(dv_engine, docs):
+    m = _matches(docs, "hash join query")
+    sub = docs.loc[m, "n_chars"].to_numpy()
+    want = {}
+    for b in np.floor(sub / 250.0) * 250.0:
+        want[float(b)] = want.get(float(b), 0) + 1
+    got = dict(dv_engine.histogram("hash join query", "n_chars", 250.0))
+    assert got == want
