@@ -525,6 +525,53 @@ def _filtered_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _count_search(sf_dir: str):
+    """ES _count API: match counts (no scoring) — whitespace analyzer keeps
+    the predicate SQL-expressible, so this gets an exact DuckDB oracle."""
+    eng = _dv_engine(sf_dir)
+    try:
+        rows = [
+            {"q": "or_q", "n": eng.count("hash join query", mode="or")},
+            {"q": "and_q", "n": eng.count("hash join", mode="and")},
+            {"q": "miss", "n": eng.count("zzzneverseen", mode="or")},
+        ]
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
+def _paged_search(sf_dir: str):
+    """ES search_after deep pagination: three consecutive 10-doc pages via
+    (score, doc_id) cursors (rows-only; full-ranking slice identity is pinned
+    in tests/test_index.py)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_page_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
+    )
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        text = "hash join query"
+        page = eng.search(text, k=10)
+        for pi in range(3):
+            for rank, (doc_id, score) in enumerate(page, 1):
+                rows.append({"page": pi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+            if len(page) < 10:
+                break
+            page = eng.search_after(text, (page[-1][1], page[-1][0]), k=10)
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _fuzzy_wildcard(sf_dir: str):
     """Fuzzy (edit-distance) + wildcard term queries over the documents index
     (rows-only; rank identity vs the full-vocab scalar oracle is pinned in
@@ -710,6 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "stats_search": _stats_search,
             "histogram_search": _histogram_search,
             "filtered_search": _filtered_search,
+            "count_search": _count_search,
+            "paged_search": _paged_search,
             "fuzzy_wildcard_search": _fuzzy_wildcard,
         }
     )
@@ -1050,6 +1099,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY lang
+        """,
+        "var_std": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       COUNT(*)::BIGINT AS n,
+                       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS s,
+                       SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT))::BIGINT AS s2
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n, s AS sum_qty,
+                   (CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS var_qty,
+                   sqrt((CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1)) AS std_qty
+            FROM g
+        """,
+        "count_search": """
+            SELECT 'or_q' AS q, count(*)::BIGINT AS n FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            UNION ALL
+            SELECT 'and_q', count(*)::BIGINT FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join'])) = 2
+            UNION ALL
+            SELECT 'miss', count(*)::BIGINT FROM documents
+            WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'zzzneverseen')
         """,
         "stats_search": """
             SELECT count(*)::BIGINT AS n,

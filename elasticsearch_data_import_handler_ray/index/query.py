@@ -158,6 +158,7 @@ def _score_exhaustive(
     exclude_terms: list[str] | None = None,
     get_dead=None,
     allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
@@ -202,6 +203,11 @@ def _score_exhaustive(
             # ES filter context: yes/no restriction, scores untouched
             keep = in_sorted(union, allowed)
             union, scores, hits = union[keep], scores[keep], hits[keep]
+        if after is not None:
+            # search_after cursor: strictly after (score desc, doc_id asc)
+            cs, cd = after
+            keep = (scores < cs) | ((scores == cs) & (union > np.uint64(cd)))
+            union, scores, hits = union[keep], scores[keep], hits[keep]
         if mode == "and":
             m = hits == len(terms)
             union, scores = union[m], scores[m]
@@ -240,6 +246,7 @@ def _score_phrase(
     reader_offset: int = 0,
     get_dead=None,
     allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> None:
     """Exact phrase top-k (§2.B8 positional variant): AND-intersect the
     phrase terms' doc lists, decode positions for CANDIDATE docs only (the
@@ -303,7 +310,10 @@ def _score_phrase(
             ok = ok[(tgt[j_c] == shifted)] if len(tgt) else ok[:0]
         if ok.size:
             for ci in np.unique(ok >> np.uint64(32)).astype(np.int64):
-                _heap_push(heap, k, float(scores[ci]), int(cand[ci]))
+                s, d = float(scores[ci]), int(cand[ci])
+                if after is not None and (s, -d) >= (after[0], -int(after[1])):
+                    continue  # search_after cursor
+                _heap_push(heap, k, s, d)
 
 
 def _score_bmw(
@@ -319,6 +329,7 @@ def _score_bmw(
     reader_offset: int = 0,
     get_dead=None,
     allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> None:
     """Block-max WAND over each segment, θ shared across segments via `heap`."""
     for ri, rd in enumerate(readers, reader_offset):
@@ -398,6 +409,8 @@ def _score_bmw(
                     j = int(np.searchsorted(allowed, np.uint64(pivot_doc)))
                     if j >= len(allowed) or int(allowed[j]) != pivot_doc:
                         continue
+                if after is not None and (score, -pivot_doc) >= (after[0], -int(after[1])):
+                    continue  # search_after cursor: strictly after only
                 _heap_push(heap, k, score, pivot_doc)
             else:
                 # advance the lagging terms to the pivot
@@ -855,12 +868,13 @@ class QueryShard:
         rds = self.readers[ri_lo:ri_hi]
         gd = (lambda ri: self.dead[ri]) if any(d is not None for d in self.dead) else None
         allowed = q.get("_allowed")
+        after = tuple(q["after"]) if q.get("after") else None
         if q["mode"] == "phrase":
             _score_phrase(
                 rds, q["phrase"], idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo, get_dead=gd,
-                allowed=allowed,
+                allowed=allowed, after=after,
             )
         elif q["mode"] == "and" or q["method"] == "exhaustive" or q.get("exclude_terms"):
             _score_exhaustive(
@@ -868,13 +882,13 @@ class QueryShard:
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo,
                 exclude_terms=q.get("exclude_terms"), get_dead=gd,
-                allowed=allowed,
+                allowed=allowed, after=after,
             )
         else:
             _score_bmw(
                 rds, terms, idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b, reader_offset=ri_lo, get_dead=gd,
-                allowed=allowed,
+                allowed=allowed, after=after,
             )
 
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
@@ -1090,7 +1104,7 @@ class QueryEngine:
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
                  "mode": mode, "method": q_method, "k1": self.k1, "b": self.b,
                  "phrase": phrase, "exclude_terms": exclude_terms,
-                 "filters": q.get("filters")}
+                 "filters": q.get("filters"), "after": q.get("after")}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
         out = []
@@ -1249,6 +1263,34 @@ class QueryEngine:
         )
         res = res.sort_values(["n", field], ascending=[False, True], kind="mergesort").head(top)
         return [(str(v), int(n)) for v, n in zip(res[field], res["n"])]
+
+    def count(self, text: str, *, mode: str = "or") -> int:
+        """ES _count API: number of docs matching the query (no scoring, no
+        top-k) — per-shard match counts summed (docs disjoint across actors);
+        tombstones already excluded by match_doc_ids."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return 0
+        per = ray.get([a.match_doc_ids.remote(terms, mode) for a in self._actors])
+        return int(sum(len(p) for p in per))
+
+    def search_after(
+        self,
+        text: str,
+        after: tuple[float, int],
+        k: int = 10,
+        mode: str = "or",
+        method: str = "auto",
+    ) -> list[tuple[int, float]]:
+        """ES search_after pagination: the next k results strictly after the
+        cursor ``(score, doc_id)`` in (score desc, doc_id asc) order — deep
+        pagination without from+size re-scoring on the driver. Exact: page N
+        equals the [Nk, (N+1)k) slice of the full ranking (pinned in tests)."""
+        return self.search_many(
+            [{"text": text, "mode": mode, "after": [float(after[0]), int(after[1])]}],
+            k=k,
+            method=method,
+        )[0]
 
     def _ensure_doc_values(self, fields: list[str]) -> None:
         """Load doc-values for ``fields`` into every shard actor (once per

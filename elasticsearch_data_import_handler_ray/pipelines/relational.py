@@ -891,6 +891,58 @@ def q_sample_hash(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_var_std(sf_dir: str):
+    """Grouped variance / stddev via the PARTIAL-aggregation pattern: each
+    batch reduces to per-group (n, Σx, Σx²) — exact int64 arithmetic on the
+    integral quantities — then a tiny groupby sums the partials and the final
+    moments divide once on the driver side of the group. The float expression
+    ``(sumsq − sum²/n)/(n−1)`` is written IDENTICALLY in the SQL oracle, so
+    the IEEE results match bit-for-bit. Shuffle volume: one row per
+    (batch, group), not per input row — the shape a 100 TB aggregate needs."""
+    from ray.data.aggregate import Sum
+
+    ds = table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flags, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=q.astype(np.float64)).astype(np.int64)
+        s2 = np.bincount(inv, weights=(q * q).astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq),
+                "n": pa.array(n, type=pa.int64()),
+                "s": pa.array(s, type=pa.int64()),
+                "s2": pa.array(s2, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("s2", alias_name="s2"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        var = (s2 - s * s / n) / (n - 1)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": t["n"],
+                "sum_qty": t["s"],
+                "var_qty": pa.array(var, type=pa.float64()),
+                "std_qty": pa.array(np.sqrt(var), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "string_fns": q_string_fns,
@@ -924,4 +976,5 @@ QUERIES = {
     "window_lag": q_window_lag,
     "rollup": q_rollup,
     "pivot": q_pivot,
+    "var_std": q_var_std,
 }

@@ -261,3 +261,31 @@ def test_filtered_analyzer_rank_identity(tmp_path_factory, sf_dir):
             assert got == [(d, s) for d, s in want], (text, mode)
     finally:
         eng.close()
+
+
+def test_count_matches_oracle(engine, oracle):
+    """ES _count API: match counts equal the oracle's full result size."""
+    for text, mode in [("hot_term_0 foo", "or"), ("hot_term_0 hot_term_1", "and"),
+                       ("zzznope", "or")]:
+        want = len(oracle.search(text, k=oracle.N, mode=mode))
+        assert engine.count(text, mode=mode) == want, (text, mode)
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "bmw"])
+def test_search_after_pagination(engine, oracle, method):
+    """Page N via search_after == slice [Nk,(N+1)k) of the full ranking."""
+    text = "hot_term_0 parse json"
+    full = oracle.search(text, k=oracle.N, mode="or")
+    page1 = engine.search(text, k=10, method=method)
+    assert page1 == [(d, s) for d, s in full[:10]]
+    got, pages = list(page1), 0
+    while True:
+        cursor = (got[-1][1], got[-1][0])
+        nxt = engine.search_after(text, cursor, k=10, method=method)
+        if not nxt:
+            break
+        got.extend(nxt)
+        pages += 1
+        if pages > 200:
+            raise AssertionError("pagination did not terminate")
+    assert got == [(d, s) for d, s in full], method
