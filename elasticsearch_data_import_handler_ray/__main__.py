@@ -52,6 +52,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="treat each text as a */? wildcard term pattern")
     q.add_argument("--facet", default=None, metavar="FIELD",
                    help="print per-FIELD doc counts over ALL matches instead of top-k")
+    q.add_argument("--count", action="store_true",
+                   help="print only the match count (ES _count)")
+    q.add_argument("--filter", action="append", default=[], metavar="FIELD OP VALUE",
+                   nargs=3, help="doc-values filter clause, e.g. --filter lang eq en "
+                   "or --filter n_chars gte 200 (ops: eq gte gt lte lt); repeatable")
+    q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                   help="search_after cursor from the previous page's last hit")
+    q.add_argument("--stats", default=None, metavar="FIELD",
+                   help="print stats aggregation of FIELD over ALL matches")
+    q.add_argument("--histogram", default=None, metavar="FIELD:INTERVAL",
+                   help="print histogram of FIELD with INTERVAL-wide buckets over ALL matches")
 
     m = sub.add_parser("merge")
     m.add_argument("index_dir")
@@ -106,9 +117,50 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "query":
             from .index.query import QueryEngine
 
+            def parse_filters(raw):
+                out = []
+                for field, op, val in raw:
+                    if op not in ("eq", "gte", "gt", "lte", "lt", "in"):
+                        raise SystemExit(f"unknown filter op {op}")
+                    try:
+                        v = float(val) if op != "eq" and op != "in" else val
+                        if op != "eq" and op != "in" and v == int(v):
+                            v = int(v)
+                    except ValueError:
+                        v = val
+                    out.append({"field": field, op: v.split(",") if op == "in" else v})
+                return out
+
             eng = QueryEngine(args.index_dir)
             try:
-                if args.facet:
+                if args.count:
+                    for t in args.text:
+                        print(json.dumps({"query": t, "count": eng.count(t, mode=args.mode)}))
+                    results = []
+                elif args.stats:
+                    for t in args.text:
+                        print(json.dumps({"query": t, "stats": eng.stats(t, args.stats, mode=args.mode)}))
+                    results = []
+                elif args.histogram:
+                    field, interval = args.histogram.rsplit(":", 1)
+                    for t in args.text:
+                        buckets = eng.histogram(t, field, float(interval), mode=args.mode)
+                        print(json.dumps({"query": t, "buckets": [{"key": b, "n": n} for b, n in buckets]}))
+                    results = []
+                elif args.filter:
+                    flts = parse_filters(args.filter)
+                    results = [
+                        eng.search_filtered(t, flts, k=args.k, mode=args.mode, method=args.method)
+                        for t in args.text
+                    ]
+                elif args.after:
+                    s, d = args.after.split(",")
+                    results = [
+                        eng.search_after(t, (float(s), int(d)), k=args.k,
+                                         mode=args.mode, method=args.method)
+                        for t in args.text
+                    ]
+                elif args.facet:
                     for t in args.text:
                         fac = eng.facets(t, args.facet, mode=args.mode)
                         print(json.dumps({"query": t, "facets": [{"value": v, "n": n} for v, n in fac]}))

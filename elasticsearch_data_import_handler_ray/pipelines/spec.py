@@ -103,6 +103,7 @@ class ImportSpec:
     index_analyzer: str = "code"
     index_num_segments: int = 8
     index_positions: bool = False
+    index_store_cols: tuple = ()
 
 
 @dataclass
@@ -154,6 +155,7 @@ class PipelineSpec:
                     index_analyzer=i.get("index_analyzer", "code"),
                     index_num_segments=i.get("index_num_segments", 8),
                     index_positions=i.get("index_positions", False),
+                    index_store_cols=tuple(i.get("index_store_cols", ())),
                 )
                 for i in d.get("imports", [])
             ],
@@ -207,6 +209,7 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
                     doc_id_col=imp.id_column,
                     content_col=imp.index_content_col,
                     positions=imp.index_positions,
+                    store_cols=tuple(imp.index_store_cols),
                 )
                 stage_dir = os.path.join(imp.target, "imports", imp.name)
                 if imp.mode == "full":
