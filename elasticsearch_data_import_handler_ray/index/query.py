@@ -813,15 +813,19 @@ class QueryShard:
         mode: str,
         field: str,
         histogram_interval: float | None = None,
+        value_counts: bool = False,
     ):
         """Aggregations over ALL matching docs (ES aggs under a query),
         computed locally from this actor's doc-values: stats partials
-        (count, sum, min, max) or histogram bucket counts keyed by
-        ``floor(v / interval) * interval``."""
+        (count, sum, min, max), histogram bucket counts keyed by
+        ``floor(v / interval) * interval``, or terms-facet value counts."""
         ids = self.match_doc_ids(terms, mode)
         if len(ids) == 0:
             return None
         vals = self._values_of(field, ids)
+        if value_counts:
+            uniq, counts = np.unique(vals, return_counts=True)
+            return ([str(v) for v in uniq], counts.tolist())
         if histogram_interval is not None:
             b = np.floor(vals / histogram_interval) * histogram_interval
             uniq, counts = np.unique(b, return_counts=True)
@@ -1224,45 +1228,29 @@ class QueryEngine:
     def facets(
         self, text: str, field: str, *, mode: str = "or", top: int = 10
     ) -> list[tuple[str, int]]:
-        """ES terms-aggregation under a query: value counts of a docmap
-        identity column over ALL docs matching the query (not just top-k).
-        Shards compute their full match sets from the decoded-postings LRU;
-        the counting pass streams the docmap (column-pruned read, broadcast
-        membership mask, distributed groupby) — the corpus never lands on the
-        driver. Partitioning assumption (documented): the match-ID set fits
-        an object-store broadcast (8 B/match); at multi-node scale the
-        per-shard doc-values layout (each actor counting its own segment's
-        docs) removes even that — noted as the cluster path."""
-        import ray.data
-        from ray.data.aggregate import Count
-
+        """ES terms-aggregation under a query: value counts of a stored
+        field over ALL docs matching the query (not just top-k). Each shard
+        counts ITS matching docs against its doc-values column (the
+        cluster-scale layout: no match-ID broadcast, no per-query docmap
+        streaming — only tiny (value, count) partials reach the driver)."""
         terms = sorted(set(self.analyzer.analyze_query(text)))
         if not terms:
             return []
-        per = ray.get([a.match_doc_ids.remote(terms, mode) for a in self._actors])
-        nonempty = [p for p in per if len(p)]
-        if not nonempty:
-            return []
-        ids = np.unique(np.concatenate(nonempty)).astype(np.uint64)
-        ids_ref = ray.put(pa.array(ids, type=pa.uint64()))
-
-        from .tombstones import docmap_dataset
-
-        def flt(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-
-            m = _pc.is_in(_pc.cast(t["doc_id"], pa.uint64()), value_set=ray.get(ids_ref))
-            return t.filter(m)
-
-        res = (
-            docmap_dataset(self.man, self._tomb, columns=["doc_id", field])
-            .map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(field)
-            .aggregate(Count(alias_name="n"))
-            .to_pandas()
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.agg_under_query.remote(terms, mode, field, value_counts=True)
+                for a in self._actors
+            ]
         )
-        res = res.sort_values(["n", field], ascending=[False, True], kind="mergesort").head(top)
-        return [(str(v), int(n)) for v, n in zip(res[field], res["n"])]
+        agg: dict[str, int] = {}
+        for p in per:
+            if p is None:
+                continue
+            for v, n in zip(*p):
+                agg[v] = agg.get(v, 0) + int(n)
+        out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        return [(v, n) for v, n in out]
 
     def count(self, text: str, *, mode: str = "or") -> int:
         """ES _count API: number of docs matching the query (no scoring, no
