@@ -525,6 +525,41 @@ def _filtered_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _sorted_by_search(sf_dir: str):
+    """ES sort-by-field: matching docs ordered by a doc-value instead of
+    _score — exact DuckDB oracle (whitespace match + ORDER BY + LIMIT)."""
+    eng = _dv_engine(sf_dir)
+    try:
+        hits = eng.search_sorted_by("hash join query", "n_chars", k=15, descending=True)
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d) for d, _ in hits], type=pa.int64()),
+            "n_chars": pa.array([int(v) for _, v in hits], type=pa.int64()),
+        }
+    )
+
+
+def _msm_search(sf_dir: str):
+    """ES minimum_should_match: OR query keeping docs that match >= m terms
+    (rows-only; oracle identity is pinned in tests/test_index.py)."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        for m in (2, 3):
+            res = eng.search_many(
+                [{"text": "hash join query vector", "mode": "or", "min_should_match": m}],
+                k=10,
+            )[0]
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"msm": m, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _count_search(sf_dir: str):
     """ES _count API: match counts (no scoring) — whitespace analyzer keeps
     the predicate SQL-expressible, so this gets an exact DuckDB oracle."""
@@ -759,6 +794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "filtered_search": _filtered_search,
             "count_search": _count_search,
             "paged_search": _paged_search,
+            "sorted_by_search": _sorted_by_search,
+            "msm_search": _msm_search,
             "fuzzy_wildcard_search": _fuzzy_wildcard,
         }
     )
@@ -1118,6 +1155,13 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(n AS DOUBLE) - 1)) AS std_qty
             FROM g
         """,
+        "sorted_by_search": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            ORDER BY n_chars DESC, doc_id LIMIT 15
+        """,
         "count_search": """
             SELECT 'or_q' AS q, count(*)::BIGINT AS n FROM documents
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
@@ -1129,6 +1173,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'miss', count(*)::BIGINT FROM documents
             WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'zzzneverseen')
+        """,
+        "corr": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       COUNT(*)::BIGINT AS n,
+                       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sx,
+                       SUM(CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sy,
+                       SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sxy,
+                       SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT))::BIGINT AS sxx,
+                       SUM(CAST(round(l_discount * 100) AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS syy
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_disc
+            FROM g
         """,
         "stats_search": """
             SELECT count(*)::BIGINT AS n,

@@ -63,7 +63,12 @@ class BM25Oracle:
         return 0 if p is None else len(p[0])
 
     def search(
-        self, text: str, k: int = 10, mode: str = "or", exclude: str | None = None
+        self,
+        text: str,
+        k: int = 10,
+        mode: str = "or",
+        exclude: str | None = None,
+        min_should_match: int | None = None,
     ) -> list[tuple[int, float]]:
         terms_all = sorted(set(self.analyzer.analyze_query(text)))
         terms = [t for t in terms_all if t in self.postings]
@@ -83,6 +88,8 @@ class BM25Oracle:
             hits[pos] += 1
         if mode == "and":
             mask = hits == len(terms)
+        elif min_should_match and min_should_match > 1:
+            mask = hits >= min_should_match
         else:
             mask = hits > 0
         if exclude:

@@ -159,6 +159,7 @@ def _score_exhaustive(
     get_dead=None,
     allowed: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    min_should_match: int | None = None,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
@@ -210,6 +211,10 @@ def _score_exhaustive(
             union, scores, hits = union[keep], scores[keep], hits[keep]
         if mode == "and":
             m = hits == len(terms)
+            union, scores = union[m], scores[m]
+        elif min_should_match and min_should_match > 1:
+            # ES minimum_should_match: keep docs matching >= m should terms
+            m = hits >= min_should_match
             union, scores = union[m], scores[m]
         if exclude_terms:
             # ES bool must_not: drop docs containing ANY excluded term —
@@ -837,6 +842,49 @@ class QueryShard:
             float(vals.max()),
         )
 
+    def top_by_field(
+        self, terms: list[str], mode: str, field: str, k: int, descending: bool
+    ) -> list[tuple]:
+        """ES sort-by-field: this shard's top-k MATCHING docs ordered by a
+        doc-value (tie → doc_id asc) — local match + local sort, only k rows
+        leave the actor."""
+        ids = self.match_doc_ids(terms, mode)
+        if len(ids) == 0:
+            return []
+        vals = self._values_of(field, ids)
+        key = -vals if descending else vals
+        order = np.lexsort((ids, key))[:k]
+        return [(vals[i], int(ids[i])) for i in order]
+
+    def explain_doc(
+        self, terms: list[str], idfs: dict, avgdl: float, doc_id: int,
+        k1: float, b: float,
+    ) -> list[tuple]:
+        """ES _explain analogue: per-term (tf, dl, idf, contribution) for one
+        doc in this shard (empty if the doc is not here / superseded)."""
+        from .tombstones import in_sorted
+
+        d = np.uint64(doc_id)
+        out = []
+        for ri in range(len(self.readers)):
+            dd = self.dead[ri]
+            if dd is not None and in_sorted(np.array([d]), dd)[0]:
+                continue
+            for t in terms:
+                arrs = self._decoded(ri, t)
+                if arrs is None:
+                    continue
+                ids, tfs, dls = arrs
+                j = int(np.searchsorted(ids, d))
+                if j < len(ids) and ids[j] == d:
+                    contrib = float(
+                        bm25.contribution(
+                            idfs[t], np.float64(tfs[j]), np.float64(dls[j]), avgdl, k1, b
+                        )
+                    )
+                    out.append((t, int(tfs[j]), int(dls[j]), float(idfs[t]), contrib))
+        return out
+
     def _rdf(self, ri: int, term: str) -> int:
         """df of one term in one reader, tombstone-corrected."""
         r = self.readers[ri]
@@ -880,13 +928,19 @@ class QueryShard:
                 get_decoded=self._decoded, reader_offset=ri_lo, get_dead=gd,
                 allowed=allowed, after=after,
             )
-        elif q["mode"] == "and" or q["method"] == "exhaustive" or q.get("exclude_terms"):
+        elif (
+            q["mode"] == "and"
+            or q["method"] == "exhaustive"
+            or q.get("exclude_terms")
+            or q.get("min_should_match")
+        ):
             _score_exhaustive(
                 rds, terms, idfs, avgdl, k, q["mode"], heap,
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo,
                 exclude_terms=q.get("exclude_terms"), get_dead=gd,
                 allowed=allowed, after=after,
+                min_should_match=q.get("min_should_match"),
             )
         else:
             _score_bmw(
@@ -1108,7 +1162,8 @@ class QueryEngine:
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
                  "mode": mode, "method": q_method, "k1": self.k1, "b": self.b,
                  "phrase": phrase, "exclude_terms": exclude_terms,
-                 "filters": q.get("filters"), "after": q.get("after")}
+                 "filters": q.get("filters"), "after": q.get("after"),
+                 "min_should_match": q.get("min_should_match")}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
         out = []
@@ -1251,6 +1306,58 @@ class QueryEngine:
                 agg[v] = agg.get(v, 0) + int(n)
         out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
         return [(v, n) for v, n in out]
+
+    def search_sorted_by(
+        self,
+        text: str,
+        field: str,
+        k: int = 10,
+        *,
+        mode: str = "or",
+        descending: bool = True,
+    ) -> list[tuple[int, float]]:
+        """ES sort-by-field: the top-k docs MATCHING the query ordered by a
+        numeric doc-value instead of _score (tie → doc_id asc). Per-shard
+        local top-k + driver merge — exact, only shards×k rows move."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms or k <= 0:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [a.top_by_field.remote(terms, mode, field, k, descending) for a in self._actors]
+        )
+        rows = [r for p in per for r in p]
+        rows.sort(key=lambda vd: (-vd[0] if descending else vd[0], vd[1]))
+        return [(d, float(v)) for v, d in rows[:k]]
+
+    def explain(self, text: str, doc_id: int, *, mode: str = "or") -> dict:
+        """ES _explain analogue: the per-term BM25 breakdown of one doc's
+        score for a query — (term, tf, doc_len, idf, contribution) rows plus
+        the total, computed with the SAME global idf the ranking uses, so
+        total == the doc's search score bit-for-bit."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        dfs = self.global_dfs(terms)
+        known = [t for t, df in zip(terms, dfs.tolist()) if df > 0]
+        idfs = {t: float(bm25.idf(self.N, df)) for t, df in zip(terms, dfs.tolist()) if df > 0}
+        per = ray.get(
+            [
+                a.explain_doc.remote(known, idfs, self.avgdl, int(doc_id), self.k1, self.b)
+                for a in self._actors
+            ]
+        )
+        rows = sorted((r for p in per for r in p))  # ascending term
+        total = 0.0
+        for _, _, _, _, c in rows:  # ascending-term accumulation (bit-exact)
+            total += c
+        return {
+            "doc_id": int(doc_id),
+            "terms": [
+                {"term": t, "tf": tf, "doc_len": dl, "idf": idf, "contribution": c}
+                for t, tf, dl, idf, c in rows
+            ],
+            "score": total,
+            "matched": bool(rows),
+        }
 
     def count(self, text: str, *, mode: str = "or") -> int:
         """ES _count API: number of docs matching the query (no scoring, no

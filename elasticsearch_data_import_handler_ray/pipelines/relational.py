@@ -943,6 +943,64 @@ def q_var_std(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_corr(sf_dir: str):
+    """Grouped Pearson correlation via the same exact-moments partial pattern
+    as q_var_std: per batch (n, Σx, Σy, Σxy, Σx², Σy²) in int64 (quantity and
+    discount·100 are small integers — every sum is exact), combined by a tiny
+    groupby; the final float expression is mirrored verbatim in the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # discount is in exact 0.01 steps: ·100 → small exact ints
+        y = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flags, return_inverse=True)
+
+        def s(v):
+            return np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq),
+                "n": pa.array(np.bincount(inv), type=pa.int64()),
+                "sx": pa.array(s(x), type=pa.int64()),
+                "sy": pa.array(s(y), type=pa.int64()),
+                "sxy": pa.array(s(x * y), type=pa.int64()),
+                "sxx": pa.array(s(x * x), type=pa.int64()),
+                "syy": pa.array(s(y * y), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt(
+            (f["n"] * f["sxx"] - f["sx"] * f["sx"])
+            * (f["n"] * f["syy"] - f["sy"] * f["sy"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": t["n"],
+                "corr_qty_disc": pa.array(num / den, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "string_fns": q_string_fns,
@@ -977,4 +1035,5 @@ QUERIES = {
     "rollup": q_rollup,
     "pivot": q_pivot,
     "var_std": q_var_std,
+    "corr": q_corr,
 }

@@ -120,3 +120,19 @@ def test_histogram_under_query(dv_engine, docs):
         want[float(b)] = want.get(float(b), 0) + 1
     got = dict(dv_engine.histogram("hash join query", "n_chars", 250.0))
     assert got == want
+
+
+def test_search_sorted_by_field(dv_engine, docs):
+    """ES sort-by-field: matching docs ordered by doc-value, tie doc_id asc."""
+    m = _matches(docs, "hash join query")
+    sub = docs.loc[m, ["doc_id", "n_chars"]].copy()
+    sub["doc_id"] = sub["doc_id"].astype(np.uint64)
+    for descending in (True, False):
+        got = dv_engine.search_sorted_by(
+            "hash join query", "n_chars", k=15, descending=descending
+        )
+        want = sub.sort_values(
+            ["n_chars", "doc_id"], ascending=[not descending, True], kind="mergesort"
+        ).head(15)
+        assert got == list(zip(want["doc_id"].tolist(), want["n_chars"].astype(float).tolist())), descending
+    assert dv_engine.search_sorted_by("zzzneverseen", "n_chars", k=5) == []

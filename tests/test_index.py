@@ -289,3 +289,34 @@ def test_search_after_pagination(engine, oracle, method):
         if pages > 200:
             raise AssertionError("pagination did not terminate")
     assert got == [(d, s) for d, s in full], method
+
+
+def test_minimum_should_match(engine, oracle):
+    """ES minimum_should_match: docs matching >= m of the OR terms; scores
+    stay the sum over MATCHED terms only (oracle-identical)."""
+    text = "hot_term_0 hot_term_1 parse json"
+    for m in (2, 3, 4):
+        got = engine.search_many(
+            [{"text": text, "mode": "or", "min_should_match": m}], k=10
+        )[0]
+        want = oracle.search(text, k=10, mode="or", min_should_match=m)
+        assert got == [(d, s) for d, s in want], m
+    # msm=1 == plain OR; msm=len(terms) == AND
+    got1 = engine.search_many([{"text": text, "mode": "or", "min_should_match": 1}], k=10)[0]
+    assert got1 == engine.search(text, k=10, mode="or", method="exhaustive")
+    n_terms = len(engine.analyze(text))  # code analyzer splits hot_term_0 → 3
+    gotn = engine.search_many(
+        [{"text": text, "mode": "or", "min_should_match": n_terms}], k=10
+    )[0]
+    assert [d for d, _ in gotn] == [d for d, _ in engine.search(text, k=10, mode="and")]
+
+
+def test_explain_matches_search_score(engine, oracle):
+    text = "hot_term_0 parse json"
+    top = engine.search(text, k=3)
+    for doc_id, score in top:
+        ex = engine.explain(text, doc_id)
+        assert ex["matched"] and ex["score"] == score
+        assert sorted(r["term"] for r in ex["terms"]) == [r["term"] for r in ex["terms"]]
+    missing = engine.explain(text, 1234567)  # not a real doc id
+    assert not missing["matched"] and missing["score"] == 0.0
