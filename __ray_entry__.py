@@ -560,6 +560,29 @@ def _msm_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _delete_search(sf_dir: str):
+    """Delete-by-id tombstones: N/df/top-k behave as if the deleted docs
+    were never indexed (exact oracle = count over the surviving docs — the
+    match predicate is SQL-expressible, deletions are id-literal)."""
+    from elasticsearch_data_import_handler_ray.index.tombstones import add_deletions
+
+    eng = _dv_engine(sf_dir)
+    idx = eng.man.index_dir
+    eng.close()
+    add_deletions(idx, [d for d in range(0, 100)])  # doc_ids 0..99
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(idx)
+    try:
+        rows = [
+            {"q": "n_total", "n": eng.N},
+            {"q": "or_q", "n": eng.count("hash join query", mode="or")},
+        ]
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _count_search(sf_dir: str):
     """ES _count API: match counts (no scoring) — whitespace analyzer keeps
     the predicate SQL-expressible, so this gets an exact DuckDB oracle."""
@@ -796,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "paged_search": _paged_search,
             "sorted_by_search": _sorted_by_search,
             "msm_search": _msm_search,
+            "delete_search": _delete_search,
             "fuzzy_wildcard_search": _fuzzy_wildcard,
         }
     )
@@ -1161,6 +1185,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             ORDER BY n_chars DESC, doc_id LIMIT 15
+        """,
+        "delete_search": """
+            SELECT 'n_total' AS q, count(*)::BIGINT AS n FROM documents
+            WHERE doc_id >= 100
+            UNION ALL
+            SELECT 'or_q', count(*)::BIGINT FROM documents
+            WHERE doc_id >= 100
+              AND len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
         """,
         "count_search": """
             SELECT 'or_q' AS q, count(*)::BIGINT AS n FROM documents

@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("merge")
     m.add_argument("index_dir")
 
+    dl = sub.add_parser("delete", help="delete docs by id or by query (tombstoned now, purged at merge)")
+    dl.add_argument("index_dir")
+    dl.add_argument("--ids", default=None, help="comma-separated doc_ids")
+    dl.add_argument("--query", default=None, help="delete every doc matching this query")
+    dl.add_argument("--mode", default="or", choices=["or", "and"])
+
     fs = sub.add_parser("fsck", help="verify every on-disk index invariant")
     fs.add_argument("index_dir")
 
@@ -179,6 +185,28 @@ def main(argv: list[str] | None = None) -> int:
                 eng.close()
             for t, res in zip(args.text, results):
                 print(json.dumps({"query": t, "hits": [{"doc_id": d, "score": s} for d, s in res]}))
+        elif args.cmd == "delete":
+            from .index.tombstones import add_deletions
+
+            if bool(args.ids) == bool(args.query):
+                raise SystemExit("delete needs exactly one of --ids / --query")
+            if args.ids:
+                ids = [int(x) for x in args.ids.split(",")]
+            else:
+                from .index.query import QueryEngine
+
+                eng = QueryEngine(args.index_dir)
+                try:
+                    terms = eng.analyze(args.query)
+                    import ray as _ray
+
+                    per = _ray.get(
+                        [a.match_doc_ids.remote(terms, args.mode) for a in eng._actors]
+                    )
+                    ids = [int(d) for p in per for d in p]
+                finally:
+                    eng.close()
+            print(json.dumps({"deleted": add_deletions(args.index_dir, ids)}))
         elif args.cmd == "merge":
             from .index.merge import merge_index
 

@@ -156,11 +156,13 @@ def _merge_one_shard(
 def merge_index(index_dir: str, *, cleanup: bool = True, concurrency: int | None = None) -> str:
     """Compact all complete runs into one merged run. Returns the new run id.
     No-op (returns existing id) when the index already has a single run."""
-    from .tombstones import docmap_dataset, find_superseded, run_seqs
+    from .tombstones import docmap_dataset, find_superseded, load_deletions, run_seqs
 
     man = Manifest.load(index_dir)
     runs = man.complete_runs()
-    if len(runs) <= 1:
+    # a single-run index still merges when deletions are pending — that
+    # merge is what makes them physical
+    if len(runs) <= 1 and load_deletions(index_dir) is None:
         return next(iter(runs), "")
     run_ids = sorted(runs)
     rid = "merged-" + hashlib.blake2b("|".join(run_ids).encode(), digest_size=6).hexdigest()
@@ -232,4 +234,9 @@ def merge_index(index_dir: str, *, cleanup: bool = True, concurrency: int | None
             if tomb:
                 for old in old_docmap_dirs:
                     shutil.rmtree(os.path.join(index_dir, old), ignore_errors=True)
+            # deletions are physical now (purged above or never present);
+            # future re-imports carry a higher seq than any old at_seq
+            from .tombstones import clear_deletions
+
+            clear_deletions(index_dir)
     return rid

@@ -86,7 +86,8 @@ def find_superseded(man) -> dict[str, dict]:
     are unknowable); duplicates involving them still fail at merge time.
     """
     runs = man.complete_runs()
-    if len(runs) <= 1:
+    dels = load_deletions(man.index_dir)  # (doc_ids sorted, at_seq aligned) | None
+    if not runs or (len(runs) <= 1 and dels is None):
         return {}
     import ray.data
     from ray.data.aggregate import Count
@@ -96,43 +97,48 @@ def find_superseded(man) -> dict[str, dict]:
     seqs = run_seqs(man)
     per_run_files = {rid: _run_docmap_files(man, r) for rid, r in runs.items()}
     per_run_files = {rid: f for rid, f in per_run_files.items() if f}
-    if len(per_run_files) <= 1:
+    if not per_run_files or (len(per_run_files) <= 1 and dels is None):
         return {}
 
-    # pass 1 (streaming, column-pruned): doc_ids present in >1 run.
-    # doc_id is uint64; values above 2^63 cannot round-trip the aggregate's
-    # block rebuild as Python ints → reinterpret as int64 (a bijection) for
-    # the groupby and view back after.
-    all_files = [f for files in per_run_files.values() for f in files]
+    dup_ids = np.empty(0, dtype=np.uint64)
+    if len(per_run_files) > 1:
+        # pass 1 (streaming, column-pruned): doc_ids present in >1 run.
+        # doc_id is uint64; values above 2^63 cannot round-trip the
+        # aggregate's block rebuild as Python ints → reinterpret as int64
+        # (a bijection) for the groupby and view back after.
+        all_files = [f for files in per_run_files.values() for f in files]
 
-    def _sign(t: pa.Table) -> pa.Table:
-        a = (
-            t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            .astype(np.uint64).view(np.int64)
+        def _sign(t: pa.Table) -> pa.Table:
+            a = (
+                t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+                .astype(np.uint64).view(np.int64)
+            )
+            return pa.table({"doc_id": pa.array(a)})
+
+        ds = ray.data.read_parquet(all_files, columns=["doc_id"]).map_batches(
+            _sign, batch_format="pyarrow", zero_copy_batch=True
         )
-        return pa.table({"doc_id": pa.array(a)})
+        nparts = max(2, min(cluster_cpus(), len(all_files)))
+        dup = (
+            ds.groupby("doc_id", num_partitions=nparts)
+            .aggregate(Count(alias_name="n"))
+            .filter(expr="n > 1")
+            .select_columns(["doc_id"])
+            .to_pandas()  # ONLY the upserted ids — small between merges
+        )
+        if len(dup):  # empty to_pandas frames lose their columns
+            dup_ids = np.sort(dup["doc_id"].to_numpy().astype(np.int64).view(np.uint64))
 
-    ds = ray.data.read_parquet(all_files, columns=["doc_id"]).map_batches(
-        _sign, batch_format="pyarrow", zero_copy_batch=True
-    )
-    nparts = max(2, min(cluster_cpus(), len(all_files)))
-    dup = (
-        ds.groupby("doc_id", num_partitions=nparts)
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n > 1")
-        .select_columns(["doc_id"])
-        .to_pandas()  # ONLY the upserted ids — small between merges
-    )
-    if len(dup) == 0:
+    want = dup_ids if dels is None else np.union1d(dup_ids, dels[0])
+    if len(want) == 0:
         return {}
-    dup_ids = np.sort(dup["doc_id"].to_numpy().astype(np.int64).view(np.uint64))
-    dup_ref = ray.put(pa.array(dup_ids, type=pa.uint64()))
+    want_ref = ray.put(pa.array(want, type=pa.uint64()))
 
-    # pass 2: fetch (doc_id, doc_len) of the duplicated ids per run
+    # pass 2: fetch (doc_id, doc_len) of the interesting ids per run
     def _flt(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.is_in(pc.cast(t["doc_id"], pa.uint64()), value_set=ray.get(dup_ref)))
+        return t.filter(pc.is_in(pc.cast(t["doc_id"], pa.uint64()), value_set=ray.get(want_ref)))
 
     rows = []  # (seq, run_id, doc_ids, doc_lens)
     for rid, files in per_run_files.items():
@@ -150,22 +156,33 @@ def find_superseded(man) -> dict[str, dict]:
                     t["doc_len"].to_numpy().astype(np.int64),
                 )
             )
-    if len(rows) <= 1:
+    if not rows:
         return {}
-    if len({seq for seq, *_ in rows}) != len(rows):
+    if len(dup_ids) and len({seq for seq, *_ in rows}) != len(rows):
         raise ValueError(
             "ambiguous document versions: duplicated doc_ids across runs with "
             "equal commit sequence — merge or rebuild the legacy runs first"
         )
-    # winner per doc = the highest seq that contains it
+    # upsert winner per doc = the highest seq that contains it
+    dup_set = set(dup_ids.tolist())
     win_seq: dict[int, int] = {}
     for seq, _, ids, _ in rows:
         for d in ids.tolist():
-            if win_seq.get(d, -1) < seq:
+            if d in dup_set and win_seq.get(d, -1) < seq:
                 win_seq[d] = seq
     out: dict[str, dict] = {}
     for seq, rid, ids, dls in rows:
-        lose = np.array([win_seq[d] > seq for d in ids.tolist()], dtype=bool)
+        lose = np.array(
+            [win_seq.get(d, -1) > seq for d in ids.tolist()], dtype=bool
+        )
+        if dels is not None:
+            # a deletion at at_seq kills every version in runs committed at
+            # or before it; a later re-import (higher seq) resurrects the id
+            pos = np.searchsorted(dels[0], ids)
+            pos_c = np.minimum(pos, len(dels[0]) - 1)
+            hit = dels[0][pos_c] == ids
+            at = np.where(hit, dels[1][pos_c], -1)
+            lose |= at >= seq
         if not lose.any():
             continue
         dead_ids = ids[lose]
@@ -177,6 +194,78 @@ def find_superseded(man) -> dict[str, dict]:
             "sum_dl": int(dead_dls.sum()),
         }
     return out
+
+
+def add_deletions(index_dir: str, doc_ids) -> int:
+    """ES delete-by-id: record tombstones for ``doc_ids``. The deletion
+    carries the CURRENT max run seq — it kills every version committed at or
+    before now; a later re-import of the same id resurrects it. Deletions
+    are masked at query time immediately and purged physically by
+    ``merge_index`` (bounded: the recorded set is deletion-batch-sized, and
+    the files are dropped once a merge makes them physical)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import Manifest, RunLock
+
+    man = Manifest.load(index_dir)
+    at_seq = max(run_seqs(man).values(), default=0)
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.uint64))
+    if len(ids) == 0:
+        return 0
+    with RunLock(index_dir, owner="delete"):
+        d = os.path.join(index_dir, "deletes")
+        os.makedirs(d, exist_ok=True)
+        name = hashlib.blake2b(
+            ids.tobytes() + str(at_seq).encode(), digest_size=8
+        ).hexdigest()
+        path = os.path.join(d, f"del-{name}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.uint64()),
+                    "at_seq": pa.array(np.full(len(ids), at_seq, dtype=np.int64)),
+                }
+            ),
+            tmp,
+        )
+        os.rename(tmp, path)
+    return int(len(ids))
+
+
+def load_deletions(index_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
+    """→ (sorted doc_ids, per-id MAX at_seq) across all deletion files, or
+    None when no deletions are recorded."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_dir, "deletes")
+    if not os.path.isdir(d):
+        return None
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    if not files:
+        return None
+    ids_parts, seq_parts = [], []
+    for f in files:
+        t = pq.read_table(f)
+        ids_parts.append(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        seq_parts.append(t["at_seq"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ids = np.concatenate(ids_parts)
+    at = np.concatenate(seq_parts)
+    order = np.lexsort((at, ids))
+    ids, at = ids[order], at[order]
+    last = np.append(ids[1:] != ids[:-1], True)  # keep max at_seq per id
+    return ids[last], at[last]
+
+
+def clear_deletions(index_dir: str) -> None:
+    """Drop deletion files (called after a merge makes them physical)."""
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
 
 
 def dead_for_segment(tomb: dict[str, dict], seg_dir: str, num_segments: int) -> np.ndarray | None:
