@@ -465,7 +465,7 @@ def _dv_engine(sf_dir: str):
         mode="full",
         config=IndexConfig(
             analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("lang", "n_chars"),
+            content_col="text", store_cols=("lang", "n_chars", "source"),
         ),
     )
     return QueryEngine(index_dir)
@@ -596,6 +596,85 @@ def _count_search(sf_dir: str):
     finally:
         eng.close()
     return pa.Table.from_pylist(rows)
+
+
+def _cardinality_search(sf_dir: str):
+    """ES cardinality aggregation under a query: exact distinct count of the
+    'source' doc-value over all docs matching 'hash join query' — full DuckDB
+    oracle (COUNT(DISTINCT source) under the same whitespace predicate)."""
+    eng = _dv_engine(sf_dir)
+    try:
+        n = eng.cardinality("hash join query", "source")
+        n_and = eng.cardinality("hash join", "lang", mode="and")
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "q": pa.array(["or_source", "and_lang"], type=pa.string()),
+            "n": pa.array([n, n_and], type=pa.int64()),
+        }
+    )
+
+
+def _date_histogram_search(sf_dir: str):
+    """ES date_histogram (calendar month buckets) under a query: documents is
+    augmented with a deterministic ISO day column (doc_id-derived), indexed
+    with day doc-values, bucketed by month over all matching docs — exact
+    DuckDB oracle (same derivation + substr truncation)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    d = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    d["day"] = (
+        pd.Timestamp("2024-01-01") + pd.to_timedelta(d["doc_id"] % 500, unit="D")
+    ).dt.strftime("%Y-%m-%d")
+    root = tempfile.mkdtemp(prefix="edih_dh_idx_")
+    src = os.path.join(root, "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(d, preserve_index=False), src)
+    index_dir = os.path.join(root, "idx")
+    build_index(
+        src,
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("day",),
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    try:
+        buckets = eng.date_histogram("hash join query", "day", interval="month")
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "month": pa.array([b for b, _ in buckets], type=pa.string()),
+            "n": pa.array([n for _, n in buckets], type=pa.int64()),
+        }
+    )
+
+
+def _significant_terms_search(sf_dir: str):
+    """ES significant_terms on the lang doc-value: JLH score of foreground
+    (match set of 'hash join query') vs background (whole index) value shares
+    — exact DuckDB oracle computing the identical formula."""
+    eng = _dv_engine(sf_dir)
+    try:
+        rows = eng.significant_terms("hash join query", "lang", top=100)
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "lang": pa.array([r["value"] for r in rows], type=pa.string()),
+            "fg_count": pa.array([r["fg_count"] for r in rows], type=pa.int64()),
+            "bg_count": pa.array([r["bg_count"] for r in rows], type=pa.int64()),
+            "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+        }
+    )
 
 
 def _paged_search(sf_dir: str):
@@ -814,6 +893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "facet_search": _facet_search,
             "stats_search": _stats_search,
             "histogram_search": _histogram_search,
+            "cardinality_search": _cardinality_search,
+            "date_histogram_search": _date_histogram_search,
+            "significant_terms_search": _significant_terms_search,
             "filtered_search": _filtered_search,
             "count_search": _count_search,
             "paged_search": _paged_search,
@@ -1246,6 +1328,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY bucket
+        """,
+        "cardinality_search": """
+            SELECT 'or_source' AS q, count(DISTINCT source)::BIGINT AS n
+            FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            UNION ALL
+            SELECT 'and_lang', count(DISTINCT lang)::BIGINT FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join'])) = 2
+        """,
+        "date_histogram_search": """
+            WITH d AS (
+                SELECT text,
+                       strftime(DATE '2024-01-01'
+                                + ((doc_id % 500)::INT) * INTERVAL 1 DAY,
+                                '%Y-%m-%d') AS day
+                FROM documents
+            )
+            SELECT substr(day, 1, 7) AS month, count(*)::BIGINT AS n FROM d
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            GROUP BY month
+        """,
+        "significant_terms_search": """
+            WITH fg AS (
+                SELECT lang, count(*)::BIGINT AS fg_count FROM documents
+                WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                         ['hash', 'join', 'query'])) > 0
+                GROUP BY lang
+            ), bg AS (
+                SELECT lang, count(*)::BIGINT AS bg_count FROM documents GROUP BY lang
+            ), tot AS (
+                SELECT (SELECT sum(fg_count) FROM fg)::DOUBLE AS fgt,
+                       (SELECT sum(bg_count) FROM bg)::DOUBLE AS bgt
+            )
+            SELECT fg.lang, fg.fg_count, bg.bg_count,
+                   ((fg.fg_count::DOUBLE / tot.fgt) - (bg.bg_count::DOUBLE / tot.bgt))
+                   * (fg.fg_count::DOUBLE / tot.fgt)
+                   / (bg.bg_count::DOUBLE / tot.bgt) AS score
+            FROM fg JOIN bg USING (lang) CROSS JOIN tot
         """,
         # rows-only (non-SQL-expressible; oracle-checked in tests/):
         #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,

@@ -27,6 +27,7 @@ from __future__ import annotations
 import heapq
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -842,6 +843,39 @@ class QueryShard:
             float(vals.max()),
         )
 
+    def distinct_under_query(self, terms: list[str], mode: str, field: str):
+        """Distinct doc-values of this actor's MATCHING docs (ES cardinality
+        partial). Actors hold disjoint docs, but the same value can appear on
+        several actors — the driver unions the per-actor sets."""
+        ids = self.match_doc_ids(terms, mode)
+        if len(ids) == 0:
+            return None
+        return np.unique(self._values_of(field, ids)).tolist()
+
+    def value_counts_all(self, field: str):
+        """Background value counts over ALL live docs this actor serves (the
+        significant-terms denominator). Docs are disjoint across actors, so
+        partials sum."""
+        _, vals = self._doc_values[field]
+        if len(vals) == 0:
+            return None
+        uniq, counts = np.unique(vals, return_counts=True)
+        return ([str(v) for v in uniq], counts.tolist())
+
+    def date_histogram_under_query(
+        self, terms: list[str], mode: str, field: str, trunc_chars: int
+    ):
+        """Calendar-bucket counts of matching docs: the field holds ISO-8601
+        date strings, so year/month/day truncation is a fixed-width prefix
+        slice (vectorized). Returns (bucket strings, counts) partials."""
+        ids = self.match_doc_ids(terms, mode)
+        if len(ids) == 0:
+            return None
+        vals = self._values_of(field, ids)
+        sliced = pd.Series(vals, dtype="object").astype(str).str.slice(0, trunc_chars)
+        vc = sliced.value_counts()
+        return (vc.index.tolist(), vc.to_numpy().tolist())
+
     def top_by_field(
         self, terms: list[str], mode: str, field: str, k: int, descending: bool
     ) -> list[tuple]:
@@ -1479,6 +1513,108 @@ class QueryEngine:
             for key, cnt in zip(*p):
                 agg[key] = agg.get(key, 0) + int(cnt)
         return sorted(agg.items())
+
+    def cardinality(self, text: str, field: str, *, mode: str = "or") -> int:
+        """ES cardinality aggregation under a query: the number of DISTINCT
+        values of a doc-value field over ALL matching docs. Exact: each actor
+        returns its matching docs' distinct values (distinct-sized, not
+        match-sized) and the driver unions — correct because actors serve
+        disjoint docs. (ES itself answers this approximately with HLL; at a
+        vocabulary too large for the driver, swap the per-actor partial for
+        the KMV sketch in pipelines/relational.q_approx_distinct.)"""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return 0
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [a.distinct_under_query.remote(terms, mode, field) for a in self._actors]
+        )
+        vals: set = set()
+        for p in per:
+            if p is not None:
+                vals.update(p)
+        return len(vals)
+
+    _DATE_TRUNC_CHARS = {"year": 4, "month": 7, "day": 10}
+
+    def date_histogram(
+        self, text: str, field: str, *, interval: str = "month", mode: str = "or"
+    ) -> list[tuple[str, int]]:
+        """ES date_histogram aggregation under a query (calendar intervals):
+        per-bucket doc counts over ALL matching docs, where the doc-value
+        field holds ISO-8601 date strings and the bucket key is the
+        year/month/day prefix. Local per-actor partials + driver combine —
+        same scale shape as facets/stats (only (bucket, count) rows move)."""
+        try:
+            chars = self._DATE_TRUNC_CHARS[interval]
+        except KeyError:
+            raise ValueError(f"interval must be one of {sorted(self._DATE_TRUNC_CHARS)}")
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.date_histogram_under_query.remote(terms, mode, field, chars)
+                for a in self._actors
+            ]
+        )
+        agg: dict[str, int] = {}
+        for p in per:
+            if p is None:
+                continue
+            for key, cnt in zip(*p):
+                agg[key] = agg.get(key, 0) + int(cnt)
+        return sorted(agg.items())
+
+    def significant_terms(
+        self, text: str, field: str, *, mode: str = "or", top: int = 10
+    ) -> list[dict]:
+        """ES significant_terms aggregation on a keyword doc-value field:
+        values over-represented in the query's match set (foreground) vs the
+        whole index (background), scored with the JLH heuristic
+        score = (fg_share - bg_share) * fg_share / bg_share. Per-actor
+        partials for both counts (docs disjoint across actors), combined on
+        the driver; only values appearing in the foreground are scored.
+        Output rows: {value, fg_count, bg_count, score} sorted by
+        (score desc, value asc), top ``top``."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        self._ensure_doc_values([field])
+        fg_parts = ray.get(
+            [
+                a.agg_under_query.remote(terms, mode, field, value_counts=True)
+                for a in self._actors
+            ]
+        )
+        bg_parts = ray.get([a.value_counts_all.remote(field) for a in self._actors])
+        fg: dict[str, int] = {}
+        bg: dict[str, int] = {}
+        for p in fg_parts:
+            if p is None:
+                continue
+            for v, n in zip(*p):
+                fg[v] = fg.get(v, 0) + int(n)
+        for p in bg_parts:
+            if p is None:
+                continue
+            for v, n in zip(*p):
+                bg[v] = bg.get(v, 0) + int(n)
+        fg_total = sum(fg.values())
+        bg_total = sum(bg.values())
+        if fg_total == 0 or bg_total == 0:
+            return []
+        out = []
+        for v, n in fg.items():
+            fgp = n / fg_total
+            bgp = bg[v] / bg_total
+            score = (fgp - bgp) * fgp / bgp
+            out.append(
+                {"value": v, "fg_count": n, "bg_count": bg[v], "score": float(score)}
+            )
+        out.sort(key=lambda r: (-r["score"], r["value"]))
+        return out[:top]
 
     def close(self) -> None:
         for a in self._actors:

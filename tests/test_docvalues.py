@@ -32,7 +32,7 @@ def dv_engine(sf_dir, tmp_path_factory):
         mode="full",
         config=IndexConfig(
             analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("lang", "n_chars"),
+            content_col="text", store_cols=("lang", "n_chars", "source"),
         ),
     )
     eng = QueryEngine(idx)
@@ -120,6 +120,82 @@ def test_histogram_under_query(dv_engine, docs):
         want[float(b)] = want.get(float(b), 0) + 1
     got = dict(dv_engine.histogram("hash join query", "n_chars", 250.0))
     assert got == want
+
+
+def test_cardinality_under_query(dv_engine, docs):
+    """ES cardinality agg: exact distinct count of a doc-value over matches."""
+    m = _matches(docs, "hash join query")
+    want = docs.loc[m, "source"].nunique()
+    assert dv_engine.cardinality("hash join query", "source") == want
+    m_and = _matches(docs, "hash join", mode="and")
+    assert (
+        dv_engine.cardinality("hash join", "lang", mode="and")
+        == docs.loc[m_and, "lang"].nunique()
+    )
+    assert dv_engine.cardinality("zzzneverseen", "lang") == 0
+
+
+@pytest.fixture(scope="module")
+def date_engine(sf_dir, tmp_path_factory):
+    """documents + a derived ISO day column (deterministic from doc_id),
+    stored as doc-values — the date_histogram test surface."""
+    import pandas as pd
+    import pyarrow as pa
+
+    d = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    d["day"] = (
+        pd.Timestamp("2024-01-01") + pd.to_timedelta(d["doc_id"] % 500, unit="D")
+    ).dt.strftime("%Y-%m-%d")
+    root = tmp_path_factory.mktemp("datedv")
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(d, preserve_index=False), src)
+    idx = str(root / "idx")
+    build_index(
+        src,
+        idx,
+        mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("day",),
+        ),
+    )
+    eng = QueryEngine(idx)
+    yield eng, d
+    eng.close()
+
+
+@pytest.mark.parametrize("interval,chars", [("year", 4), ("month", 7), ("day", 10)])
+def test_date_histogram_under_query(date_engine, interval, chars):
+    eng, d = date_engine
+    m = _matches(d, "hash join query")
+    want = sorted(d.loc[m, "day"].str.slice(0, chars).value_counts().items())
+    got = eng.date_histogram("hash join query", "day", interval=interval)
+    assert got == [(k, int(n)) for k, n in want]
+
+
+def test_date_histogram_bad_interval(date_engine):
+    with pytest.raises(ValueError):
+        date_engine[0].date_histogram("hash", "day", interval="week")
+
+
+def test_significant_terms_jlh(dv_engine, docs):
+    """JLH-scored over-representation of lang values in the match set vs the
+    whole corpus — exact pandas oracle, same formula."""
+    m = _matches(docs, "hash join query")
+    fg = docs.loc[m, "lang"].value_counts()
+    bg = docs["lang"].value_counts()
+    fgt, bgt = int(fg.sum()), int(bg.sum())
+    want = []
+    for v, n in fg.items():
+        fgp, bgp = n / fgt, bg[v] / bgt
+        want.append(
+            {"value": v, "fg_count": int(n), "bg_count": int(bg[v]),
+             "score": (fgp - bgp) * fgp / bgp}
+        )
+    want.sort(key=lambda r: (-r["score"], r["value"]))
+    got = dv_engine.significant_terms("hash join query", "lang", top=5)
+    assert got == want[:5]
+    assert dv_engine.significant_terms("zzzneverseen", "lang") == []
 
 
 def test_search_sorted_by_field(dv_engine, docs):
