@@ -598,6 +598,54 @@ def _count_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _regexp_search(sf_dir: str):
+    """ES regexp term queries: anchored dictionary expansion scored as an OR
+    query (rows-only; rank+score identity vs the full-vocab regex oracle is
+    pinned in tests/test_index.py)."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        for qi, pattern in enumerate(["has[hk]", "(quer|vector).*", "jo.n"]):
+            for rank, (doc_id, score) in enumerate(eng.search_regexp(pattern, k=10), 1):
+                rows.append({"query_idx": qi, "rank": rank,
+                             "doc_id": int(doc_id), "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
+def _mlt_search(sf_dir: str):
+    """ES more_like_this: tf·idf term selection from a like-doc's stored
+    _source, then a minimum_should_match OR query excluding the source doc
+    (rows-only; oracle identity pinned in tests/test_mlt.py)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_mlt_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("text",),
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for qi, like in enumerate([0, 7, "hash join query merge sort vector"]):
+            res = eng.more_like_this(like if isinstance(like, str) else int(like),
+                                     k=10, max_query_terms=10)
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"query_idx": qi, "rank": rank,
+                             "doc_id": int(doc_id), "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _cardinality_search(sf_dir: str):
     """ES cardinality aggregation under a query: exact distinct count of the
     'source' doc-value over all docs matching 'hash join query' — full DuckDB
@@ -894,6 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "stats_search": _stats_search,
             "histogram_search": _histogram_search,
             "cardinality_search": _cardinality_search,
+            "regexp_search": _regexp_search,
+            "mlt_search": _mlt_search,
             "date_histogram_search": _date_histogram_search,
             "significant_terms_search": _significant_terms_search,
             "filtered_search": _filtered_search,

@@ -114,7 +114,9 @@ class BM25Oracle:
         expanded = sorted(t for t in self.postings if t.startswith(prefix))[:max_expansions]
         return self._score_or(sorted(set(rest) | set(expanded)), k)
 
-    def _score_or(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def _score_or(
+        self, terms: list[str], k: int, min_should_match: int | None = None
+    ) -> list[tuple[int, float]]:
         """OR-score an explicit term list (ascending-term accumulation order,
         shared with the engine's terms_override path)."""
         terms = [t for t in terms if t in self.postings]
@@ -129,7 +131,7 @@ class BM25Oracle:
                 bm25.idf(self.N, len(ids)), tfs, self.doc_lens[pos], self.avgdl, self.k1, self.b
             )
             hits[pos] += 1
-        mask = hits > 0
+        mask = hits >= (min_should_match if min_should_match else 1)
         top = bm25.topk_indices(scores[mask], self.all_docs[mask], k)
         return [(int(self.all_docs[mask][i]), float(scores[mask][i])) for i in top]
 
@@ -146,6 +148,44 @@ class BM25Oracle:
         )
         expanded = sorted(t for t in self.postings if rx.fullmatch(t))[:max_expansions]
         return self._score_or(expanded, k)
+
+    def search_regexp(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """Mirror of QueryEngine.search_regexp: anchored full-match over the
+        full vocabulary, OR-score the capped union."""
+        import re
+
+        rx = re.compile("(?:" + pattern.lower() + ")")
+        expanded = sorted(t for t in self.postings if rx.fullmatch(t))[:max_expansions]
+        return self._score_or(expanded, k)
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        *,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+        msm_pct: float = 0.3,
+    ) -> list[tuple[int, float]]:
+        """Mirror of QueryEngine.more_like_this (like = text): tf·idf term
+        selection then an OR query with minimum_should_match."""
+        from collections import Counter
+
+        tf = Counter(self.analyzer.analyze_query(text))
+        cand = [
+            (t, n * float(bm25.idf(self.N, self.df(t))))
+            for t, n in sorted(tf.items())
+            if n >= min_term_freq and self.df(t) >= max(min_doc_freq, 1)
+        ]
+        cand.sort(key=lambda ts: (-ts[1], ts[0]))
+        selected = sorted(t for t, _ in cand[:max_query_terms])
+        if not selected:
+            return []
+        msm = max(1, int(len(selected) * msm_pct))
+        return self._score_or(selected, k, min_should_match=msm)
 
     def search_fuzzy(
         self, text: str, k: int = 10, max_edits: int = 1, max_expansions: int = 50

@@ -676,6 +676,39 @@ class QueryShard:
             found.update(str(t) for t in hits[:cap])
         return sorted(found)[:cap]
 
+    def expand_regexp(self, pattern: str, cap: int) -> list[str]:
+        """Dictionary terms fully matching a regular expression (the ES
+        regexp query). The literal prefix of the pattern (chars before the
+        first regex metacharacter) narrows the scan to a binary-searched
+        dictionary range — an anchored ``^pattern$`` RE2 pass does the rest,
+        vectorized over the candidate range. Same capped-union contract as
+        expand_prefix/expand_wildcard."""
+        import re as _re
+
+        prefix = ""
+        for c in pattern:
+            if c in r".^$*+?{}[]\|()":
+                break
+            prefix += c
+        rx = "^(?:" + pattern + ")$"
+        _re.compile(rx)  # surface bad patterns as ValueError on the driver
+        found: set[str] = set()
+        for r in self.readers:
+            if prefix:
+                lo = int(np.searchsorted(r.terms, prefix))
+                hi = int(np.searchsorted(r.terms, prefix + "\U0010ffff"))
+            else:
+                lo, hi = 0, len(r.terms)
+            cand = r.terms[lo:hi]
+            if len(cand) == 0:
+                continue
+            m = pc.match_substring_regex(
+                pa.array(cand, type=pa.string()), pattern=rx
+            ).to_numpy(zero_copy_only=False)
+            hits = cand[m]
+            found.update(str(t) for t in hits[:cap])
+        return sorted(found)[:cap]
+
     def expand_fuzzy(self, term: str, max_edits: int, cap: int) -> list[str]:
         """Dictionary terms within Levenshtein distance ``max_edits`` of
         ``term`` (the ES fuzzy-query expansion). Candidates are length-
@@ -1291,6 +1324,99 @@ class QueryEngine:
         return self.search_many(
             [{"text": pattern, "mode": "or", "terms_override": expanded}], k=k
         )[0]
+
+    def search_regexp(self, pattern: str, k: int = 10, max_expansions: int = 50):
+        """ES regexp-query shape: the pattern must match WHOLE dictionary
+        terms (anchored); the capped expansion union scores as a normal OR
+        query with per-term idf (same blending as wildcard/prefix/fuzzy)."""
+        import re as _re
+
+        try:
+            _re.compile(pattern)
+        except _re.error as e:
+            raise ValueError(f"bad regexp: {e}") from e
+        per = ray.get(
+            [a.expand_regexp.remote(pattern.lower(), max_expansions) for a in self._actors]
+        )
+        expanded = sorted(set().union(*map(set, per)))[:max_expansions]
+        if not expanded:
+            return []
+        return self.search_many(
+            [{"text": pattern, "mode": "or", "terms_override": expanded}], k=k
+        )[0]
+
+    def more_like_this(
+        self,
+        like: str | int,
+        k: int = 10,
+        *,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+        minimum_should_match: str | int = "30%",
+        method: str = "auto",
+    ) -> list[tuple[int, float]]:
+        """ES more_like_this: find docs similar to ``like`` (a text, or a
+        doc_id when the index stored its content column as doc-values via
+        ``IndexConfig(store_cols=(content_col, ...))``).
+
+        The ES algorithm shape: analyze the like-text, keep terms with
+        tf >= min_term_freq and global df >= min_doc_freq, rank them by
+        tf·idf "interestingness", take the top max_query_terms, and run them
+        as an OR query with minimum_should_match (default "30%" like ES).
+        When ``like`` is a doc_id the source doc is excluded from results."""
+        exclude_id: int | None = None
+        if isinstance(like, int):
+            exclude_id = int(like)
+            content = self.man.config.content_col
+            row = self.resolve([like])
+            if len(row) == 0:
+                return []
+            if content not in row.columns:
+                raise ValueError(
+                    f"more_like_this by doc_id needs store_cols=({content!r},) "
+                    "at build time (ES: _source must be enabled)"
+                )
+            text = str(row[content].iloc[0])
+        else:
+            text = like
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        from collections import Counter
+
+        tf = Counter(toks)
+        terms = sorted(t for t, n in tf.items() if n >= min_term_freq)
+        dfs = self.global_dfs(terms)
+        cand = [
+            (t, tf[t] * float(bm25.idf(self.N, df)))
+            for t, df in zip(terms, dfs.tolist())
+            if df >= max(min_doc_freq, 1)
+        ]
+        cand.sort(key=lambda ts: (-ts[1], ts[0]))
+        selected = sorted(t for t, _ in cand[:max_query_terms])
+        if not selected:
+            return []
+        if isinstance(minimum_should_match, str) and minimum_should_match.endswith("%"):
+            pct = float(minimum_should_match[:-1]) / 100.0
+            msm = max(1, int(len(selected) * pct))
+        else:
+            msm = int(minimum_should_match)
+        res = self.search_many(
+            [
+                {
+                    "text": text,
+                    "mode": "or",
+                    "terms_override": selected,
+                    "min_should_match": msm,
+                }
+            ],
+            k=k + (1 if exclude_id is not None else 0),
+            method=method,
+        )[0]
+        if exclude_id is not None:
+            res = [(d, s) for d, s in res if d != exclude_id][:k]
+        return res
 
     def search_fuzzy(
         self, text: str, k: int = 10, max_edits: int = 1, max_expansions: int = 50

@@ -185,6 +185,36 @@ def test_fuzzy_search_rank_identity(engine, oracle):
     assert engine.search_fuzzy("parze", k=10)  # the typo actually matches
 
 
+def test_regexp_search_rank_identity(engine, oracle):
+    """Regexp term queries: anchored dictionary expansion (prefix-narrowed
+    RE2 scan) == full-vocab regex oracle, ranks and scores identical."""
+    for pattern in ["pars.*", "h[ot]+_term_[0-9]", "(get|set).*", "quer[xy]", "zz.*nomatch"]:
+        got = engine.search_regexp(pattern, k=10)
+        want = oracle.search_regexp(pattern, k=10)
+        assert got == [(d, s) for d, s in want], pattern
+    got = engine.search_regexp("p.*", k=10, max_expansions=5)
+    want = oracle.search_regexp("p.*", k=10, max_expansions=5)
+    assert got == [(d, s) for d, s in want]
+    assert engine.search_regexp("pars.*", k=10)  # non-empty
+    with pytest.raises(ValueError):
+        engine.search_regexp("(unbalanced", k=5)
+
+
+def test_more_like_this_text_rank_identity(engine, oracle):
+    """more_like_this with like=text: tf·idf term selection + msm OR query ==
+    the oracle mirror, ranks and scores identical."""
+    likes = [
+        "parse json buffer stream decode",
+        "hot_term_0 merge sort",
+        "alloc free memory pool resize grow shrink compact",
+    ]
+    for like in likes:
+        got = engine.more_like_this(like, k=10, max_query_terms=5)
+        want = oracle.more_like_this(like, k=10, max_query_terms=5)
+        assert got == [(d, s) for d, s in want], like
+    assert engine.more_like_this("zzzneverseen", k=10) == []
+
+
 def test_facets_match_counts(engine, oracle, tiny_corpus):
     """Terms-aggregation facets: per-value counts over ALL matching docs ==
     a pandas count over the oracle's match set joined to the corpus."""
