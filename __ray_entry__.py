@@ -646,6 +646,41 @@ def _mlt_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _top_hits_search(sf_dir: str):
+    """ES terms agg + top_hits sub-agg: per-lang match counts with the top-2
+    matching docs by BM25 (rows-only; exact per-bucket oracle identity is
+    pinned in tests/test_docvalues.py)."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        for b in eng.top_hits("hash join query", "lang", n_hits=2, top=5):
+            for rank, (doc_id, score) in enumerate(b["hits"], 1):
+                rows.append({"lang": b["value"], "n": b["count"], "rank": rank,
+                             "doc_id": int(doc_id), "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
+def _function_score_search(sf_dir: str):
+    """ES function_score field_value_factor: BM25 · (w · log1p(n_chars))
+    re-ranking over all matches (rows-only; exact recompute identity pinned
+    in tests/test_docvalues.py)."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        for qi, (modifier, weight) in enumerate([("log1p", 0.5), ("sqrt", 2.0)]):
+            res = eng.search_boosted(
+                "hash join query", "n_chars", modifier=modifier, weight=weight, k=10
+            )
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _cardinality_search(sf_dir: str):
     """ES cardinality aggregation under a query: exact distinct count of the
     'source' doc-value over all docs matching 'hash join query' — full DuckDB
@@ -944,6 +979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cardinality_search": _cardinality_search,
             "regexp_search": _regexp_search,
             "mlt_search": _mlt_search,
+            "top_hits_search": _top_hits_search,
+            "function_score_search": _function_score_search,
             "date_histogram_search": _date_histogram_search,
             "significant_terms_search": _significant_terms_search,
             "filtered_search": _filtered_search,

@@ -876,6 +876,97 @@ class QueryShard:
             float(vals.max()),
         )
 
+    def _score_all_matches(
+        self, terms: list[str], mode: str, idfs: dict, avgdl: float,
+        k1: float, b: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 scores of ALL matching docs in this shard (no top-k cut) —
+        the primitive under bucketed top_hits and function_score, where every
+        match's score is needed before the per-bucket / re-ranked cut.
+        Same accumulation order and tombstone handling as _score_exhaustive,
+        so scores are bit-identical to search results."""
+        from .tombstones import in_sorted
+
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for ri in range(len(self.readers)):
+            per_term = []
+            for t in terms:  # terms pre-sorted ascending
+                arrs = self._decoded(ri, t)
+                if arrs is not None:
+                    per_term.append((t, *arrs))
+            if not per_term or (mode == "and" and len(per_term) < len(terms)):
+                continue
+            union = np.unique(np.concatenate([ids for _, ids, _, _ in per_term]))
+            scores = np.zeros(len(union), dtype=np.float64)
+            hits = np.zeros(len(union), dtype=np.int32)
+            for t, ids, tfs, dls in per_term:
+                pos = np.searchsorted(union, ids)
+                scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl, k1, b)
+                hits[pos] += 1
+            dd = self.dead[ri]
+            if dd is not None:
+                alive = ~in_sorted(union, dd)
+                union, scores, hits = union[alive], scores[alive], hits[alive]
+            if mode == "and":
+                m = hits == len(terms)
+                union, scores = union[m], scores[m]
+            if len(union):
+                out_ids.append(union)
+                out_scores.append(scores)
+        if not out_ids:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        return np.concatenate(out_ids), np.concatenate(out_scores)
+
+    def top_hits_by_value(
+        self, terms: list[str], mode: str, field: str, n: int,
+        idfs: dict, avgdl: float, k1: float, b: float,
+    ):
+        """ES terms-agg + top_hits partial: per doc-value of ``field``, this
+        shard's match count and its local top-``n`` matching docs by score.
+        Only (value, count) + n rows per value leave the actor."""
+        ids, scores = self._score_all_matches(terms, mode, idfs, avgdl, k1, b)
+        if len(ids) == 0:
+            return None
+        vals = self._values_of(field, ids)
+        df = pd.DataFrame(
+            {"v": vals, "doc": ids.astype(np.uint64), "s": scores}
+        ).sort_values(["v", "s", "doc"], ascending=[True, False, True], kind="mergesort")
+        counts = df.groupby("v", sort=False).size()
+        top = df.groupby("v", sort=False).head(n)
+        return (
+            counts.index.tolist(),
+            counts.to_numpy().tolist(),
+            top["v"].tolist(),
+            top["doc"].tolist(),
+            top["s"].tolist(),
+        )
+
+    _BOOST_MODIFIERS = ("none", "log1p", "sqrt")
+
+    def boosted_topk(
+        self, terms: list[str], mode: str, k: int, field: str, modifier: str,
+        weight: float, idfs: dict, avgdl: float, k1: float, b: float,
+    ) -> list[tuple]:
+        """ES function_score field_value_factor partial: local top-k by
+        BM25 · (weight · modifier(doc_value)) — re-ranking needs every
+        match's boosted score, so the cut happens after the multiply."""
+        ids, scores = self._score_all_matches(terms, mode, idfs, avgdl, k1, b)
+        if len(ids) == 0:
+            return []
+        vals = self._values_of(field, ids).astype(np.float64)
+        if modifier == "log1p":
+            f = np.log1p(vals)
+        elif modifier == "sqrt":
+            f = np.sqrt(vals)
+        elif modifier == "none":
+            f = vals
+        else:
+            raise ValueError(f"modifier must be one of {self._BOOST_MODIFIERS}")
+        final = scores * (weight * f)
+        top = bm25.topk_indices(final, ids, k)
+        return [(float(final[i]), int(ids[i])) for i in top]
+
     def distinct_under_query(self, terms: list[str], mode: str, field: str):
         """Distinct doc-values of this actor's MATCHING docs (ES cardinality
         partial). Actors hold disjoint docs, but the same value can appear on
@@ -1741,6 +1832,101 @@ class QueryEngine:
             )
         out.sort(key=lambda r: (-r["score"], r["value"]))
         return out[:top]
+
+    def _query_idfs(self, text: str, mode: str) -> tuple[list[str], dict]:
+        """Analyzed terms with df>0 and their global idfs (AND with an
+        unknown term matches nothing — same contract as search_many)."""
+        terms_all = sorted(set(self.analyzer.analyze_query(text)))
+        dfs = self.global_dfs(terms_all)
+        terms = [t for t, df in zip(terms_all, dfs.tolist()) if df > 0]
+        if mode == "and" and len(terms) < len(terms_all):
+            return [], {}
+        idfs = {
+            t: float(bm25.idf(self.N, df))
+            for t, df in zip(terms_all, dfs.tolist())
+            if df > 0
+        }
+        return terms, idfs
+
+    def top_hits(
+        self, text: str, field: str, *, mode: str = "or", n_hits: int = 3,
+        top: int = 10,
+    ) -> list[dict]:
+        """ES terms aggregation with a top_hits sub-aggregation: for each
+        value of a doc-value field, the count of matching docs and the top
+        ``n_hits`` of them by BM25 score. Exact: each shard returns its local
+        per-value counts + top-n (docs disjoint across actors), the driver
+        sums counts and merges the per-value candidate lists. Buckets ordered
+        by (count desc, value asc), top ``top``."""
+        terms, idfs = self._query_idfs(text, mode)
+        if not terms:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.top_hits_by_value.remote(
+                    terms, mode, field, n_hits, idfs, self.avgdl, self.k1, self.b
+                )
+                for a in self._actors
+            ]
+        )
+        counts: dict[str, int] = {}
+        hits: dict[str, list[tuple[float, int]]] = {}
+        for p in per:
+            if p is None:
+                continue
+            cv, cn, hv, hd, hs = p
+            for v, n in zip(cv, cn):
+                counts[v] = counts.get(v, 0) + int(n)
+            for v, d, s in zip(hv, hd, hs):
+                hits.setdefault(v, []).append((float(s), int(d)))
+        out = []
+        for v in sorted(counts, key=lambda v: (-counts[v], str(v)))[:top]:
+            cand = sorted(hits.get(v, []), key=lambda sd: (-sd[0], sd[1]))[:n_hits]
+            out.append(
+                {
+                    "value": v,
+                    "count": counts[v],
+                    "hits": [(d, s) for s, d in cand],
+                }
+            )
+        return out
+
+    def search_boosted(
+        self,
+        text: str,
+        field: str,
+        *,
+        modifier: str = "log1p",
+        weight: float = 1.0,
+        k: int = 10,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES function_score with field_value_factor (boost_mode=multiply):
+        final score = BM25 · (weight · modifier(doc_value)). Re-ranking is
+        value-dependent, so each shard boosts ALL its matches locally and
+        returns its boosted top-k; the driver merges — only shards×k rows
+        move. Modifiers: none | log1p | sqrt."""
+        terms, idfs = self._query_idfs(text, mode)
+        if not terms or k <= 0:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.boosted_topk.remote(
+                    terms, mode, k, field, modifier, float(weight),
+                    idfs, self.avgdl, self.k1, self.b,
+                )
+                for a in self._actors
+            ]
+        )
+        cand = [c for p in per for c in p]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        topi = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in topi]
 
     def close(self) -> None:
         for a in self._actors:

@@ -198,6 +198,48 @@ def test_significant_terms_jlh(dv_engine, docs):
     assert dv_engine.significant_terms("zzzneverseen", "lang") == []
 
 
+def test_top_hits_by_bucket(dv_engine, ws_oracle, docs):
+    """Terms agg + top_hits: per-lang match counts and top-2 docs by score ==
+    the full oracle ranking restricted per bucket."""
+    text = "hash join query"
+    full = ws_oracle.search(text, k=ws_oracle.N, mode="or")
+    lang_of = dict(zip(docs["doc_id"].astype(np.uint64), docs["lang"]))
+    want_counts: dict = {}
+    want_hits: dict = {}
+    for d, s in full:
+        v = lang_of[d]
+        want_counts[v] = want_counts.get(v, 0) + 1
+        if len(want_hits.setdefault(v, [])) < 2:
+            want_hits[v].append((d, s))
+    got = dv_engine.top_hits(text, "lang", n_hits=2, top=3)
+    want_order = sorted(want_counts, key=lambda v: (-want_counts[v], v))[:3]
+    assert [b["value"] for b in got] == want_order
+    for b in got:
+        assert b["count"] == want_counts[b["value"]]
+        assert b["hits"] == want_hits[b["value"]], b["value"]
+    assert dv_engine.top_hits("zzzneverseen", "lang") == []
+
+
+@pytest.mark.parametrize("modifier", ["none", "log1p", "sqrt"])
+def test_function_score_field_value_factor(dv_engine, ws_oracle, docs, modifier):
+    """function_score re-rank: BM25 · (weight · modifier(n_chars)) over ALL
+    matches == driver-side recompute from the full oracle ranking."""
+    text = "hash join query"
+    weight = 0.5
+    full = ws_oracle.search(text, k=ws_oracle.N, mode="or")
+    nc = dict(zip(docs["doc_id"].astype(np.uint64), docs["n_chars"].astype(float)))
+    mod = {"none": lambda v: v, "log1p": np.log1p, "sqrt": np.sqrt}[modifier]
+    boosted = [(d, s * (weight * float(mod(nc[d])))) for d, s in full]
+    boosted.sort(key=lambda ds: (-ds[1], ds[0]))
+    got = dv_engine.search_boosted(text, "n_chars", modifier=modifier, weight=weight, k=10)
+    assert got == boosted[:10], modifier
+
+
+def test_function_score_bad_modifier(dv_engine):
+    with pytest.raises(Exception):
+        dv_engine.search_boosted("hash join", "n_chars", modifier="exp", k=5)
+
+
 def test_search_sorted_by_field(dv_engine, docs):
     """ES sort-by-field: matching docs ordered by doc-value, tie doc_id asc."""
     m = _matches(docs, "hash join query")
