@@ -646,6 +646,64 @@ def _mlt_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _export_search(sf_dir: str):
+    """ES scroll/export: EVERY doc matching the query written actor-locally
+    as partitioned parquet (doc_id + lang doc-value), read back as the result
+    — full DuckDB oracle (the whitespace match predicate)."""
+    eng = _dv_engine(sf_dir)
+    try:
+        out = tempfile.mkdtemp(prefix="edih_export_")
+        res = eng.export_matches("hash join query", out, fields=("lang",))
+    finally:
+        eng.close()
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(res["files"]) if res["files"] else pa.table(
+        {"doc_id": pa.array([], type=pa.uint64()), "lang": pa.array([], type=pa.string())}
+    )
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": t["lang"],
+        }
+    )
+
+
+def _reindex_search(sf_dir: str):
+    """ES _reindex: rebuild from stored _source into a whitespace-analyzer
+    index, then answer counts from the NEW index — full DuckDB oracle (the
+    reindexed corpus is the same live doc set, so whitespace match counts are
+    SQL-expressible)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.index.reindex import reindex
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    src = tempfile.mkdtemp(prefix="edih_reidx_src_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        src,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("text",),
+        ),
+    )
+    dst = tempfile.mkdtemp(prefix="edih_reidx_dst_")
+    reindex(src, dst, analyzer="whitespace", num_segments=2)
+    eng = QueryEngine(dst)
+    try:
+        rows = [
+            {"q": "n_total", "n": int(eng.N)},
+            {"q": "or_q", "n": eng.count("hash join query", mode="or")},
+            {"q": "and_q", "n": eng.count("hash join", mode="and")},
+        ]
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _top_hits_search(sf_dir: str):
     """ES terms agg + top_hits sub-agg: per-lang match counts with the top-2
     matching docs by BM25 (rows-only; exact per-bucket oracle identity is
@@ -981,6 +1039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "mlt_search": _mlt_search,
             "top_hits_search": _top_hits_search,
             "function_score_search": _function_score_search,
+            "export_search": _export_search,
+            "reindex_search": _reindex_search,
             "date_histogram_search": _date_histogram_search,
             "significant_terms_search": _significant_terms_search,
             "filtered_search": _filtered_search,
@@ -1415,6 +1475,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY bucket
+        """,
+        "export_search": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+        """,
+        "reindex_search": """
+            SELECT 'n_total' AS q, count(*)::BIGINT AS n FROM documents
+            UNION ALL
+            SELECT 'or_q', count(*)::BIGINT FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            UNION ALL
+            SELECT 'and_q', count(*)::BIGINT FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join'])) = 2
         """,
         "cardinality_search": """
             SELECT 'or_source' AS q, count(DISTINCT source)::BIGINT AS n

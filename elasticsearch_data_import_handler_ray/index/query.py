@@ -25,6 +25,7 @@ Two scorers, both rank-identical to the oracle (tests assert equality):
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -966,6 +967,47 @@ class QueryShard:
         final = scores * (weight * f)
         top = bm25.topk_indices(final, ids, k)
         return [(float(final[i]), int(ids[i])) for i in top]
+
+    def export_matches(
+        self,
+        terms: list[str],
+        mode: str,
+        out_dir: str,
+        part: int,
+        fields: tuple[str, ...],
+        idfs: dict | None,
+        avgdl: float,
+        k1: float,
+        b: float,
+        rows_per_file: int = 1 << 20,
+    ) -> tuple[int, list[str]]:
+        """ES scroll/export analogue, shard-local half: write ALL of this
+        actor's matching docs (doc_id [, score] [, doc-value fields]) as
+        parquet directly from the actor — match sets never cross the network,
+        and each actor writes its own partition files (resumable layout:
+        deterministic names part-{part}-{chunk}.parquet, overwrite-idempotent
+        under retries). Chunked so one file never holds more than
+        ``rows_per_file`` rows."""
+        import pyarrow.parquet as pq
+
+        if idfs is not None:
+            ids, scores = self._score_all_matches(terms, mode, idfs, avgdl, k1, b)
+        else:
+            ids, scores = self.match_doc_ids(terms, mode), None
+        n = len(ids)
+        files: list[str] = []
+        os.makedirs(out_dir, exist_ok=True)
+        for ci, lo in enumerate(range(0, n, rows_per_file)):
+            hi = min(lo + rows_per_file, n)
+            cols: dict = {"doc_id": pa.array(ids[lo:hi], type=pa.uint64())}
+            if scores is not None:
+                cols["score"] = pa.array(scores[lo:hi], type=pa.float64())
+            for f in fields:
+                cols[f] = pa.array(self._values_of(f, ids[lo:hi]))
+            path = os.path.join(out_dir, f"part-{part:05d}-{ci:04d}.parquet")
+            pq.write_table(pa.table(cols), path)
+            files.append(path)
+        return n, files
 
     def distinct_under_query(self, terms: list[str], mode: str, field: str):
         """Distinct doc-values of this actor's MATCHING docs (ES cardinality
@@ -1927,6 +1969,41 @@ class QueryEngine:
         docs = np.array([c[1] for c in cand], dtype=np.uint64)
         topi = bm25.topk_indices(scores, docs, k)
         return [(int(docs[i]), float(scores[i])) for i in topi]
+
+    def export_matches(
+        self,
+        text: str,
+        out_dir: str,
+        *,
+        mode: str = "or",
+        fields: tuple[str, ...] = (),
+        with_scores: bool = False,
+    ) -> dict:
+        """ES scroll-the-whole-match-set analogue: write EVERY doc matching
+        the query to partitioned parquet under ``out_dir`` — one file set per
+        shard actor, written actor-locally (the match set never moves through
+        the driver; only counts and file names return). Columns: doc_id
+        [, score when with_scores] [, requested doc-value fields]. The output
+        is a normal parquet directory: read it back with
+        ray.data.read_parquet and continue the pipeline."""
+        terms, idfs = self._query_idfs(text, mode)
+        if not terms:
+            return {"n_rows": 0, "files": []}
+        if fields:
+            self._ensure_doc_values(list(fields))
+        per = ray.get(
+            [
+                a.export_matches.remote(
+                    terms, mode, out_dir, i, tuple(fields),
+                    idfs if with_scores else None, self.avgdl, self.k1, self.b,
+                )
+                for i, a in enumerate(self._actors)
+            ]
+        )
+        return {
+            "n_rows": int(sum(n for n, _ in per)),
+            "files": sorted(f for _, fs in per for f in fs),
+        }
 
     def close(self) -> None:
         for a in self._actors:
