@@ -646,6 +646,29 @@ def _mlt_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any 8-token shingle with
+    a benchmark set (docs 0/1/2's texts). Broadcast shingle-hash inventory +
+    one streamed probe pass — full DuckDB oracle (string 8-grams)."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.decontam import contamination_flags
+
+    bench = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    bench_texts = [bench[i] for i in (0, 1, 2)]
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return contamination_flags(ds, bench_texts, shingle_k=8).select_columns(
+        ["doc_id", "contaminated"]
+    )
+
+
 def _export_search(sf_dir: str):
     """ES scroll/export: EVERY doc matching the query written actor-locally
     as partitioned parquet (doc_id + lang doc-value), read back as the result
@@ -1041,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "function_score_search": _function_score_search,
             "export_search": _export_search,
             "reindex_search": _reindex_search,
+            "decontaminate": _decontaminate,
             "date_histogram_search": _date_histogram_search,
             "significant_terms_search": _significant_terms_search,
             "filtered_search": _filtered_search,
@@ -1475,6 +1499,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY bucket
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(l) - 7),
+                                      i -> array_to_string(l[i:i+7], ' ')) AS g
+                FROM toks
+            ), bench AS (
+                SELECT flatten(list(g)) AS bg FROM grams WHERE doc_id IN (0, 1, 2)
+            )
+            SELECT grams.doc_id,
+                   len(list_intersect(grams.g, bench.bg)) > 0 AS contaminated
+            FROM grams CROSS JOIN bench
         """,
         "export_search": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
