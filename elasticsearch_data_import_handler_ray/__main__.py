@@ -59,6 +59,22 @@ def main(argv: list[str] | None = None) -> int:
                    "or --filter n_chars gte 200 (ops: eq gte gt lte lt); repeatable")
     q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="search_after cursor from the previous page's last hit")
+    q.add_argument("--regexp", action="store_true",
+                   help="treat the query as an anchored regexp over dictionary terms")
+    q.add_argument("--mlt", action="store_true",
+                   help="more_like_this: the query is a like-text (or a doc_id if integer)")
+    q.add_argument("--cardinality", default=None, metavar="FIELD",
+                   help="distinct count of FIELD over all matching docs")
+    q.add_argument("--date-histogram", default=None, metavar="FIELD:INTERVAL",
+                   help="calendar buckets (year|month|day) of an ISO date doc-value")
+    q.add_argument("--significant", default=None, metavar="FIELD",
+                   help="significant_terms (JLH) of FIELD under the query")
+    q.add_argument("--top-hits", default=None, metavar="FIELD:N",
+                   help="per-FIELD-value match counts with top-N hits each")
+    q.add_argument("--boost", default=None, metavar="FIELD:MODIFIER:WEIGHT",
+                   help="function_score field_value_factor re-ranking")
+    q.add_argument("--export", default=None, metavar="DIR",
+                   help="write ALL matching docs as partitioned parquet to DIR")
     q.add_argument("--stats", default=None, metavar="FIELD",
                    help="print stats aggregation of FIELD over ALL matches")
     q.add_argument("--histogram", default=None, metavar="FIELD:INTERVAL",
@@ -75,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
 
     fs = sub.add_parser("fsck", help="verify every on-disk index invariant")
     fs.add_argument("index_dir")
+
+    ri = sub.add_parser("reindex", help="rebuild from stored _source with a new config")
+    ri.add_argument("src_index_dir")
+    ri.add_argument("dst_index_dir")
+    ri.add_argument("--analyzer", default=None)
+    ri.add_argument("--num-segments", type=int, default=None)
+    ri.add_argument("--positions", action="store_true")
 
     pl = sub.add_parser("pipeline", help="run a JSON pipeline spec (the reference's config file)")
     pl.add_argument("spec_json")
@@ -171,6 +194,50 @@ def main(argv: list[str] | None = None) -> int:
                         fac = eng.facets(t, args.facet, mode=args.mode)
                         print(json.dumps({"query": t, "facets": [{"value": v, "n": n} for v, n in fac]}))
                     results = []
+                elif args.cardinality:
+                    for t in args.text:
+                        print(json.dumps({"query": t, "field": args.cardinality,
+                                          "cardinality": eng.cardinality(t, args.cardinality, mode=args.mode)}))
+                    results = []
+                elif args.date_histogram:
+                    field, interval = args.date_histogram.rsplit(":", 1)
+                    for t in args.text:
+                        buckets = eng.date_histogram(t, field, interval=interval, mode=args.mode)
+                        print(json.dumps({"query": t, "buckets": [{"key": b, "n": n} for b, n in buckets]}))
+                    results = []
+                elif args.significant:
+                    for t in args.text:
+                        print(json.dumps({"query": t, "significant": eng.significant_terms(t, args.significant, mode=args.mode)}))
+                    results = []
+                elif args.top_hits:
+                    field, n = args.top_hits.rsplit(":", 1)
+                    for t in args.text:
+                        buckets = eng.top_hits(t, field, mode=args.mode, n_hits=int(n))
+                        print(json.dumps({"query": t, "buckets": [
+                            {"value": b["value"], "n": b["count"],
+                             "hits": [{"doc_id": d, "score": s} for d, s in b["hits"]]}
+                            for b in buckets]}))
+                    results = []
+                elif args.boost:
+                    field, modifier, weight = args.boost.split(":")
+                    results = [
+                        eng.search_boosted(t, field, modifier=modifier,
+                                           weight=float(weight), k=args.k, mode=args.mode)
+                        for t in args.text
+                    ]
+                elif args.export:
+                    for t in args.text:
+                        res = eng.export_matches(t, args.export, mode=args.mode)
+                        print(json.dumps({"query": t, "exported_rows": res["n_rows"],
+                                          "files": len(res["files"])}))
+                    results = []
+                elif args.regexp:
+                    results = [eng.search_regexp(t, k=args.k) for t in args.text]
+                elif args.mlt:
+                    results = [
+                        eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)
+                        for t in args.text
+                    ]
                 elif args.wildcard:
                     results = [eng.search_wildcard(t, k=args.k) for t in args.text]
                 elif args.fuzzy:
@@ -215,6 +282,20 @@ def main(argv: list[str] | None = None) -> int:
             from .index.fsck import verify_index
 
             print(json.dumps(verify_index(args.index_dir)))
+        elif args.cmd == "reindex":
+            from .index.reindex import reindex
+
+            overrides = {}
+            if args.analyzer:
+                overrides["analyzer"] = args.analyzer
+            if args.num_segments:
+                overrides["num_segments"] = args.num_segments
+            if args.positions:
+                overrides["positions"] = True
+            res = reindex(args.src_index_dir, args.dst_index_dir, **overrides)
+            print(json.dumps({"run_id": res.run_id, "n_docs": res.n_docs,
+                              "n_postings": res.n_postings,
+                              "duration_s": round(res.duration_s, 3)}))
         elif args.cmd == "pipeline":
             import importlib
 
