@@ -646,6 +646,35 @@ def _mlt_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _lm_quality(sf_dir: str):
+    """Bigram-LM quality scoring (the CCNet-style perplexity filter): fit on
+    the doc_id<50 reference slice, score every doc. Broadcast model + one
+    streamed pass — full DuckDB oracle (string bigrams, same add-k math)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.lm import fit_bigram_lm, lm_score
+
+    ref = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ref = ref.filter(pc.less(ref["doc_id"], 50)).sort_by("doc_id")
+    lm = fit_bigram_lm(ref["text"].to_pylist(), add_k=0.5)
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = lm_score(ds, lm)
+
+    def f(t):
+        t = t.filter(pc.greater(t["n_bigrams"], 0))
+        return t.set_column(
+            t.schema.get_field_index("avg_neg_logprob"),
+            "avg_neg_logprob",
+            pc.round(t["avg_neg_logprob"], ndigits=6),
+        )
+
+    return scored.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any 8-token shingle with
     a benchmark set (docs 0/1/2's texts). Broadcast shingle-hash inventory +
@@ -1065,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "export_search": _export_search,
             "reindex_search": _reindex_search,
             "decontaminate": _decontaminate,
+            "lm_quality": _lm_quality,
             "date_histogram_search": _date_histogram_search,
             "significant_terms_search": _significant_terms_search,
             "filtered_search": _filtered_search,
@@ -1499,6 +1529,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY bucket
+        """,
+        "lm_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), ref_uni AS (
+                SELECT w, count(*)::DOUBLE AS cu
+                FROM (SELECT unnest(l) AS w FROM toks WHERE doc_id < 50) GROUP BY w
+            ), vocab AS (SELECT count(*)::DOUBLE AS V FROM ref_uni),
+            grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(l) - 1),
+                                      i -> array_to_string(l[i:i+1], ' ')) AS g
+                FROM toks
+            ), ref_bi AS (
+                SELECT b, count(*)::DOUBLE AS cb
+                FROM (SELECT unnest(g) AS b FROM grams WHERE doc_id < 50) GROUP BY b
+            ), doc_bi AS (
+                SELECT doc_id, unnest(g) AS b FROM grams
+            ), scored AS (
+                SELECT doc_id,
+                       -log2((COALESCE(cb, 0) + 0.5)
+                             / (COALESCE(cu, 0) + 0.5 * (SELECT V FROM vocab))) AS nlp
+                FROM doc_bi
+                LEFT JOIN ref_bi USING (b)
+                LEFT JOIN ref_uni ON split_part(b, ' ', 1) = ref_uni.w
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(avg(nlp), 6) AS avg_neg_logprob
+            FROM scored GROUP BY doc_id
         """,
         "decontaminate": """
             WITH toks AS (
