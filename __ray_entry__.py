@@ -505,6 +505,25 @@ def _histogram_search(sf_dir: str):
     )
 
 
+def _percentiles_search(sf_dir: str):
+    """ES percentiles aggregation under a query: exact discrete quantiles of
+    n_chars over ALL docs matching 'hash join query' (OR). Per-actor partials
+    are (value, count) histograms merged on the driver; the quantile is the
+    value at 1-based rank ceil(p/100·n) — identical to DuckDB quantile_disc."""
+    eng = _dv_engine(sf_dir)
+    try:
+        ps = [25, 50, 75, 95, 99]
+        out = eng.percentiles("hash join query", "n_chars", ps=ps)
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "p": pa.array([int(p) for p in ps], type=pa.int64()),
+            "val": pa.array([out[float(p)] for p in ps], type=pa.float64()),
+        }
+    )
+
+
 def _filtered_search(sf_dir: str):
     """ES bool filter context: BM25 top-k restricted by doc-values clauses,
     scores untouched (rows-only; score identity vs the post-filtered naive
@@ -1085,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "repetition": _repetition,
             "facet_search": _facet_search,
             "stats_search": _stats_search,
+            "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
             "cardinality_search": _cardinality_search,
             "regexp_search": _regexp_search,
@@ -1521,6 +1541,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
+        """,
+        "percentiles_search": """
+            WITH m AS (
+                SELECT n_chars FROM documents
+                WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                         ['hash', 'join', 'query'])) > 0
+            )
+            , q AS (
+                SELECT quantile_disc(n_chars, [0.25, 0.50, 0.75, 0.95, 0.99]) AS vs
+                FROM m
+            )
+            SELECT ([25, 50, 75, 95, 99][i])::BIGINT AS p, (vs[i])::DOUBLE AS val
+            FROM q, unnest(generate_series(1, 5)) AS g(i)
         """,
         "histogram_search": """
             SELECT (FLOOR(n_chars / 250.0) * 250)::BIGINT AS bucket,

@@ -77,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="write ALL matching docs as partitioned parquet to DIR")
     q.add_argument("--stats", default=None, metavar="FIELD",
                    help="print stats aggregation of FIELD over ALL matches")
+    q.add_argument("--percentiles", default=None, metavar="FIELD",
+                   help="print exact p25/50/75/95/99 of FIELD over ALL matches")
     q.add_argument("--histogram", default=None, metavar="FIELD:INTERVAL",
                    help="print histogram of FIELD with INTERVAL-wide buckets over ALL matches")
 
@@ -169,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.stats:
                     for t in args.text:
                         print(json.dumps({"query": t, "stats": eng.stats(t, args.stats, mode=args.mode)}))
+                    results = []
+                elif args.percentiles:
+                    for t in args.text:
+                        pct = eng.percentiles(t, args.percentiles, mode=args.mode)
+                        print(json.dumps({"query": t, "percentiles": pct}))
                     results = []
                 elif args.histogram:
                     field, interval = args.histogram.rsplit(":", 1)

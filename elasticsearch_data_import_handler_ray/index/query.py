@@ -863,6 +863,12 @@ class QueryShard:
         if len(ids) == 0:
             return None
         vals = self._values_of(field, ids)
+        if value_counts == "numeric":
+            # percentile partial: per-value counts with NUMERIC keys (exact
+            # for fields whose distinct-value set is bounded — same contract
+            # as facets; continuous fields belong in histogram/sketches)
+            uniq, counts = np.unique(vals.astype(np.float64), return_counts=True)
+            return (uniq.tolist(), counts.tolist())
         if value_counts:
             uniq, counts = np.unique(vals, return_counts=True)
             return ([str(v) for v in uniq], counts.tolist())
@@ -1874,6 +1880,48 @@ class QueryEngine:
             )
         out.sort(key=lambda r: (-r["score"], r["value"]))
         return out[:top]
+
+    def percentiles(
+        self,
+        text: str,
+        field: str,
+        ps: list[float] = (25, 50, 75, 95, 99),
+        *,
+        mode: str = "or",
+    ) -> dict[float, float]:
+        """ES percentiles aggregation under a query — EXACT (not t-digest):
+        each actor returns its matching docs' per-value counts (bounded by
+        the field's distinct values, the facet contract), the driver merges
+        the count histograms and reads each percentile as the value at
+        1-based rank ceil(p/100 · n) — the discrete-quantile definition SQL's
+        quantile_disc uses, so results are oracle-comparable."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return {}
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.agg_under_query.remote(terms, mode, field, value_counts="numeric")
+                for a in self._actors
+            ]
+        )
+        agg: dict[float, int] = {}
+        for p in per:
+            if p is None:
+                continue
+            for v, c in zip(*p):
+                agg[float(v)] = agg.get(float(v), 0) + int(c)
+        if not agg:
+            return {}
+        vals = np.array(sorted(agg))
+        counts = np.array([agg[v] for v in vals], dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = {}
+        for p in ps:
+            rank = max(1, int(np.ceil(p / 100.0 * n)))
+            out[float(p)] = float(vals[np.searchsorted(cum, rank)])
+        return out
 
     def _query_idfs(self, text: str, mode: str) -> tuple[list[str], dict]:
         """Analyzed terms with df>0 and their global idfs (AND with an

@@ -240,6 +240,21 @@ def test_function_score_bad_modifier(dv_engine):
         dv_engine.search_boosted("hash join", "n_chars", modifier="exp", k=5)
 
 
+def test_percentiles_under_query(dv_engine, docs):
+    """ES percentiles agg (exact discrete quantiles): value at 1-based rank
+    ceil(p/100 · n) over sorted matching doc-values — same definition as
+    SQL quantile_disc, recomputed here from a pandas oracle."""
+    for text, mode in [("hash join query", "or"), ("hash join", "and")]:
+        m = _matches(docs, text, mode=mode)
+        sub = np.sort(docs.loc[m, "n_chars"].to_numpy().astype(np.float64))
+        n = len(sub)
+        got = dv_engine.percentiles(text, "n_chars", ps=[25, 50, 75, 95, 99], mode=mode)
+        for p in (25, 50, 75, 95, 99):
+            want = float(sub[max(1, int(np.ceil(p / 100.0 * n))) - 1])
+            assert got[float(p)] == want, (text, p)
+    assert dv_engine.percentiles("zzzneverseen", "n_chars") == {}
+
+
 def test_search_sorted_by_field(dv_engine, docs):
     """ES sort-by-field: matching docs ordered by doc-value, tie doc_id asc."""
     m = _matches(docs, "hash join query")
