@@ -1011,6 +1011,42 @@ def _phrase_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _phrase_slop_search(sf_dir: str):
+    """ES match_phrase with slop (proximity): injective occurrence→slot
+    assignment with adjusted-position span ≤ slop (transpositions match at
+    slop 2, per the documented ES rule). Rows-only — rank+score identity vs a
+    brute-force assignment oracle pinned in tests/test_positions.py."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_phs_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
+            positions=True,
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    # (text, slop): includes transposed pairs that only match with slop ≥ 2
+    qs = [("hash scan join", 1), ("scan table", 2), ("join hash", 2),
+          ("sort merge", 0), ("group row", 3)]
+    try:
+        results = eng.search_many(
+            [{"text": p, "mode": "phrase", "slop": s} for p, s in qs], k=10
+        )
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id), "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _multifield_search(sf_dir: str):
     """Multi-field weighted BM25 (text^1 + source^2) — the reference's
     SQL-columns-to-ES-fields mapping rebuilt; rows-only, rank+score identity
@@ -1096,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "term_df_salted": _term_df_salted,
             "bm25_topk": _bm25_on,
             "phrase_search": _phrase_search,
+            "phrase_slop_search": _phrase_slop_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", default="or", choices=["or", "and", "phrase"])
     q.add_argument("--method", default="auto", choices=["auto", "bmw", "exhaustive"])
+    q.add_argument("--slop", type=int, default=0, metavar="N",
+                   help="match_phrase proximity (with --mode phrase): allowed positional span")
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy-expand the last token within N edits")
     q.add_argument("--wildcard", action="store_true",
@@ -251,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
                     results = [eng.search_fuzzy(t, k=args.k, max_edits=args.fuzzy) for t in args.text]
                 else:
                     results = eng.search_many(
-                        [{"text": t, "mode": args.mode} for t in args.text],
+                        [{"text": t, "mode": args.mode, "slop": args.slop} for t in args.text],
                         k=args.k,
                         method=args.method,
                     )

@@ -291,7 +291,32 @@ class PhraseOracle(BM25Oracle):
         for d, toks in zip(ids, tok_list.to_pylist()):
             self.doc_tokens[int(d)] = [t for t in (toks or []) if t]
 
-    def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    @staticmethod
+    def _sloppy_doc_match(toks: list[str], phrase: list[str], slop: int) -> bool:
+        """Brute-force ES slop semantics (the independent formulation the
+        engine's greedy window matcher is pinned against): enumerate EVERY
+        injective assignment of token occurrences to phrase slots and accept
+        if any has adjusted-position span (max(p_i - i) - min(p_i - i)) ≤ slop.
+        Exponential on purpose — obviously correct, test-scale only."""
+        import itertools
+
+        pos_lists = [
+            [p for p, tok in enumerate(toks) if tok == phrase[i]]
+            for i in range(len(phrase))
+        ]
+        if any(not pl for pl in pos_lists):
+            return False
+        for combo in itertools.product(*pos_lists):
+            if len(set(combo)) < len(combo):
+                continue  # one occurrence cannot fill two slots
+            adj = [p - i for i, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    def search_phrase(
+        self, text: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
         phrase = self.analyzer.analyze_query(text)
         if not phrase:
             return []
@@ -299,12 +324,14 @@ class PhraseOracle(BM25Oracle):
         if any(t not in self.postings for t in uniq):
             return []
         n = len(phrase)
+        if slop > 0:
+            match = lambda toks: self._sloppy_doc_match(toks, phrase, slop)
+        else:
+            match = lambda toks: any(
+                toks[i : i + n] == phrase for i in range(len(toks) - n + 1)
+            )
         matched = np.array(
-            sorted(
-                d
-                for d, toks in self.doc_tokens.items()
-                if any(toks[i : i + n] == phrase for i in range(len(toks) - n + 1))
-            ),
+            sorted(d for d, toks in self.doc_tokens.items() if match(toks)),
             dtype=np.uint64,
         )
         if len(matched) == 0:

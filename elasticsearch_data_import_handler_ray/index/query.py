@@ -239,6 +239,41 @@ def _score_exhaustive(
             _heap_push(heap, k, float(scores[i]), int(union[i]))
 
 
+def _sloppy_match(phrase: list[str], slot_pos: list[np.ndarray], slop: int) -> bool:
+    """ES match_phrase slop semantics: the doc matches iff there is an
+    INJECTIVE assignment of token occurrences to phrase slots whose adjusted
+    positions (p_i - i) span at most ``slop`` (exact adjacency = span 0;
+    transposed adjacent terms = span 2, matching the documented ES rule).
+
+    Enumerate candidate window starts (every adjusted value is a possible
+    minimum); per window, greedy earliest-deadline assignment per term —
+    optimal here because slots of one term have nested, ordered intervals
+    [w+i, w+slop+i]. Runs per CANDIDATE doc only (already AND-intersected),
+    so the Python loop is over a handful of positions, not the corpus."""
+    adj = [sp - i for i, sp in enumerate(slot_pos)]
+    starts = np.unique(np.concatenate(adj))
+    term_slots: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        term_slots.setdefault(t, []).append(i)
+    for w in starts.tolist():
+        hi = w + slop
+        ok = True
+        for slots in term_slots.values():
+            avail = slot_pos[slots[0]]  # same occurrence list for every slot of t
+            j = 0
+            for i in slots:  # increasing i → ordered intervals → greedy optimal
+                j = max(j, int(np.searchsorted(avail, w + i)))
+                if j >= len(avail) or avail[j] > hi + i:
+                    ok = False
+                    break
+                j += 1
+            if not ok:
+                break
+        if ok:
+            return True
+    return False
+
+
 def _score_phrase(
     readers: list[SegmentReader],
     phrase: list[str],
@@ -254,12 +289,17 @@ def _score_phrase(
     get_dead=None,
     allowed: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    slop: int = 0,
 ) -> None:
     """Exact phrase top-k (§2.B8 positional variant): AND-intersect the
     phrase terms' doc lists, decode positions for CANDIDATE docs only (the
     sidecar's selective gather), verify adjacency (token i of the phrase at
     position p+i), score survivors with BM25 over the phrase's unique terms in
-    ascending-term order (the repo-wide bit-exactness rule)."""
+    ascending-term order (the repo-wide bit-exactness rule).
+
+    ``slop > 0`` switches the adjacency verify to ES match_phrase proximity
+    (see _sloppy_match); candidate discovery, position gather and scoring are
+    unchanged, and the slop=0 path is byte-identical to before."""
     uniq = sorted(set(phrase))
     for ri, rd in enumerate(readers, reader_offset):
         data = {}
@@ -298,29 +338,47 @@ def _score_phrase(
         # SINGLE sorted-membership pass over all candidates per phrase token —
         # no per-candidate Python loop (positions < 2^32 by the uint32 codec)
         keymap: dict[str, np.ndarray] = {}
+        posmap: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         scores = np.zeros(len(cand), dtype=np.float64)
         for t in uniq:
             ids, tfs, dls = data[t]
             sel = np.searchsorted(ids, cand)
             flat, counts = rd.term_positions(t, tfs, sel)
-            ci = np.repeat(np.arange(len(cand), dtype=np.uint64), counts)
-            keymap[t] = (ci << np.uint64(32)) | flat.astype(np.uint64)
+            if slop > 0:
+                offs = np.concatenate(([0], np.cumsum(counts)))
+                posmap[t] = (flat.astype(np.int64), offs)
+            else:
+                ci = np.repeat(np.arange(len(cand), dtype=np.uint64), counts)
+                keymap[t] = (ci << np.uint64(32)) | flat.astype(np.uint64)
             scores += bm25.contribution(idfs[t], tfs[sel], dls[sel], avgdl, k1, b)
-        ok = keymap[phrase[0]]
-        for off in range(1, len(phrase)):
-            if ok.size == 0:
-                break
-            tgt = keymap[phrase[off]]  # sorted: ci asc, positions asc within
-            shifted = ok + np.uint64(off)
-            j = np.searchsorted(tgt, shifted)
-            j_c = np.minimum(j, max(len(tgt) - 1, 0))
-            ok = ok[(tgt[j_c] == shifted)] if len(tgt) else ok[:0]
-        if ok.size:
-            for ci in np.unique(ok >> np.uint64(32)).astype(np.int64):
-                s, d = float(scores[ci]), int(cand[ci])
-                if after is not None and (s, -d) >= (after[0], -int(after[1])):
-                    continue  # search_after cursor
-                _heap_push(heap, k, s, d)
+        if slop > 0:
+            survivors = []
+            for ci in range(len(cand)):
+                slot_pos = []
+                for i, t in enumerate(phrase):
+                    flat, offs = posmap[t]
+                    slot_pos.append(flat[offs[ci] : offs[ci + 1]])
+                if _sloppy_match(phrase, slot_pos, slop):
+                    survivors.append(ci)
+            survivor_idx = np.array(survivors, dtype=np.int64)
+        else:
+            ok = keymap[phrase[0]]
+            for off in range(1, len(phrase)):
+                if ok.size == 0:
+                    break
+                tgt = keymap[phrase[off]]  # sorted: ci asc, positions asc within
+                shifted = ok + np.uint64(off)
+                j = np.searchsorted(tgt, shifted)
+                j_c = np.minimum(j, max(len(tgt) - 1, 0))
+                ok = ok[(tgt[j_c] == shifted)] if len(tgt) else ok[:0]
+            survivor_idx = (
+                np.unique(ok >> np.uint64(32)).astype(np.int64) if ok.size else np.empty(0, np.int64)
+            )
+        for ci in survivor_idx:
+            s, d = float(scores[ci]), int(cand[ci])
+            if after is not None and (s, -d) >= (after[0], -int(after[1])):
+                continue  # search_after cursor
+            _heap_push(heap, k, s, d)
 
 
 def _score_bmw(
@@ -1132,7 +1190,7 @@ class QueryShard:
                 rds, q["phrase"], idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b,
                 get_decoded=self._decoded, reader_offset=ri_lo, get_dead=gd,
-                allowed=allowed, after=after,
+                allowed=allowed, after=after, slop=int(q.get("slop", 0)),
             )
         elif (
             q["mode"] == "and"
@@ -1306,8 +1364,10 @@ class QueryEngine:
                 self._df_cache[t] = int(v)
         return np.array([self._df_cache[t] for t in terms], dtype=np.int64)
 
-    def search(self, text: str, k: int = 10, mode: str = "or", method: str = "auto"):
-        return self.search_many([{"text": text, "mode": mode}], k=k, method=method)[0]
+    def search(
+        self, text: str, k: int = 10, mode: str = "or", method: str = "auto", slop: int = 0
+    ):
+        return self.search_many([{"text": text, "mode": mode, "slop": slop}], k=k, method=method)[0]
 
     # below this many candidate postings per shard, the vectorized exhaustive
     # scorer beats the Python-loop WAND traversal (both are rank-identical)
@@ -1368,6 +1428,7 @@ class QueryEngine:
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
                  "mode": mode, "method": q_method, "k1": self.k1, "b": self.b,
                  "phrase": phrase, "exclude_terms": exclude_terms,
+                 "slop": max(0, int(q.get("slop", 0))),
                  "filters": q.get("filters"), "after": q.get("after"),
                  "min_should_match": q.get("min_should_match")}
             )

@@ -289,3 +289,68 @@ def test_highlight_requires_positions(tiny_corpus, tmp_path_factory):
             eng.highlight("hot term", [1])
     finally:
         eng.close()
+
+
+# --------------------------------------------------------------- phrase slop
+def test_sloppy_match_semantics():
+    """Hand-checked ES slop rules against the engine's greedy window matcher:
+    gap-of-one needs slop 1, transposed adjacent terms need slop 2, and a
+    repeated phrase term can never be satisfied by one occurrence."""
+    from elasticsearch_data_import_handler_ray.index.query import _sloppy_match
+
+    def m(phrase, positions, slop):
+        slot_pos = [
+            np.array(positions[t], dtype=np.int64) for t in phrase
+        ]
+        return _sloppy_match(phrase, slot_pos, slop)
+
+    # doc tokens: a x b  →  "a b" has a gap of 1
+    pos = {"a": [0], "b": [2]}
+    assert not m(["a", "b"], pos, 0)
+    assert m(["a", "b"], pos, 1)
+    # doc tokens: b a  →  "a b" transposed: slop 2, not 1 (documented ES rule)
+    pos = {"a": [1], "b": [0]}
+    assert not m(["a", "b"], pos, 1)
+    assert m(["a", "b"], pos, 2)
+    # repeated term: doc has ONE "a" — "a a" must never match (injectivity)
+    pos = {"a": [3]}
+    assert not m(["a", "a"], pos, 0)
+    assert not m(["a", "a"], pos, 10)
+    # repeated term with two occurrences: doc tokens a x a
+    pos = {"a": [0, 2]}
+    assert not m(["a", "a"], pos, 0)
+    assert m(["a", "a"], pos, 1)
+    # exact adjacency still span 0
+    pos = {"a": [5], "b": [6], "c": [7]}
+    assert m(["a", "b", "c"], pos, 0)
+
+
+def test_phrase_slop_identity(pos_index, phrase_oracle):
+    """Engine sloppy phrase == brute-force injective-assignment oracle
+    (rank AND score) for real sampled phrases plus their transpositions,
+    across slop 0..3. slop=0 must also equal the exact-adjacency path."""
+    eng = QueryEngine(pos_index)
+    rng = np.random.default_rng(11)
+    phrases = [p for p in _phrases(phrase_oracle, rng, n=12) if p]
+    swapped = []
+    for p in phrases:
+        toks = p.split()
+        if len(toks) >= 2:
+            toks[0], toks[1] = toks[1], toks[0]
+            swapped.append(" ".join(toks))
+    all_p = phrases + swapped
+    n_slop_only = 0
+    try:
+        for slop in (0, 1, 2, 3):
+            got = eng.search_many(
+                [{"text": p, "mode": "phrase", "slop": slop} for p in all_p], k=10
+            )
+            for p, g in zip(all_p, got):
+                want = phrase_oracle.search_phrase(p, k=10, slop=slop)
+                assert g == [(d, s) for d, s in want], (p, slop)
+                if slop == 2 and want and not phrase_oracle.search_phrase(p, k=10):
+                    n_slop_only += 1
+    finally:
+        eng.close()
+    # the transposed phrases guarantee matches that exact adjacency misses
+    assert n_slop_only >= 1
