@@ -1047,6 +1047,39 @@ def _phrase_slop_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _suggest_terms(sf_dir: str):
+    """ES term suggester (did-you-mean): misspelled tokens → dictionary
+    corrections ranked by (edit distance asc, df desc, term asc). Rows-only —
+    exact identity vs a full-vocabulary scalar-DP oracle is pinned in
+    tests/test_index.py::test_suggest_matches_naive_oracle."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_sug_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for text in ["tabel scah", "queyr", "batsh grop"]:
+            for entry in eng.suggest(text, max_edits=2, top=5):
+                for rank, opt in enumerate(entry["options"], 1):
+                    rows.append(
+                        {"token": entry["token"], "rank": rank, "text": opt["text"],
+                         "distance": int(opt["distance"]), "freq": int(opt["freq"])}
+                    )
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _multifield_search(sf_dir: str):
     """Multi-field weighted BM25 (text^1 + source^2) — the reference's
     SQL-columns-to-ES-fields mapping rebuilt; rows-only, rank+score identity
@@ -1133,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bm25_topk": _bm25_on,
             "phrase_search": _phrase_search,
             "phrase_slop_search": _phrase_slop_search,
+            "suggest_terms": _suggest_terms,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="match_phrase proximity (with --mode phrase): allowed positional span")
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy-expand the last token within N edits")
+    q.add_argument("--suggest", nargs="?", const="missing",
+                   choices=["missing", "popular", "always"], metavar="MODE",
+                   help="ES term suggester (did-you-mean) instead of search; "
+                        "edit budget = --fuzzy N (default 2)")
     q.add_argument("--wildcard", action="store_true",
                    help="treat each text as a */? wildcard term pattern")
     q.add_argument("--facet", default=None, metavar="FIELD",
@@ -247,6 +251,13 @@ def main(argv: list[str] | None = None) -> int:
                         eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)
                         for t in args.text
                     ]
+                elif args.suggest:
+                    for t in args.text:
+                        sug = eng.suggest(
+                            t, max_edits=args.fuzzy or 2, suggest_mode=args.suggest
+                        )
+                        print(json.dumps({"query": t, "suggest": sug}))
+                    results = []
                 elif args.wildcard:
                     results = [eng.search_wildcard(t, k=args.k) for t in args.text]
                 elif args.fuzzy:

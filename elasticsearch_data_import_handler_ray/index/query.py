@@ -484,12 +484,10 @@ def _score_bmw(
                         ti.seek(pivot_doc)
 
 
-def _levenshtein_filter(cands: np.ndarray, q: str, max_edits: int) -> np.ndarray:
-    """Candidates within edit distance ``max_edits`` of ``q`` — one DP over
-    the whole candidate array at once (rows = candidates). O(|q| × width)
-    vectorized steps, no per-candidate Python."""
-    if len(cands) == 0:
-        return cands
+def _levenshtein_distances(cands: np.ndarray, q: str) -> np.ndarray:
+    """Edit distance of every candidate to ``q`` — one DP over the whole
+    candidate array at once (rows = candidates). O(|q| × width) vectorized
+    steps, no per-candidate Python."""
     width = cands.dtype.itemsize // 4  # fixed-width unicode: 4 bytes/codepoint
     M = cands.view(np.uint32).reshape(len(cands), width)
     L = np.char.str_len(cands)
@@ -506,8 +504,14 @@ def _levenshtein_filter(cands: np.ndarray, q: str, max_edits: int) -> np.ndarray
             np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
             np.minimum(cur[:, j], sub[:, j - 1], out=cur[:, j])
         prev = cur
-    dist = prev[np.arange(n), L]
-    return cands[dist <= max_edits]
+    return prev[np.arange(n), L]
+
+
+def _levenshtein_filter(cands: np.ndarray, q: str, max_edits: int) -> np.ndarray:
+    """Candidates within edit distance ``max_edits`` of ``q``."""
+    if len(cands) == 0:
+        return cands
+    return cands[_levenshtein_distances(cands, q) <= max_edits]
 
 
 class QueryShard:
@@ -1639,6 +1643,61 @@ class QueryEngine:
         return self.search_many(
             [{"text": text, "mode": "or", "terms_override": terms}], k=k
         )[0]
+
+    def suggest(
+        self,
+        text: str,
+        *,
+        max_edits: int = 2,
+        top: int = 5,
+        suggest_mode: str = "missing",
+        max_expansions: int = 50,
+    ) -> list[dict]:
+        """ES term suggester (did-you-mean): per unique analyzed token,
+        dictionary terms within ``max_edits`` Levenshtein edits, ranked the
+        ES way — ascending edit distance, then descending document frequency,
+        then term. ``suggest_mode``: 'missing' (options only for tokens
+        absent from the index — the ES default), 'popular' (options must be
+        more frequent than the input token), 'always'.
+
+        One fuzzy-expansion scatter per token over the shard dictionaries
+        (vectorized DP, same kernel as fuzzy queries); ranking df comes from
+        the driver's cached global df map, distances recompute driver-side
+        over the ≤ shards×cap candidate strings."""
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(f"unknown suggest_mode: {suggest_mode!r}")
+        toks = []
+        for t in self.analyzer.analyze_query(text):
+            if t not in toks:
+                toks.append(t)
+        if not toks:
+            return []
+        tok_dfs = dict(zip(toks, self.global_dfs(toks).tolist()))
+        refs = {
+            t: [a.expand_fuzzy.remote(t, max_edits, max_expansions) for a in self._actors]
+            for t in toks
+            if not (suggest_mode == "missing" and tok_dfs[t] > 0)
+        }
+        out = []
+        for tok in toks:
+            options: list[dict] = []
+            if tok in refs:
+                per = ray.get(refs[tok])
+                cands = sorted(set().union(*map(set, per)) - {tok})
+                if cands:
+                    dfs = self.global_dfs(cands)
+                    dist = _levenshtein_distances(np.array(cands, dtype="U"), tok)
+                    ranked = sorted(
+                        (int(d), -int(f), c)
+                        for c, d, f in zip(cands, dist.tolist(), dfs.tolist())
+                        if f > 0 and not (suggest_mode == "popular" and f <= tok_dfs[tok])
+                    )
+                    options = [
+                        {"text": c, "distance": d, "freq": -nf}
+                        for d, nf, c in ranked[:top]
+                    ]
+            out.append({"token": tok, "freq": int(tok_dfs[tok]), "options": options})
+        return out
 
     def facets(
         self, text: str, field: str, *, mode: str = "or", top: int = 10

@@ -350,3 +350,59 @@ def test_explain_matches_search_score(engine, oracle):
         assert sorted(r["term"] for r in ex["terms"]) == [r["term"] for r in ex["terms"]]
     missing = engine.explain(text, 1234567)  # not a real doc id
     assert not missing["matched"] and missing["score"] == 0.0
+
+
+def _lev_scalar(a: str, b: str) -> int:
+    """Classic scalar Levenshtein DP — the independent reference for suggest."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_matches_naive_oracle(engine, oracle):
+    """ES term suggester: engine options == a full-vocabulary scalar-DP
+    oracle with identical ranking (distance asc, df desc, term asc) across
+    all three suggest_modes."""
+    vocab = {t: len(oracle.postings[t][0]) for t in oracle.postings}
+    cases = [
+        ("parze", "missing", 1), ("parze mergq", "missing", 2),
+        ("parse", "always", 1), ("parse", "popular", 1),
+        ("parse", "missing", 2), ("zzqqxx", "missing", 2),
+    ]
+    from elasticsearch_data_import_handler_ray.functions.analysis import CodeAnalyzer
+
+    az = CodeAnalyzer()
+    n_opts = 0
+    for text, mode, d in cases:
+        got = engine.suggest(text, max_edits=d, top=5, suggest_mode=mode, max_expansions=10_000)
+        toks = []
+        for t in az.analyze_query(text):
+            if t not in toks:
+                toks.append(t)
+        assert [g["token"] for g in got] == toks, (text, mode)
+        for g in got:
+            tok, tok_df = g["token"], vocab.get(g["token"], 0)
+            assert g["freq"] == tok_df
+            if mode == "missing" and tok_df > 0:
+                assert g["options"] == []
+                continue
+            cands = sorted(
+                (_lev_scalar(t, tok), -f, t)
+                for t, f in vocab.items()
+                if t != tok
+                and _lev_scalar(t, tok) <= d
+                and (mode != "popular" or f > tok_df)
+            )
+            want = [{"text": t, "distance": dd, "freq": -nf} for dd, nf, t in cands[:5]]
+            assert g["options"] == want, (text, mode, g["token"])
+            n_opts += len(want)
+    assert n_opts >= 3  # the typo cases really produce corrections
+
+
+def test_suggest_rejects_bad_mode(engine):
+    with pytest.raises(ValueError, match="suggest_mode"):
+        engine.suggest("parse", suggest_mode="bogus")
