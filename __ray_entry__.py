@@ -1080,6 +1080,49 @@ def _suggest_terms(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _alias_search(sf_dir: str):
+    """ES index-alias search: two indexes over disjoint halves of the
+    documents table, searched as ONE with blended global stats. Rows-only —
+    tests/test_alias.py pins rank+score BIT-identity vs an index built over
+    the union corpus."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.index.alias import MultiIndexEngine
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    half = len(t) // 2
+    root = tempfile.mkdtemp(prefix="edih_alias_")
+    parts = []
+    for name, tbl in (("a", t.slice(0, half)), ("b", t.slice(half))):
+        p = os.path.join(root, f"{name}.parquet")
+        pq.write_table(tbl, p)
+        idx = os.path.join(root, f"idx_{name}")
+        build_index(
+            p, idx, mode="full",
+            config=IndexConfig(
+                analyzer="code", num_segments=2, doc_id_col="doc_id", content_col="text"
+            ),
+        )
+        parts.append(idx)
+    eng = MultiIndexEngine(parts)
+    try:
+        results = eng.search_many(
+            [{"text": q, "mode": "or"} for q in
+             ["hash join table", "scan filter", "group by sort", "query batch row"]],
+            k=10,
+        )
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id), "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _multifield_search(sf_dir: str):
     """Multi-field weighted BM25 (text^1 + source^2) — the reference's
     SQL-columns-to-ES-fields mapping rebuilt; rows-only, rank+score identity
@@ -1167,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phrase_search": _phrase_search,
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
+            "alias_search": _alias_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -168,7 +168,13 @@ def main(argv: list[str] | None = None) -> int:
                     out.append({"field": field, op: v.split(",") if op == "in" else v})
                 return out
 
-            eng = QueryEngine(args.index_dir)
+            if "," in args.index_dir:
+                # ES alias: comma-separated index dirs searched as one
+                from .index.alias import MultiIndexEngine
+
+                eng = MultiIndexEngine(args.index_dir.split(","))
+            else:
+                eng = QueryEngine(args.index_dir)
             try:
                 if args.count:
                     for t in args.text:
