@@ -100,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="verify every on-disk index invariant")
     fs.add_argument("index_dir")
 
+    sn = sub.add_parser("snapshot", help="snapshot an index into a content-addressed repository")
+    sn.add_argument("index_dir")
+    sn.add_argument("repo_dir")
+    sn.add_argument("name")
+
+    rs = sub.add_parser("restore", help="restore a snapshot (sha-verified + fsck'd)")
+    rs.add_argument("repo_dir")
+    rs.add_argument("name")
+    rs.add_argument("target_dir")
+
+    sl = sub.add_parser("snapshots", help="list / delete snapshots in a repository")
+    sl.add_argument("repo_dir")
+    sl.add_argument("--delete", metavar="NAME", help="drop a snapshot and GC unreferenced blobs")
+
     ri = sub.add_parser("reindex", help="rebuild from stored _source with a new config")
     ri.add_argument("src_index_dir")
     ri.add_argument("dst_index_dir")
@@ -308,6 +322,21 @@ def main(argv: list[str] | None = None) -> int:
             from .index.fsck import verify_index
 
             print(json.dumps(verify_index(args.index_dir)))
+        elif args.cmd == "snapshot":
+            from .index.snapshot import snapshot_index
+
+            print(json.dumps(snapshot_index(args.index_dir, args.repo_dir, args.name)))
+        elif args.cmd == "restore":
+            from .index.snapshot import restore_index
+
+            print(json.dumps(restore_index(args.repo_dir, args.name, args.target_dir)))
+        elif args.cmd == "snapshots":
+            from .index.snapshot import delete_snapshot, list_snapshots
+
+            if args.delete:
+                print(json.dumps(delete_snapshot(args.repo_dir, args.delete)))
+            else:
+                print(json.dumps(list_snapshots(args.repo_dir)))
         elif args.cmd == "reindex":
             from .index.reindex import reindex
 
