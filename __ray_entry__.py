@@ -980,6 +980,21 @@ def _sql_expr(sf_dir: str):
     return sql_transform(_SQL_EXPR.format(src="t"))(ds)
 
 
+def _pack_sequences(sf_dir: str):
+    """LLM sequence packing: docs → training sequences with per-sequence
+    whitespace-token totals ≤ 512 (next-fit greedy inside hash buckets —
+    ONE bounded-group shuffle). Rows-only — invariants + naive next-fit
+    oracle pinned in tests/test_stages.py."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.text import pack_sequences
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, budget=512, num_buckets=8)
+
+
 def _phrase_search(sf_dir: str):
     """Positional index + exact phrase top-k (mode='phrase'); rows-only —
     oracle-checked (rank+score identity vs a naive sliding-window scorer) in
@@ -1211,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
             "alias_search": _alias_search,
+            "pack_sequences": _pack_sequences,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,
@@ -1435,6 +1451,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
+        "stratified_sample": """
+            SELECT doc_id, lang, source, (doc_id * 48271) % 2147483647 AS rank
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY (doc_id * 48271) % 2147483647, doc_id
+            ) <= 5
+        """,
         "window_sliding": """
             WITH w AS (
                 SELECT event_type, date_trunc('hour', ts) AS window_start, value FROM events

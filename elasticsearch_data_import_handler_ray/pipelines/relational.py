@@ -891,6 +891,27 @@ def q_sample_hash(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample — 5 docs per language by
+    multiplicative-hash rank (the class-balancing primitive of a training-mix
+    builder; `[PK]` ES-DIH exposed only SQL LIMIT-style sampling, this is the
+    per-stratum generalization). Combiner-first like q_topk_per_group: every
+    batch keeps its own top-5 per lang, so the shuffle carries ≤ 5×|langs|
+    rows per batch, never the corpus. The rank is pure int64 arithmetic
+    ((doc_id·48271) mod 2³¹−1) written IDENTICALLY in the SQL oracle."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(rank=(g["doc_id"] * 48271) % 2147483647)
+        g = g.sort_values(["rank", "doc_id"], kind="mergesort")
+        return g.groupby("lang", sort=False).head(5)
+
+    partial = ds.map_batches(top5, batch_format="pandas")
+    return partial.groupby("lang").map_groups(
+        lambda g: top5(g).reset_index(drop=True), batch_format="pandas"
+    )
+
+
 def q_var_std(sf_dir: str):
     """Grouped variance / stddev via the PARTIAL-aggregation pattern: each
     batch reduces to per-group (n, Σx, Σx²) — exact int64 arithmetic on the
@@ -1026,6 +1047,7 @@ QUERIES = {
     "window_tumbling": q_window_tumbling,
     "nested_build": q_nested_build,
     "sample_hash": q_sample_hash,
+    "stratified_sample": q_stratified_sample,
     "asof_join": q_asof_join,
     "session_window": q_session_window,
     "window_sliding": q_window_sliding,

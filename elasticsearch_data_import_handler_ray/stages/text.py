@@ -195,3 +195,67 @@ def sha256_batch_table(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-row sha256 (the A22/BASELINE.json:15 invariant op, SQL-checkable)."""
     shas = [hashlib.sha256(v.encode()).hexdigest() for v in t[text_col].to_pylist()]
     return pa.table({"doc_id": t["doc_id"], "sha256": pa.array(shas, type=pa.string())})
+
+
+# ------------------------------------------------------------ sequence packing
+def _pack_group(g, budget: int):
+    """Next-fit greedy over ONE hash bucket's docs in doc_id order: append to
+    the open sequence while the token budget holds, else start a new one; a
+    doc longer than the budget gets its own (overlong) sequence — splitting
+    is the trainer's choice, not the packer's. The per-doc Python loop is
+    bounded by the bucket size (data-proportional fan-out), and greedy
+    packing is inherently sequential — this is the documented exception to
+    the no-row-loops rule."""
+    import pandas as pd
+
+    g = g.sort_values("doc_id", kind="mergesort")
+    toks = g["n_tokens"].to_numpy()
+    seq = np.empty(len(g), dtype=np.int64)
+    pos = np.empty(len(g), dtype=np.int64)
+    cur, fill, p = 0, 0, 0
+    for i, n in enumerate(toks.tolist()):
+        if fill > 0 and fill + n > budget:
+            cur, fill, p = cur + 1, 0, 0
+        seq[i], pos[i] = cur, p
+        fill += int(n)
+        p += 1
+    out = g.assign(seq=seq, pos=pos)
+    out["seq_id"] = out["bucket"].astype(str) + "-" + out["seq"].astype(str)
+    return out[["seq_id", "pos", "doc_id", "n_tokens"]]
+
+
+def pack_sequences(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    num_buckets: int | None = None,
+):
+    """Sequence packing for LLM training: assign each document to a training
+    sequence so that per-sequence whitespace-token totals stay ≤ ``budget``
+    (next-fit greedy in doc_id order inside hash buckets; packing never
+    crosses a bucket, so the operator distributes as ONE bounded-group
+    shuffle). → rows (seq_id, pos, doc_id, n_tokens).
+
+    Scale shape: token counting is one vectorized RE2 scan per batch; the
+    shuffle carries 3 int64s + a small string per doc; a bucket's group is
+    1/fanout of the corpus' ID ROWS (not its text), with fanout growing with
+    the data (functions/partitioning.shuffle_fanout)."""
+    from ..functions.partitioning import shuffle_fanout
+
+    if num_buckets is None:
+        num_buckets = shuffle_fanout(ds)
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], pattern=r"\S+"), pa.int64())
+        ids = pc.cast(t[id_col], pa.int64())
+        bucket = pa.array(
+            ids.to_numpy(zero_copy_only=False) % num_buckets, type=pa.int32()
+        )
+        return pa.table({"bucket": bucket, "doc_id": ids, "n_tokens": n})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return rows.groupby("bucket").map_groups(
+        lambda g: _pack_group(g, budget), batch_format="pandas"
+    )

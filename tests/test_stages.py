@@ -576,3 +576,60 @@ def test_curation_lang_gate(sf_dir):
     clusters = neardup_clusters(pairs.select(["doc_a", "doc_b"]))
     drop = {int(d) for d, k in zip(clusters["doc_id"].to_pylist(), clusters["keep"].to_pylist()) if not k}
     assert got == sorted(set(surv) - drop)
+
+
+# --------------------------------------------------------- sequence packing
+def test_pack_sequences_invariants_and_oracle():
+    """pack_sequences: every doc exactly once; per-sequence token totals ≤
+    budget unless the sequence is one overlong doc; within a bucket the
+    assignment equals a naive next-fit oracle; deterministic across runs."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.text import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 500
+    texts = [" ".join(["tok"] * int(rng.integers(1, 200))) for _ in range(n)]
+    texts[17] = " ".join(["tok"] * 900)  # overlong: must get its own sequence
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    budget, buckets = 256, 7
+    out = (
+        pack_sequences(
+            ray.data.from_pandas(df), budget=budget, num_buckets=buckets
+        )
+        .to_pandas()
+        .sort_values(["seq_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # every doc exactly once, token counts correct
+    assert sorted(out["doc_id"]) == list(range(n))
+    want_tokens = df["text"].str.count(r"\S+").astype("int64")
+    got_tokens = out.set_index("doc_id")["n_tokens"].sort_index()
+    assert list(got_tokens) == list(want_tokens)
+    # budget invariant
+    per_seq = out.groupby("seq_id").agg(total=("n_tokens", "sum"), ndocs=("doc_id", "count"))
+    over = per_seq[per_seq.total > budget]
+    assert (over.ndocs == 1).all()  # only single overlong docs may exceed
+    assert (out[out.doc_id == 17].groupby("seq_id").size() == 1).all()
+    # positions are 0..k-1 within each sequence
+    assert (out.groupby("seq_id")["pos"].apply(lambda p: list(p) == list(range(len(p))))).all()
+    # naive next-fit oracle per bucket
+    for b in range(buckets):
+        sub = df[df.doc_id % buckets == b].sort_values("doc_id")
+        toks = sub["text"].str.count(r"\S+").tolist()
+        seq, fill, want = 0, 0, []
+        for t_n in toks:
+            if fill > 0 and fill + t_n > budget:
+                seq, fill = seq + 1, 0
+            want.append(f"{b}-{seq}")
+            fill += t_n
+        got = out.set_index("doc_id").loc[sub["doc_id"], "seq_id"].tolist()
+        assert got == want, b
+    # determinism
+    out2 = (
+        pack_sequences(ray.data.from_pandas(df), budget=budget, num_buckets=buckets)
+        .to_pandas()
+        .sort_values(["seq_id", "pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
