@@ -1138,6 +1138,40 @@ def _alias_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _rescore_search(sf_dir: str):
+    """ES rescore: BM25 top-window re-ranked by a phrase query (total mode).
+    Rows-only — bit-identity vs the naive combine of the BM25 + phrase
+    oracles pinned in tests/test_positions.py."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_rsc_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
+            positions=True,
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for qi, (text, rtext) in enumerate(
+            [("hash scan join table", "table scan"), ("group by sort row", "sort merge")]
+        ):
+            for rank, (doc_id, score) in enumerate(
+                eng.rescore(text, rtext, k=10, window=40, rescore_weight=2.0), 1
+            ):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _multifield_search(sf_dir: str):
     """Multi-field weighted BM25 (text^1 + source^2) — the reference's
     SQL-columns-to-ES-fields mapping rebuilt; rows-only, rank+score identity
@@ -1227,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "suggest_terms": _suggest_terms,
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
+            "rescore_search": _rescore_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="match_phrase proximity (with --mode phrase): allowed positional span")
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy-expand the last token within N edits")
+    q.add_argument("--rescore", metavar="TEXT",
+                   help="ES rescore: re-rank the top window by this (phrase) query; "
+                        "window/weights fixed at 50/1.0/1.0, slop via --slop")
     q.add_argument("--suggest", nargs="?", const="missing",
                    choices=["missing", "popular", "always"], metavar="MODE",
                    help="ES term suggester (did-you-mean) instead of search; "
@@ -269,6 +272,11 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.mlt:
                     results = [
                         eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)
+                        for t in args.text
+                    ]
+                elif args.rescore:
+                    results = [
+                        eng.rescore(t, args.rescore, k=args.k, slop=args.slop)
                         for t in args.text
                     ]
                 elif args.suggest:

@@ -1237,6 +1237,10 @@ class QueryShard:
                 # ES filter context: the allowed-id set is actor-local doc-
                 # values work, computed once per (query, actor)
                 q = {**q, "_allowed": self._allowed_ids(q["filters"])}
+            elif q.get("allowed_ids") is not None:
+                # explicit doc-id restriction (the rescore window): scorers
+                # intersect per-reader, so ids outside this actor just no-op
+                q = {**q, "_allowed": np.asarray(sorted(q["allowed_ids"]), dtype=np.uint64)}
             if use_pool:
                 # per-reader heaps merged after: identical results (segments
                 # hold disjoint docs; for BMW a weaker per-thread θ only means
@@ -1434,6 +1438,7 @@ class QueryEngine:
                  "phrase": phrase, "exclude_terms": exclude_terms,
                  "slop": max(0, int(q.get("slop", 0))),
                  "filters": q.get("filters"), "after": q.get("after"),
+                 "allowed_ids": q.get("allowed_ids"),
                  "min_should_match": q.get("min_should_match")}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
@@ -1643,6 +1648,59 @@ class QueryEngine:
         return self.search_many(
             [{"text": text, "mode": "or", "terms_override": terms}], k=k
         )[0]
+
+    def rescore(
+        self,
+        text: str,
+        rescore_text: str,
+        *,
+        k: int = 10,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        mode: str = "or",
+        rescore_mode: str = "phrase",
+        slop: int = 0,
+        score_mode: str = "total",
+    ) -> list[tuple[int, float]]:
+        """ES rescore API: re-rank the top-``window`` docs of the primary
+        query by combining their score with a (usually more expensive)
+        rescore query evaluated over ONLY that window — here typically a
+        phrase/proximity query. Docs in the window that do not match the
+        rescore query keep ``query_weight``·primary (the ES rule); matching
+        docs combine per ``score_mode``: total (qw·q + rw·r), multiply
+        ((qw·q)·(rw·r)), avg, max, min. Two scatter rounds total: the
+        primary search, then the rescore restricted via the scorers' shared
+        allowed-id path (no corpus work outside the window)."""
+        if score_mode not in ("total", "multiply", "avg", "max", "min"):
+            raise ValueError(f"unknown score_mode: {score_mode!r}")
+        primary = self.search_many([{"text": text, "mode": mode}], k=window)[0]
+        if not primary:
+            return []
+        ids = sorted(d for d, _ in primary)
+        resc = self.search_many(
+            [{"text": rescore_text, "mode": rescore_mode, "slop": slop,
+              "allowed_ids": ids}],
+            k=len(ids),
+        )[0]
+        rmap = dict(resc)
+        combined = []
+        for d, s in primary:
+            qs = query_weight * s
+            if d in rmap:
+                rs = rescore_weight * rmap[d]
+                c = {
+                    "total": qs + rs,
+                    "multiply": qs * rs,
+                    "avg": (qs + rs) / 2.0,
+                    "max": max(qs, rs),
+                    "min": min(qs, rs),
+                }[score_mode]
+            else:
+                c = qs
+            combined.append((d, c))
+        combined.sort(key=lambda x: (-x[1], x[0]))
+        return combined[:k]
 
     def suggest(
         self,

@@ -354,3 +354,57 @@ def test_phrase_slop_identity(pos_index, phrase_oracle):
         eng.close()
     # the transposed phrases guarantee matches that exact adjacency misses
     assert n_slop_only >= 1
+
+
+# --------------------------------------------------------------- rescore API
+def test_rescore_phrase_window_identity(pos_index, phrase_oracle):
+    """ES rescore: engine == a naive combine of the BM25 oracle's primary
+    top-window with the phrase oracle's scores, for every score_mode —
+    bit-identical floats (same kernels, same combine arithmetic)."""
+    eng = QueryEngine(pos_index)
+    cases = [
+        ("hot term merge", "hot term", "total", 0),
+        ("hot term merge", "term hot", "total", 2),
+        ("parse json buffer", "parse json", "multiply", 0),
+        ("parse json buffer", "parse json", "max", 0),
+        ("parse json buffer", "parse json", "avg", 0),
+        ("parse json buffer", "parse json", "min", 0),
+    ]
+    n_reordered = 0
+    try:
+        for text, rtext, sm, slop in cases:
+            got = eng.rescore(
+                text, rtext, k=10, window=30, query_weight=0.7,
+                rescore_weight=1.3, score_mode=sm, slop=slop,
+            )
+            primary = phrase_oracle.search(text, k=30)
+            rmap = dict(
+                (d, s) for d, s in phrase_oracle.search_phrase(rtext, k=10**6, slop=slop)
+            )
+            want = []
+            for d, s in primary:
+                qs = 0.7 * s
+                if d in rmap:
+                    rs = 1.3 * rmap[d]
+                    c = {"total": qs + rs, "multiply": qs * rs,
+                         "avg": (qs + rs) / 2.0, "max": max(qs, rs),
+                         "min": min(qs, rs)}[sm]
+                else:
+                    c = qs
+                want.append((d, c))
+            want.sort(key=lambda x: (-x[1], x[0]))
+            assert got == want[:10], (text, rtext, sm)
+            if [d for d, _ in got] != [d for d, _ in phrase_oracle.search(text, k=10)]:
+                n_reordered += 1
+    finally:
+        eng.close()
+    assert n_reordered >= 1  # the rescore really changes an ordering
+
+
+def test_rescore_bad_score_mode(pos_index):
+    eng = QueryEngine(pos_index)
+    try:
+        with pytest.raises(ValueError, match="score_mode"):
+            eng.rescore("hot term", "hot term", score_mode="bogus")
+    finally:
+        eng.close()
