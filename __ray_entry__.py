@@ -1138,6 +1138,38 @@ def _alias_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _synonym_search(sf_dir: str):
+    """Query-time synonyms (Lucene SynonymQuery: tf summed before tf-norm,
+    idf from the max member df). Rows-only — bit-identity vs the merged-
+    postings oracle pinned in tests/test_index.py."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_syn_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
+        ),
+    )
+    syns = [["scan", "seek"], ["group", "cluster"], ["fast", "quick"]]
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for qi, text in enumerate(["table scan fast", "group by hash", "fast row"]):
+            for rank, (doc_id, score) in enumerate(
+                eng.search_synonyms(text, syns, k=10), 1
+            ):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _rescore_search(sf_dir: str):
     """ES rescore: BM25 top-window re-ranked by a phrase query (total mode).
     Rows-only — bit-identity vs the naive combine of the BM25 + phrase
@@ -1262,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
             "rescore_search": _rescore_search,
+            "synonym_search": _synonym_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="match_phrase proximity (with --mode phrase): allowed positional span")
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy-expand the last token within N edits")
+    q.add_argument("--synonyms", metavar="GROUPS",
+                   help='query-time synonym groups, e.g. "fast,quick;merge,sort" '
+                        "(Lucene SynonymQuery blending)")
     q.add_argument("--rescore", metavar="TEXT",
                    help="ES rescore: re-rank the top window by this (phrase) query; "
                         "window/weights fixed at 50/1.0/1.0, slop via --slop")
@@ -272,6 +275,12 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.mlt:
                     results = [
                         eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)
+                        for t in args.text
+                    ]
+                elif args.synonyms:
+                    groups = [g.split(",") for g in args.synonyms.split(";") if g]
+                    results = [
+                        eng.search_synonyms(t, groups, k=args.k, mode=args.mode)
                         for t in args.text
                     ]
                 elif args.rescore:

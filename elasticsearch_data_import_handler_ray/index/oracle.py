@@ -102,6 +102,55 @@ class BM25Oracle:
         top = bm25.topk_indices(cand_scores, cand_docs, k)
         return [(int(cand_docs[i]), float(cand_scores[i])) for i in top]
 
+    def search_synonyms(
+        self, text: str, synonyms: list[list[str]], k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """Naive mirror of QueryEngine.search_synonyms (Lucene SynonymQuery):
+        per group, member postings merge (tf summed before tf-norm), idf =
+        idf(N, max member df); ascending-group accumulation order matches the
+        engine so scores are bit-identical."""
+        gmap: dict[str, tuple[str, ...]] = {}
+        for grp in synonyms:
+            members = sorted(
+                {m for tok in grp for m in self.analyzer.analyze_query(tok)}
+            )
+            if members:
+                g = tuple(members)
+                for m in members:
+                    gmap[m] = g
+        toks = sorted(set(self.analyzer.analyze_query(text)))
+        if not toks:
+            return []
+        groups = sorted({gmap.get(t, (t,)) for t in toks})
+        live = [(g, max(self.df(m) for m in g)) for g in groups]
+        live = [(g, d) for g, d in live if d > 0]
+        if not live or (mode == "and" and len(live) < len(groups)):
+            return []
+        merged = []
+        for g, df_b in live:
+            parts = [self.postings[m] for m in g if m in self.postings]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            ids, tfs = ids[order], tfs[order]
+            uniq, start = np.unique(ids, return_index=True)
+            merged.append((uniq, np.add.reduceat(tfs, start), df_b))
+        union = np.unique(np.concatenate([m[0] for m in merged]))
+        scores = np.zeros(len(union), dtype=np.float64)
+        hits = np.zeros(len(union), dtype=np.int32)
+        for ids, tfs, df_b in merged:
+            dls = self.doc_lens[np.searchsorted(self.all_docs, ids)]
+            pos = np.searchsorted(union, ids)
+            scores[pos] += bm25.contribution(
+                bm25.idf(self.N, df_b), tfs, dls, self.avgdl, self.k1, self.b
+            )
+            hits[pos] += 1
+        if mode == "and":
+            m = hits == len(live)
+            union, scores = union[m], scores[m]
+        top = bm25.topk_indices(scores, union, k)
+        return [(int(union[i]), float(scores[i])) for i in top]
+
     def search_prefix(
         self, text: str, k: int = 10, max_expansions: int = 50
     ) -> list[tuple[int, float]]:

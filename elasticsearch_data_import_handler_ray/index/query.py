@@ -239,6 +239,89 @@ def _score_exhaustive(
             _heap_push(heap, k, float(scores[i]), int(union[i]))
 
 
+def _score_synonyms(
+    readers: list[SegmentReader],
+    groups: list[list[str]],
+    group_idfs: list[float],
+    avgdl: float,
+    k: int,
+    mode: str,
+    heap: list,
+    get_blocks=None,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+    get_decoded=None,
+    reader_offset: int = 0,
+    get_dead=None,
+    allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
+) -> None:
+    """Lucene SynonymQuery scoring: each synonym GROUP behaves as one pseudo-
+    term — member posting lists merge (doc union, tf SUMMED before the
+    nonlinear tf-norm) and score once with the group's blended idf (driver
+    passes idf(N, max member df), the Lucene df blend). Accumulation is in
+    ascending group order (groups arrive pre-sorted) so scores are
+    reproducible bit-for-bit; a single-member group is numerically identical
+    to plain term scoring."""
+
+    def fetch(ri, rd, t):
+        if get_decoded is not None:
+            return get_decoded(ri, t)
+        if get_blocks is not None:
+            pb = get_blocks(ri, t)
+            return pb.decode_all() if pb is not None else None
+        blob = rd.posting_blob(t)
+        return decode_posting(blob) if blob is not None else None
+
+    for ri, rd in enumerate(readers, reader_offset):
+        per_group = []
+        for gi, g in enumerate(groups):
+            parts = [a for a in (fetch(ri, rd, t) for t in g) if a is not None]
+            if not parts:
+                continue
+            if len(parts) == 1:
+                ids, tfs, dls = parts[0]
+            else:
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                uniq, start = np.unique(ids, return_index=True)
+                tfs = np.add.reduceat(tfs, start)
+                ids, dls = uniq, dls[start]
+            per_group.append((gi, ids, tfs, dls))
+        if not per_group:
+            continue
+        union = np.unique(np.concatenate([ids for _, ids, _, _ in per_group]))
+        scores = np.zeros(len(union), dtype=np.float64)
+        hits = np.zeros(len(union), dtype=np.int32)
+        for gi, ids, tfs, dls in per_group:
+            pos = np.searchsorted(union, ids)
+            scores[pos] += bm25.contribution(group_idfs[gi], tfs, dls, avgdl, k1, b)
+            hits[pos] += 1
+        dd = get_dead(ri) if get_dead is not None else None
+        if dd is not None:
+            from .tombstones import in_sorted
+
+            alive = ~in_sorted(union, dd)
+            union, scores, hits = union[alive], scores[alive], hits[alive]
+        if allowed is not None:
+            from .tombstones import in_sorted
+
+            keep = in_sorted(union, allowed)
+            union, scores, hits = union[keep], scores[keep], hits[keep]
+        if after is not None:
+            cs, cd = after
+            keep = (scores < cs) | ((scores == cs) & (union > np.uint64(cd)))
+            union, scores, hits = union[keep], scores[keep], hits[keep]
+        if mode == "and":
+            m = hits == len(groups)
+            union, scores = union[m], scores[m]
+        for i in bm25.topk_indices(scores, union, k):
+            _heap_push(heap, k, float(scores[i]), int(union[i]))
+
+
 def _sloppy_match(phrase: list[str], slot_pos: list[np.ndarray], slop: int) -> bool:
     """ES match_phrase slop semantics: the doc matches iff there is an
     INJECTIVE assignment of token occurrences to phrase slots whose adjusted
@@ -1189,7 +1272,14 @@ class QueryShard:
         gd = (lambda ri: self.dead[ri]) if any(d is not None for d in self.dead) else None
         allowed = q.get("_allowed")
         after = tuple(q["after"]) if q.get("after") else None
-        if q["mode"] == "phrase":
+        if q.get("groups"):
+            _score_synonyms(
+                rds, q["groups"], q["group_idfs"], avgdl, k, q["mode"], heap,
+                get_blocks=self._blocks, k1=k1, b=b,
+                get_decoded=self._decoded, reader_offset=ri_lo, get_dead=gd,
+                allowed=allowed, after=after,
+            )
+        elif q["mode"] == "phrase":
             _score_phrase(
                 rds, q["phrase"], idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b,
@@ -1648,6 +1738,54 @@ class QueryEngine:
         return self.search_many(
             [{"text": text, "mode": "or", "terms_override": terms}], k=k
         )[0]
+
+    def search_synonyms(
+        self,
+        text: str,
+        synonyms: list[list[str]],
+        k: int = 10,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES query-time synonyms with Lucene SynonymQuery semantics:
+        ``synonyms`` is a list of groups of raw tokens (each member passes
+        through the query analyzer). A query token expands to its full group,
+        and occurrences of ANY member count as ONE pseudo-term — tf summed
+        BEFORE the nonlinear BM25 tf-norm, idf blended as idf(N, max member
+        df) — so a rare synonym cannot inflate the score the way a plain OR
+        expansion would. Tokens outside every group score normally (a
+        single-member group is numerically identical to a plain term)."""
+        gmap: dict[str, tuple[str, ...]] = {}
+        for grp in synonyms:
+            members = sorted({m for tok in grp for m in self.analyzer.analyze_query(tok)})
+            if members:
+                g = tuple(members)
+                for m in members:
+                    gmap[m] = g
+        toks = self.analyze(text)
+        if not toks:
+            return []
+        groups = sorted({gmap.get(t, (t,)) for t in toks})
+        all_terms = sorted({m for g in groups for m in g})
+        dfs = dict(zip(all_terms, self.global_dfs(all_terms).tolist()))
+        live = [(g, max(dfs[m] for m in g)) for g in groups]
+        live = [(g, d) for g, d in live if d > 0]
+        if not live or (mode == "and" and len(live) < len(groups)):
+            return []
+        prepared = [{
+            "terms": sorted({m for g, _ in live for m in g if dfs[m] > 0}),
+            "idfs": {}, "avgdl": self.avgdl, "k": k, "mode": mode,
+            "method": "exhaustive", "k1": self.k1, "b": self.b, "phrase": [],
+            "groups": [list(g) for g, _ in live],
+            "group_idfs": [float(bm25.idf(self.N, d)) for _, d in live],
+        }]
+        shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
+        cand = [c for sr in shard_results for c in sr[0]]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        top = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in top]
 
     def rescore(
         self,

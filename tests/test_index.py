@@ -406,3 +406,29 @@ def test_suggest_matches_naive_oracle(engine, oracle):
 def test_suggest_rejects_bad_mode(engine):
     with pytest.raises(ValueError, match="suggest_mode"):
         engine.suggest("parse", suggest_mode="bogus")
+
+
+def test_synonym_search_rank_identity(engine, oracle):
+    """Query-time synonyms (Lucene SynonymQuery semantics): engine ==
+    naive merged-postings oracle bit-for-bit; no-synonym queries reduce to
+    plain search; AND mode and dead-member groups behave."""
+    syns = [["parse", "decode"], ["merge", "sort"], ["foo", "zzqqneverseen"]]
+    for text, mode in [
+        ("parse json buffer", "or"), ("merge hot_term_0", "or"),
+        ("parse merge", "and"), ("foo bar", "or"), ("zzqqneverseen", "or"),
+    ]:
+        got = engine.search_synonyms(text, syns, k=10, mode=mode)
+        want = oracle.search_synonyms(text, syns, k=10, mode=mode)
+        assert got == [(d, s) for d, s in want], (text, mode)
+    # identity when no group touches the query
+    plain = engine.search("hot_term_0 query", k=10)
+    via = engine.search_synonyms("hot_term_0 query", [["parse", "decode"]], k=10)
+    assert via == plain
+    # a synonym expansion really changes results vs plain OR of the text
+    # (both "merge" and "sort" occur in the corpus, so the group is live)
+    assert oracle.df("merge") > 0 and oracle.df("sort") > 0
+    assert engine.search_synonyms("merge", syns, k=10) != engine.search("merge", k=10)
+    # group with ALL members unseen + AND → no results
+    assert engine.search_synonyms(
+        "parse zzqqneverseen2", [["zzqqneverseen2", "zzqqneverseen3"]], k=5, mode="and"
+    ) == []
