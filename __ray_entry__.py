@@ -1138,6 +1138,36 @@ def _alias_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _collapse_search(sf_dir: str):
+    """ES field collapsing: top-k with one best hit per distinct `source`
+    value. Rows-only — exact pandas-oracle identity pinned in
+    tests/test_docvalues.py."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_col_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("source",),
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for qi, text in enumerate(["table scan", "hash join row", "query group"]):
+            for rank, h in enumerate(eng.collapse(text, "source", k=10), 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": h["doc_id"],
+                             "value": h["value"], "score": round(h["score"], 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _synonym_search(sf_dir: str):
     """Query-time synonyms (Lucene SynonymQuery: tf summed before tf-norm,
     idf from the max member df). Rows-only — bit-identity vs the merged-
@@ -1295,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": _pack_sequences,
             "rescore_search": _rescore_search,
             "synonym_search": _synonym_search,
+            "collapse_search": _collapse_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

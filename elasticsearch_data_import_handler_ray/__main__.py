@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="match_phrase proximity (with --mode phrase): allowed positional span")
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy-expand the last token within N edits")
+    q.add_argument("--collapse", metavar="FIELD",
+                   help="ES field collapsing: one best hit per distinct value of a stored field")
     q.add_argument("--synonyms", metavar="GROUPS",
                    help='query-time synonym groups, e.g. "fast,quick;merge,sort" '
                         "(Lucene SynonymQuery blending)")
@@ -277,6 +279,11 @@ def main(argv: list[str] | None = None) -> int:
                         eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)
                         for t in args.text
                     ]
+                elif args.collapse:
+                    for t in args.text:
+                        hits = eng.collapse(t, args.collapse, k=args.k, mode=args.mode)
+                        print(json.dumps({"query": t, "collapsed": hits}))
+                    results = []
                 elif args.synonyms:
                     groups = [g.split(",") for g in args.synonyms.split(";") if g]
                     results = [

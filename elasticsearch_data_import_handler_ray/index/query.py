@@ -2298,6 +2298,44 @@ class QueryEngine:
             )
         return out
 
+    def collapse(
+        self, text: str, field: str, *, k: int = 10, mode: str = "or"
+    ) -> list[dict]:
+        """ES field collapsing: the top-``k`` matching docs with at most ONE
+        hit — the best-scoring — per distinct value of a doc-value ``field``
+        (dedupe search results by domain/repo/author…). Per shard this is one
+        scored pass + a per-value local best (the n=1 top_hits partial), so
+        only one row per (shard, distinct value) reaches the driver; the
+        driver keeps the per-value global best and cuts to k. Scores are the
+        ordinary BM25 search scores (collapsing never rescores)."""
+        terms, idfs = self._query_idfs(text, mode)
+        if not terms:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.top_hits_by_value.remote(
+                    terms, mode, field, 1, idfs, self.avgdl, self.k1, self.b
+                )
+                for a in self._actors
+            ]
+        )
+        best: dict[str, tuple[float, int]] = {}
+        for p in per:
+            if p is None:
+                continue
+            _cv, _cn, hv, hd, hs = p
+            for v, d, s in zip(hv, hd, hs):
+                cur = best.get(v)
+                cand = (float(s), int(d))
+                # best = higher score, tie → lower doc_id
+                if cur is None or (-cand[0], cand[1]) < (-cur[0], cur[1]):
+                    best[v] = cand
+        ranked = sorted(
+            ((s, d, v) for v, (s, d) in best.items()), key=lambda x: (-x[0], x[1])
+        )[:k]
+        return [{"doc_id": d, "score": s, "value": v} for s, d, v in ranked]
+
     def search_boosted(
         self,
         text: str,

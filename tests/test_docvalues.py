@@ -269,3 +269,33 @@ def test_search_sorted_by_field(dv_engine, docs):
         ).head(15)
         assert got == list(zip(want["doc_id"].tolist(), want["n_chars"].astype(float).tolist())), descending
     assert dv_engine.search_sorted_by("zzzneverseen", "n_chars", k=5) == []
+
+
+def test_collapse_matches_pandas_oracle(dv_engine, docs, ws_oracle):
+    """Field collapsing: top-k with one best hit per doc-value — engine ==
+    a pandas recompute over the naive scorer's full match set (scores
+    bit-identical; best-per-value = max score, tie lower doc_id)."""
+    for text, mode in [("table scan", "or"), ("hash join", "and"), ("query", "or")]:
+        got = dv_engine.collapse(text, "source", k=5, mode=mode)
+        full = ws_oracle.search(text, k=10**6, mode=mode)
+        if not full:
+            assert got == []
+            continue
+        import pandas as pd
+
+        df = pd.DataFrame(full, columns=["doc_id", "score"]).merge(
+            docs[["doc_id", "source"]], on="doc_id"
+        )
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        best = df.groupby("source", sort=False).head(1)
+        best = best.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(5)
+        want = [
+            {"doc_id": int(r.doc_id), "score": float(r.score), "value": r.source}
+            for r in best.itertuples()
+        ]
+        assert got == want, (text, mode)
+        # collapsing really deduped: plain top-5 has repeated sources here
+        plain = [d for d, _ in dv_engine.search(text, k=5, mode=mode)]
+        src = docs.set_index("doc_id").loc[plain, "source"]
+        if src.duplicated().any():
+            assert len({g["value"] for g in got}) == len(got)
