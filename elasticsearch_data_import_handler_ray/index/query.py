@@ -357,6 +357,46 @@ def _sloppy_match(phrase: list[str], slot_pos: list[np.ndarray], slop: int) -> b
     return False
 
 
+def _sloppy_candidates_vectorized(
+    phrase: list[str],
+    posmap: dict[str, tuple[np.ndarray, np.ndarray]],
+    n_cand: int,
+    slop: int,
+) -> np.ndarray:
+    """Candidate indices with a window [w, w+slop] in adjusted-position space
+    covering every phrase slot — vectorized across ALL candidates at once via
+    (candidate_rank << 32 | adjusted_pos) composite keys, no per-candidate
+    Python (the slop analogue of the exact path's adjacency trick).
+
+    Completeness: a satisfying assignment's minimum adjusted value is one of
+    the slots' values, so testing every slot value as the window start covers
+    every match. For all-distinct phrase tokens this is EXACT; with repeated
+    tokens it ignores occurrence injectivity and the caller must confirm
+    survivors with _sloppy_match (a necessary-condition prefilter).
+
+    Adjusted positions are shifted by +len(phrase) so they stay positive;
+    positions are < 2^32 - len(phrase) - slop by the uint32 codec, so a
+    window's composite bound never crosses into the next candidate's range."""
+    n = len(phrase)
+    keys: list[np.ndarray] = []
+    for i, t in enumerate(phrase):
+        flat, offs = posmap[t]
+        counts = np.diff(offs)
+        ci = np.repeat(np.arange(n_cand, dtype=np.uint64), counts)
+        q = (flat - i + n).astype(np.uint64)
+        keys.append(np.sort((ci << np.uint64(32)) | q))
+    anchors = np.unique(np.concatenate(keys))
+    match = np.ones(len(anchors), dtype=bool)
+    hi = anchors + np.uint64(slop)
+    for ki in keys:
+        if len(ki) == 0:
+            return np.empty(0, dtype=np.int64)
+        lo = np.searchsorted(ki, anchors)
+        ok = lo < len(ki)
+        match &= ok & (ki[np.minimum(lo, len(ki) - 1)] <= hi)
+    return np.unique((anchors[match] >> np.uint64(32)).astype(np.int64))
+
+
 def _score_phrase(
     readers: list[SegmentReader],
     phrase: list[str],
@@ -435,15 +475,21 @@ def _score_phrase(
                 keymap[t] = (ci << np.uint64(32)) | flat.astype(np.uint64)
             scores += bm25.contribution(idfs[t], tfs[sel], dls[sel], avgdl, k1, b)
         if slop > 0:
-            survivors = []
-            for ci in range(len(cand)):
-                slot_pos = []
-                for i, t in enumerate(phrase):
-                    flat, offs = posmap[t]
-                    slot_pos.append(flat[offs[ci] : offs[ci + 1]])
-                if _sloppy_match(phrase, slot_pos, slop):
-                    survivors.append(ci)
-            survivor_idx = np.array(survivors, dtype=np.int64)
+            vec = _sloppy_candidates_vectorized(phrase, posmap, len(cand), slop)
+            if len(set(phrase)) == len(phrase):
+                survivor_idx = vec  # distinct tokens: the window check IS exact
+            else:
+                # repeated phrase terms: the vectorized pass is a necessary-
+                # condition prefilter; confirm injectivity per survivor only
+                survivors = []
+                for ci in vec.tolist():
+                    slot_pos = []
+                    for i, t in enumerate(phrase):
+                        flat, offs = posmap[t]
+                        slot_pos.append(flat[offs[ci] : offs[ci + 1]])
+                    if _sloppy_match(phrase, slot_pos, slop):
+                        survivors.append(ci)
+                survivor_idx = np.array(survivors, dtype=np.int64)
         else:
             ok = keymap[phrase[0]]
             for off in range(1, len(phrase)):
