@@ -995,6 +995,26 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=512, num_buckets=8)
 
 
+def _percolate(sf_dir: str):
+    """ES percolate: registered queries matched against the document stream
+    (broadcast query set, one tokenize + one vectorized term join per batch).
+    FULL SQL oracle — whitespace tokenization + list_has_all/any replicate
+    the and/or match semantics exactly."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.percolate import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    qs = [
+        {"query_id": "alert_scan", "text": "table scan", "mode": "and"},
+        {"query_id": "alert_join", "text": "hash join", "mode": "and"},
+        {"query_id": "route_any", "text": "group sort", "mode": "or"},
+    ]
+    return percolate(ds, qs, analyzer="whitespace")
+
+
 def _phrase_search(sf_dir: str):
     """Positional index + exact phrase top-k (mode='phrase'); rows-only —
     oracle-checked (rank+score identity vs a naive sliding-window scorer) in
@@ -1326,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rescore_search": _rescore_search,
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,
+            "percolate": _percolate,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,
@@ -1550,6 +1571,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
+        "percolate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(lower(text), '\s+'), t -> t <> '')) AS ts
+                FROM documents
+            )
+            SELECT doc_id, 'alert_scan' AS query_id FROM toks
+              WHERE list_has_all(ts, ['scan', 'table'])
+            UNION ALL
+            SELECT doc_id, 'alert_join' FROM toks
+              WHERE list_has_all(ts, ['hash', 'join'])
+            UNION ALL
+            SELECT doc_id, 'route_any' FROM toks
+              WHERE list_has_any(ts, ['group', 'sort'])
+        """,
         "stratified_sample": """
             SELECT doc_id, lang, source, (doc_id * 48271) % 2147483647 AS rank
             FROM documents

@@ -108,6 +108,13 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="verify every on-disk index invariant")
     fs.add_argument("index_dir")
 
+    an = sub.add_parser("analyze", help="ES _analyze: print the token stream for a text")
+    an.add_argument("text", nargs="+")
+    an.add_argument("--analyzer", default="code",
+                    help='analyzer name, e.g. code, whitespace, unicode, "code+stop+stem"')
+    an.add_argument("--index", default=None,
+                    help="use this index's configured analyzer instead")
+
     sn = sub.add_parser("snapshot", help="snapshot an index into a content-addressed repository")
     sn.add_argument("index_dir")
     sn.add_argument("repo_dir")
@@ -346,6 +353,18 @@ def main(argv: list[str] | None = None) -> int:
             from .index.fsck import verify_index
 
             print(json.dumps(verify_index(args.index_dir)))
+        elif args.cmd == "analyze":
+            from .functions.analysis import get_analyzer
+
+            name = args.analyzer
+            if args.index:
+                from .state.manifest import Manifest
+
+                name = Manifest.load(args.index).config.analyzer
+            az = get_analyzer(name)
+            for t in args.text:
+                print(json.dumps({"text": t, "analyzer": name,
+                                  "tokens": az.analyze_query(t)}))
         elif args.cmd == "snapshot":
             from .index.snapshot import snapshot_index
 
