@@ -145,6 +145,21 @@ def run_bench() -> dict:
     ph_lat.sort()
     phrase_p50 = statistics.median(ph_lat)
     phrase_p95 = ph_lat[int(0.95 * len(ph_lat)) - 1]
+    # round-2 query surfaces on the same positional index: sloppy phrase
+    # (transposed bigrams, slop 2), rescore (top-50 window), suggester
+    slop_lat, resc_lat, sug_lat = [], [], []
+    for _ in range(10):
+        t0 = time.monotonic()
+        engp.search_many(
+            [{"text": "term hot", "mode": "phrase", "slop": 2},
+             {"text": "json parse", "mode": "phrase", "slop": 2}], k=10)
+        slop_lat.append((time.monotonic() - t0) * 500)  # per query
+        t0 = time.monotonic()
+        engp.rescore("parse json buf", "parse json", window=50, k=10)
+        resc_lat.append((time.monotonic() - t0) * 1000)
+        t0 = time.monotonic()
+        engp.suggest("parze mergq", max_edits=2)
+        sug_lat.append((time.monotonic() - t0) * 1000)
     engp.close()
 
     # relational / data-pipeline stage timings over SF_DIR
@@ -190,6 +205,9 @@ def run_bench() -> dict:
         "exhaustive_batch_s": round(exhaustive_batch_s, 3),
         "pos_build_s": round(pos_build_s, 3),
         "phrase_p50_ms": round(phrase_p50, 2),
+        "slop_p50_ms": round(statistics.median(slop_lat), 2),
+        "rescore_p50_ms": round(statistics.median(resc_lat), 2),
+        "suggest_p50_ms": round(statistics.median(sug_lat), 2),
         "phrase_p95_ms": round(phrase_p95, 2),
     }
     ray.shutdown()
