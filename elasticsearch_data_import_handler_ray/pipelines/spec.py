@@ -71,6 +71,53 @@ class SourceSpec:
     columns: list[str] | None = None
 
 
+def _builtin_step(name: str, params: dict) -> Callable:
+    """Named stage library for config-file pipelines (no Python required):
+    the text-curation stages from stages/text.py plus percolation, each as a
+    Dataset→Dataset function. ``{"builtin": "<name>", "params": {...}}`` or
+    the shorthand string ``"builtin:<name>"``."""
+    from ..stages import text as T
+
+    per_batch = {
+        "token_count": T.token_count_batch,
+        "bpe_token_count": T.bpe_token_count_batch,
+        "quality": T.quality_batch,
+        "fingerprint": T.fingerprint_batch,
+        "redact": T.redact_batch,
+        "repetition": T.repetition_batch,
+        "sha256": T.sha256_batch_table,
+    }
+    if name in per_batch:
+        fn = per_batch[name]
+        return lambda ds: ds.map_batches(
+            lambda t: fn(t, **params), batch_format="pyarrow", zero_copy_batch=True
+        )
+    if name == "chunk":
+        return lambda ds: ds.map_batches(
+            lambda t: T.chunk_batch(t, **params),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    if name == "pack_sequences":
+        return lambda ds: T.pack_sequences(ds, **params)
+    if name == "percolate":
+        from ..stages.percolate import percolate
+
+        return lambda ds: percolate(ds, **params)
+    if name == "langid":
+        from ..functions.partitioning import pool_concurrency
+        from ..stages.text import LangId
+
+        return lambda ds: ds.map_batches(
+            LangId,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=pool_concurrency(),
+            fn_constructor_kwargs=params,
+        )
+    raise KeyError(f"unknown builtin step: {name!r} (have {sorted(per_batch) + ['chunk', 'pack_sequences', 'percolate', 'langid']})")
+
+
 @dataclass
 class TransformStep:
     """A named Dataset→Dataset function (the user-extension surface, D2)."""
@@ -132,6 +179,15 @@ class PipelineSpec:
                             sql_transform(s["sql"], view=s.get("view", "t")),
                         )
                     )
+                elif isinstance(s, dict) and "builtin" in s:
+                    out.append(
+                        TransformStep(
+                            f"builtin:{s['builtin']}",
+                            _builtin_step(s["builtin"], s.get("params") or {}),
+                        )
+                    )
+                elif isinstance(s, str) and s.startswith("builtin:"):
+                    out.append(TransformStep(s, _builtin_step(s[8:], {})))
                 else:
                     out.append(TransformStep(s, registry[s]))
             return out

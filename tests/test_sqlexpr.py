@@ -118,3 +118,60 @@ def test_sql_step_rejects_aggregate_in_spec():
     }
     with pytest.raises(ValueError, match="map-only"):
         PipelineSpec.from_dict(d)
+
+
+def test_builtin_steps_in_spec(tmp_path):
+    """Config-file pipelines can reference the curation stage library without
+    Python: builtin token_count + quality + a SQL gate, end-to-end to
+    parquet, verified against direct stage application."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.pipelines.spec import (
+        PipelineSpec,
+        run_pipeline,
+    )
+    from elasticsearch_data_import_handler_ray.stages.text import (
+        quality_batch,
+        token_count_batch,
+    )
+
+    out_dir = str(tmp_path / "curated")
+    d = {
+        "sources": [
+            {"name": "docs", "path": os.path.join(SF, "documents.parquet"),
+             "columns": ["doc_id", "text"]}
+        ],
+        "preps": [
+            {"name": "scored", "source": "docs",
+             "steps": ["builtin:token_count", {"builtin": "quality"}]}
+        ],
+        "imports": [
+            {"name": "curated", "source": "scored", "id_column": "doc_id",
+             "sink": "parquet", "target": out_dir,
+             "steps": [{"sql": "SELECT doc_id, n_tokens FROM t WHERE punct_ratio <= 0.5"}]}
+        ],
+    }
+    run_pipeline(PipelineSpec.from_dict(d))
+    got = ray.data.read_parquet(out_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    want = (
+        src.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    want = want[want.punct_ratio <= 0.5][["doc_id", "n_tokens"]].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_builtin_step_unknown_name():
+    from elasticsearch_data_import_handler_ray.pipelines.spec import PipelineSpec
+
+    d = {
+        "sources": [{"name": "e", "path": os.path.join(SF, "events.parquet")}],
+        "preps": [{"name": "bad", "source": "e", "steps": ["builtin:nope"]}],
+    }
+    with pytest.raises(KeyError, match="nope"):
+        PipelineSpec.from_dict(d)
