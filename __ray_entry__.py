@@ -1158,6 +1158,40 @@ def _alias_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _bool_search(sf_dir: str):
+    """Composed ES bool query (must + should + must_not + msm in one
+    scatter). Rows-only — bit-identity vs the per-class-hit oracle pinned in
+    tests/test_index.py."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_bool_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    cases = [
+        dict(must="table", should="scan hash join", minimum_should_match=1),
+        dict(must="group sort", should="row batch", must_not="slow"),
+        dict(must="", should="scan filter query", minimum_should_match=2),
+    ]
+    rows = []
+    try:
+        for qi, c in enumerate(cases):
+            for rank, (doc_id, score) in enumerate(eng.bool_search(k=10, **c), 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _collapse_search(sf_dir: str):
     """ES field collapsing: top-k with one best hit per distinct `source`
     value. Rows-only — exact pandas-oracle identity pinned in
@@ -1347,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,
             "percolate": _percolate,
+            "bool_search": _bool_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="match_phrase proximity (with --mode phrase): allowed positional span")
     q.add_argument("--fuzzy", type=int, default=0, metavar="N",
                    help="fuzzy-expand the last token within N edits")
+    q.add_argument("--must", default="", metavar="TEXT",
+                   help="composed bool query: required clause (text becomes should)")
+    q.add_argument("--must-not", default="", metavar="TEXT", dest="must_not",
+                   help="composed bool query: exclusion clause")
+    q.add_argument("--msm", type=int, default=0,
+                   help="minimum_should_match for the composed bool query")
     q.add_argument("--collapse", metavar="FIELD",
                    help="ES field collapsing: one best hit per distinct value of a stored field")
     q.add_argument("--synonyms", metavar="GROUPS",
@@ -284,6 +290,14 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.mlt:
                     results = [
                         eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)
+                        for t in args.text
+                    ]
+                elif args.must or args.must_not or args.msm:
+                    results = [
+                        eng.bool_search(
+                            must=args.must, should=t, must_not=args.must_not,
+                            minimum_should_match=args.msm, k=args.k,
+                        )
                         for t in args.text
                     ]
                 elif args.collapse:

@@ -102,6 +102,58 @@ class BM25Oracle:
         top = bm25.topk_indices(cand_scores, cand_docs, k)
         return [(int(cand_docs[i]), float(cand_scores[i])) for i in top]
 
+    def search_bool(
+        self,
+        *,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        minimum_should_match: int = 0,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Naive mirror of QueryEngine.bool_search: all must terms + ≥ msm
+        should terms + no must_not terms; score = BM25 sum of matching
+        must+should clauses in ascending-term order (bit-identical)."""
+        must_terms = sorted(set(self.analyzer.analyze_query(must))) if must else []
+        should_terms = [
+            t
+            for t in (sorted(set(self.analyzer.analyze_query(should))) if should else [])
+            if t not in set(must_terms)
+        ]
+        if any(t not in self.postings for t in must_terms):
+            return []
+        live_should = [t for t in should_terms if t in self.postings]
+        if minimum_should_match > len(live_should):
+            return []
+        terms = sorted(set(must_terms) | set(live_should))
+        if not terms:
+            return []
+        must_set = set(must_terms)
+        scores = np.zeros(self.N, dtype=np.float64)
+        hits_m = np.zeros(self.N, dtype=np.int32)
+        hits_s = np.zeros(self.N, dtype=np.int32)
+        for t in terms:
+            ids, tfs = self.postings[t]
+            pos = np.searchsorted(self.all_docs, ids)
+            scores[pos] += bm25.contribution(
+                bm25.idf(self.N, len(ids)), tfs, self.doc_lens[pos],
+                self.avgdl, self.k1, self.b,
+            )
+            (hits_m if t in must_set else hits_s)[pos] += 1
+        mask = hits_m == len(must_set)
+        if minimum_should_match:
+            mask &= hits_s >= minimum_should_match
+        elif not must_set:
+            mask &= hits_s > 0
+        if must_not:
+            for t in sorted(set(self.analyzer.analyze_query(must_not))):
+                p = self.postings.get(t)
+                if p is not None:
+                    mask &= ~np.isin(self.all_docs, p[0], assume_unique=True)
+        cand_scores, cand_docs = scores[mask], self.all_docs[mask]
+        top = bm25.topk_indices(cand_scores, cand_docs, k)
+        return [(int(cand_docs[i]), float(cand_scores[i])) for i in top]
+
     def search_synonyms(
         self, text: str, synonyms: list[list[str]], k: int = 10, mode: str = "or"
     ) -> list[tuple[int, float]]:

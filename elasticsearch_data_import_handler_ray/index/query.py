@@ -162,6 +162,7 @@ def _score_exhaustive(
     allowed: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
     min_should_match: int | None = None,
+    must_terms: list[str] | None = None,
 ) -> None:
     """Vectorized full scoring of one shard (docs disjoint across readers):
     bulk posting decode, per-reader vectorized top-k (only k candidates reach
@@ -169,7 +170,10 @@ def _score_exhaustive(
     makes repeated hot terms skip the varbyte decode entirely.
     ``exclude_terms`` = ES bool must_not: matching docs are dropped before
     the heap (exclusion routes through this scorer; skipping can't prune
-    against a NOT set)."""
+    against a NOT set). ``must_terms`` (mode "bool") splits ``terms`` into
+    required and optional clauses: a doc needs EVERY must term and ≥
+    ``min_should_match`` of the others, scoring the sum of its matching
+    clauses (the composed ES bool query)."""
     for ri, rd in enumerate(readers, reader_offset):
         per_term = []
         for t in terms:  # terms pre-sorted ascending
@@ -190,28 +194,45 @@ def _score_exhaustive(
         union = np.unique(np.concatenate([ids for _, ids, _, _ in per_term]))
         scores = np.zeros(len(union), dtype=np.float64)
         hits = np.zeros(len(union), dtype=np.int32)
+        must_set = set(must_terms) if must_terms is not None else None
+        hits_must = np.zeros(len(union), dtype=np.int32) if must_set else None
         for t, ids, tfs, dls in per_term:  # ascending-term accumulation order
             pos = np.searchsorted(union, ids)
             scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl, k1, b)
-            hits[pos] += 1
+            if must_set is not None and t in must_set:
+                hits_must[pos] += 1
+            else:
+                hits[pos] += 1
         dd = get_dead(ri) if get_dead is not None else None
         if dd is not None:
             from .tombstones import in_sorted
 
             alive = ~in_sorted(union, dd)  # superseded doc versions (upsert)
             union, scores, hits = union[alive], scores[alive], hits[alive]
+            if hits_must is not None:
+                hits_must = hits_must[alive]
         if allowed is not None:
             from .tombstones import in_sorted
 
             # ES filter context: yes/no restriction, scores untouched
             keep = in_sorted(union, allowed)
             union, scores, hits = union[keep], scores[keep], hits[keep]
+            if hits_must is not None:
+                hits_must = hits_must[keep]
         if after is not None:
             # search_after cursor: strictly after (score desc, doc_id asc)
             cs, cd = after
             keep = (scores < cs) | ((scores == cs) & (union > np.uint64(cd)))
             union, scores, hits = union[keep], scores[keep], hits[keep]
-        if mode == "and":
+            if hits_must is not None:
+                hits_must = hits_must[keep]
+        if hits_must is not None:
+            # composed bool: every must clause + >= msm should clauses
+            m = hits_must == len(must_set)
+            if min_should_match:
+                m &= hits >= min_should_match
+            union, scores = union[m], scores[m]
+        elif mode == "and":
             m = hits == len(terms)
             union, scores = union[m], scores[m]
         elif min_should_match and min_should_match > 1:
@@ -1337,6 +1358,7 @@ class QueryShard:
             or q["method"] == "exhaustive"
             or q.get("exclude_terms")
             or q.get("min_should_match")
+            or q.get("must_terms")
         ):
             _score_exhaustive(
                 rds, terms, idfs, avgdl, k, q["mode"], heap,
@@ -1345,6 +1367,7 @@ class QueryShard:
                 exclude_terms=q.get("exclude_terms"), get_dead=gd,
                 allowed=allowed, after=after,
                 min_should_match=q.get("min_should_match"),
+                must_terms=q.get("must_terms"),
             )
         else:
             _score_bmw(
@@ -1575,6 +1598,7 @@ class QueryEngine:
                  "slop": max(0, int(q.get("slop", 0))),
                  "filters": q.get("filters"), "after": q.get("after"),
                  "allowed_ids": q.get("allowed_ids"),
+                 "must_terms": q.get("must_terms"),
                  "min_should_match": q.get("min_should_match")}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
@@ -1784,6 +1808,47 @@ class QueryEngine:
         return self.search_many(
             [{"text": text, "mode": "or", "terms_override": terms}], k=k
         )[0]
+
+    def bool_search(
+        self,
+        *,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filters: list[dict] | None = None,
+        minimum_should_match: int = 0,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """The composed ES bool query in one call: a doc must contain EVERY
+        ``must`` term, at least ``minimum_should_match`` of the ``should``
+        terms, none of the ``must_not`` terms, and pass the (non-scoring)
+        ``filters``; its score is the BM25 sum of its matching must+should
+        clauses (ES bool semantics — should clauses contribute score even
+        when msm is already met). Runs as ONE prepared scatter through the
+        exhaustive scorer's per-class hit counting."""
+        must_terms = self.analyze(must) if must else []
+        should_all = self.analyze(should) if should else []
+        should_terms = [t for t in should_all if t not in set(must_terms)]
+        all_terms = sorted(set(must_terms) | set(should_terms))
+        if not all_terms:
+            return []
+        dfs = dict(zip(all_terms, self.global_dfs(all_terms).tolist()))
+        if any(dfs[t] == 0 for t in must_terms):
+            return []  # a required unknown term matches nothing
+        live_should = [t for t in should_terms if dfs[t] > 0]
+        if minimum_should_match > len(live_should):
+            return []
+        terms = sorted(set(must_terms) | set(live_should))
+        q = {
+            "text": must or should,
+            "mode": "bool",
+            "terms_override": terms,
+            "must_terms": sorted(set(must_terms)),
+            "min_should_match": minimum_should_match,
+            "exclude": must_not or None,
+            "filters": filters,
+        }
+        return self.search_many([q], k=k, method="exhaustive")[0]
 
     def search_synonyms(
         self,

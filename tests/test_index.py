@@ -432,3 +432,32 @@ def test_synonym_search_rank_identity(engine, oracle):
     assert engine.search_synonyms(
         "parse zzqqneverseen2", [["zzqqneverseen2", "zzqqneverseen3"]], k=5, mode="and"
     ) == []
+
+
+def test_bool_search_identity(engine, oracle):
+    """Composed bool query (must + should + must_not + msm in one scatter):
+    engine == naive per-class-hit oracle bit-for-bit, and composes with the
+    must_not exclusion."""
+    cases = [
+        dict(must="parse", should="json buffer merge", minimum_should_match=1),
+        dict(must="parse json", should="", minimum_should_match=0),
+        dict(must="", should="parse json merge", minimum_should_match=2),
+        dict(must="parse", should="json buffer", must_not="legacy",
+             minimum_should_match=0),
+        dict(must="parse zzqqneverseen", should="json", minimum_should_match=0),
+        dict(must="parse", should="zzqa zzqb", minimum_should_match=1),
+    ]
+    n_nonempty = 0
+    for c in cases:
+        got = engine.bool_search(k=10, **c)
+        want = oracle.search_bool(k=10, **c)
+        assert got == [(d, s) for d, s in want], c
+        n_nonempty += bool(got)
+    assert n_nonempty >= 3
+    # semantics really differ from plain AND: bool(must=parse) admits docs
+    # that lack a should term, which AND over all three terms rejects
+    got_all = engine.bool_search(must="parse", should="json merge", k=10**6)
+    and_all = {d for d, _ in oracle.search("parse json merge", k=10**6, mode="and")}
+    assert any(d not in and_all for d, _ in got_all)
+    parse_all = {d for d, _ in oracle.search("parse", k=10**6)}
+    assert {d for d, _ in got_all} <= parse_all
