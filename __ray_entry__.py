@@ -1158,6 +1158,45 @@ def _alias_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _hybrid_search(sf_dir: str):
+    """Hybrid BM25 ⊕ cosine-ANN under Reciprocal Rank Fusion (the ES 8
+    knn+query shape). Rows-only — fusion identity vs a direct recompute of
+    both oracle rankings pinned in tests/test_docvalues.py."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.pipelines.hybrid import hybrid_search
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_hyb_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
+        ),
+    )
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_path)
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for qi, (text, vid) in enumerate([("table scan", 3), ("hash join", 11)]):
+            qvec = np.array(emb["embedding"][vid].as_py(), dtype=np.float64)
+            res = hybrid_search(
+                eng, ray.data.read_parquet(emb_path), text, qvec, k=10, n_each=30
+            )
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "rrf": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _bool_search(sf_dir: str):
     """Composed ES bool query (must + should + must_not + msm in one
     scatter). Rows-only — bit-identity vs the per-class-hit oracle pinned in
@@ -1382,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "collapse_search": _collapse_search,
             "percolate": _percolate,
             "bool_search": _bool_search,
+            "hybrid_search": _hybrid_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -1,0 +1,64 @@
+"""Hybrid lexical + vector search with Reciprocal Rank Fusion — the ES 8
+`knn` + `query` combined-search shape.
+
+Two independent retrievers run side by side — BM25 top-n through the shard
+actor pool (index/query.py) and exact-cosine top-n over the embedding table
+(stages/ann.py: broadcast query matrix, per-batch matmul partials) — and the
+driver fuses the two RANKINGS with RRF:
+
+    score(d) = Σ_lists 1 / (k_rrf + rank_list(d))      (k_rrf = 60, the
+                                                        standard constant)
+
+RRF is rank-based on purpose: BM25 scores and cosine similarities live on
+incomparable scales, and rank fusion needs no per-corpus calibration (the
+reason ES made it the default hybrid combiner). Both retrievers are already
+scale-shaped (actor-pool scatter; streaming matmul) — the fusion itself
+touches only 2·n candidate ids on the driver."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rrf_fuse(
+    rankings: list[list[int]], *, k: int = 10, k_rrf: int = 60
+) -> list[tuple[int, float]]:
+    """Fuse ranked id lists (best first): top-``k`` by RRF score, ties by
+    ascending id. Pure and deterministic — the piece unit tests pin."""
+    scores: dict[int, float] = {}
+    for ranking in rankings:
+        for rank, d in enumerate(ranking, 1):
+            scores[d] = scores.get(d, 0.0) + 1.0 / (k_rrf + rank)
+    out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(int(d), float(s)) for d, s in out]
+
+
+def hybrid_search(
+    engine,
+    emb_ds,
+    text: str,
+    query_vec: np.ndarray,
+    *,
+    k: int = 10,
+    n_each: int = 50,
+    k_rrf: int = 60,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    mode: str = "or",
+) -> list[tuple[int, float]]:
+    """BM25(text) ⊕ cosine(query_vec) under RRF. ``engine`` is a QueryEngine
+    whose doc ids share the embedding table's ``id_col`` space. Returns
+    (doc_id, rrf_score) — rank fusion, so no BM25/cosine calibration."""
+    from ..stages.ann import knn_bruteforce
+
+    lex = [d for d, _ in engine.search(text, k=n_each, mode=mode)]
+    knn = knn_bruteforce(
+        emb_ds,
+        np.array([0], dtype=np.int64),
+        np.asarray(query_vec, dtype=np.float64).reshape(1, -1),
+        id_col=id_col,
+        emb_col=emb_col,
+        k=n_each,
+    ).to_pandas()
+    vec = knn.sort_values("rank")["neighbor_id"].astype(int).tolist()
+    return rrf_fuse([lex, vec], k=k, k_rrf=k_rrf)

@@ -299,3 +299,40 @@ def test_collapse_matches_pandas_oracle(dv_engine, docs, ws_oracle):
         src = docs.set_index("doc_id").loc[plain, "source"]
         if src.duplicated().any():
             assert len({g["value"] for g in got}) == len(got)
+
+
+def test_hybrid_rrf_search(dv_engine, docs, ws_oracle, sf_dir):
+    """Hybrid BM25⊕cosine under RRF: fusion == a direct recompute from the
+    two oracle rankings; pure rrf_fuse unit semantics pinned too."""
+    import pyarrow.parquet as pq_
+
+    from elasticsearch_data_import_handler_ray.pipelines.hybrid import (
+        hybrid_search,
+        rrf_fuse,
+    )
+
+    # unit: disjoint lists, overlap boosts, tie → lower id
+    assert rrf_fuse([[1, 2], [2, 3]], k=3) == [
+        (2, 1 / 62 + 1 / 61), (1, 1 / 61), (3, 1 / 62)
+    ]
+    assert rrf_fuse([[5], [5]], k=1) == [(5, 2 / 61)]
+
+    import ray.data
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq_.read_table(emb_path)
+    qvec = np.array(emb["embedding"][7].as_py(), dtype=np.float64)
+    got = hybrid_search(
+        dv_engine, ray.data.read_parquet(emb_path), "table scan", qvec,
+        k=10, n_each=30,
+    )
+    # oracle: lexical ranking from the naive scorer; vector ranking directly
+    lex = [d for d, _ in ws_oracle.search("table scan", k=30)]
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(emb["vec_id"].to_pylist(), dtype=np.int64)
+    cos = (M @ qvec) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qvec))
+    order = np.lexsort((ids, -cos))[:30]
+    vec = ids[order].tolist()
+    want = rrf_fuse([lex, vec], k=10)
+    assert got == want
+    assert got[0][0] == 7  # the query vector's own doc tops the vector list
