@@ -1082,6 +1082,39 @@ def _phrase_slop_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _phrase_prefix_search(sf_dir: str):
+    """ES match_phrase_prefix (search-as-you-type): last token prefix-
+    expanded, best completing expansion's phrase score per doc. Rows-only —
+    identity vs the full-vocab-expansion oracle pinned in
+    tests/test_positions.py."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    index_dir = tempfile.mkdtemp(prefix="edih_php_idx_")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        mode="full",
+        config=IndexConfig(
+            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
+            positions=True,
+        ),
+    )
+    eng = QueryEngine(index_dir)
+    rows = []
+    try:
+        for qi, text in enumerate(["table sc", "hash jo", "group b"]):
+            for rank, (doc_id, score) in enumerate(
+                eng.search_phrase_prefix(text, k=10), 1
+            ):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _suggest_terms(sf_dir: str):
     """ES term suggester (did-you-mean): misspelled tokens → dictionary
     corrections ranked by (edit distance asc, df desc, term asc). Rows-only —
@@ -1422,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "percolate": _percolate,
             "bool_search": _bool_search,
             "hybrid_search": _hybrid_search,
+            "phrase_prefix_search": _phrase_prefix_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "multimodal_decode": _multimodal,

@@ -418,7 +418,32 @@ class PhraseOracle(BM25Oracle):
     def search_phrase(
         self, text: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:
-        phrase = self.analyzer.analyze_query(text)
+        return self.search_phrase_tokens(self.analyzer.analyze_query(text), k=k, slop=slop)
+
+    def search_phrase_prefix(
+        self, text: str, k: int = 10, *, max_expansions: int = 50, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Naive mirror of QueryEngine.search_phrase_prefix: full-vocabulary
+        prefix expansion (lexicographic, capped identically), best completing
+        expansion's phrase score per doc."""
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        prefix, base = toks[-1], toks[:-1]
+        expansions = sorted(t for t in self.postings if t.startswith(prefix))[
+            :max_expansions
+        ]
+        best: dict[int, float] = {}
+        for e in expansions:
+            for d, s in self.search_phrase_tokens(base + [e], k=10**9, slop=slop):
+                if s > best.get(d, float("-inf")):
+                    best[d] = s
+        top = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(int(d), float(s)) for d, s in top]
+
+    def search_phrase_tokens(
+        self, phrase: list[str], k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
         if not phrase:
             return []
         uniq = sorted(set(phrase))

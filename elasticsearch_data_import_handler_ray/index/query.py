@@ -1568,7 +1568,7 @@ class QueryEngine:
                         "(IndexConfig(positions=True))"
                     )
                 # ordered tokens WITH duplicates — adjacency is positional
-                phrase = self.analyzer.analyze_query(q["text"])
+                phrase = q.get("phrase_override") or self.analyzer.analyze_query(q["text"])
                 if any(df_map.get(t, 0) == 0 for t in phrase):
                     terms = []  # a never-seen token can match no phrase
             if mode == "and" and len(terms) < len(terms_all):
@@ -1637,6 +1637,42 @@ class QueryEngine:
         return self.search_many(
             [{"text": text, "mode": "or", "terms_override": terms}], k=k
         )[0]
+
+    def search_phrase_prefix(
+        self, text: str, k: int = 10, *, max_expansions: int = 50, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """ES match_phrase_prefix (search-as-you-type): the LAST token is a
+        prefix, expanded to the first ``max_expansions`` dictionary terms
+        (lexicographic, globally consistent — same contract as
+        search_prefix); the doc's score is the BEST completing expansion's
+        phrase score. All expansions ride ONE batched scatter (2 RPC rounds),
+        and each expansion scores as an ordinary (sloppy) phrase."""
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        prefix, base = toks[-1], toks[:-1]
+        per = ray.get(
+            [a.expand_prefix.remote(prefix, max_expansions) for a in self._actors]
+        )
+        expansions = sorted(set().union(*map(set, per)))[:max_expansions]
+        if not expansions:
+            return []
+        phrases = [base + [e] for e in expansions]
+        results = self.search_many(
+            [
+                {"text": " ".join(p), "mode": "phrase", "phrase_override": p,
+                 "terms_override": sorted(set(p)), "slop": slop}
+                for p in phrases
+            ],
+            k=k,
+        )
+        best: dict[int, float] = {}
+        for res in results:
+            for d, s in res:
+                if s > best.get(d, float("-inf")):
+                    best[d] = s
+        top = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(int(d), float(s)) for d, s in top]
 
     def highlight(self, text: str, doc_ids: list[int]) -> dict[int, dict[str, list[int]]]:
         """ES-style highlight positions: for each requested doc, the analyzed

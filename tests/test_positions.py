@@ -408,3 +408,26 @@ def test_rescore_bad_score_mode(pos_index):
             eng.rescore("hot term", "hot term", score_mode="bogus")
     finally:
         eng.close()
+
+
+def test_phrase_prefix_identity(pos_index, phrase_oracle):
+    """match_phrase_prefix: engine == full-vocab-expansion oracle (best
+    completing expansion's phrase score), at slop 0 and 1; capped expansion
+    behaves; prefix-only (single-token) works."""
+    eng = QueryEngine(pos_index)
+    cases = [("hot ter", 0), ("parse js", 0), ("hot ter", 1), ("par", 0),
+             ("merge so", 0), ("zzz qqq", 0)]
+    n_nonempty = 0
+    try:
+        for text, slop in cases:
+            got = eng.search_phrase_prefix(text, k=10, slop=slop)
+            want = phrase_oracle.search_phrase_prefix(text, k=10, slop=slop)
+            assert got == [(d, s) for d, s in want], (text, slop)
+            n_nonempty += bool(got)
+        # tight expansion cap still matches the identically-capped oracle
+        got = eng.search_phrase_prefix("hot t", k=10, max_expansions=3)
+        want = phrase_oracle.search_phrase_prefix("hot t", k=10, max_expansions=3)
+        assert got == [(d, s) for d, s in want]
+    finally:
+        eng.close()
+    assert n_nonempty >= 4
