@@ -81,6 +81,19 @@ class MultiIndexEngine(QueryEngine):
                 for t, d in e._df_cache.items():
                     self._df_cache[t] = self._df_cache.get(t, 0) + d
 
+    def _ensure_doc_values(self, fields: list[str]) -> None:
+        # each member loads ITS OWN docmaps into ITS OWN actors (the base
+        # implementation would ship the first member's docmap everywhere)
+        for e in self.engines:
+            e._ensure_doc_values(fields)
+
+    def resolve(self, doc_ids: list[int]):
+        import pandas as pd
+
+        return pd.concat(
+            [e.resolve(doc_ids) for e in self.engines], ignore_index=True
+        )
+
     def close(self) -> None:
         for e in self.engines:
             e.close()

@@ -19,13 +19,17 @@ def split_and_union(tiny_corpus, tmp_path_factory):
     assert len(files) >= 2
     half = len(files) // 2
     root = tmp_path_factory.mktemp("alias")
-    cfg = IndexConfig(analyzer="code", num_segments=2, positions=True)
+    cfg = IndexConfig(
+        analyzer="code", num_segments=2, positions=True, store_cols=("repo",)
+    )
     a, b, u = str(root / "a"), str(root / "b"), str(root / "union")
     build_index(files[:half], a, mode="full", config=cfg)
     build_index(files[half:], b, mode="full", config=cfg)
     build_index(
         files, u, mode="full",
-        config=IndexConfig(analyzer="code", num_segments=4, positions=True),
+        config=IndexConfig(
+            analyzer="code", num_segments=4, positions=True, store_cols=("repo",)
+        ),
     )
     return a, b, u
 
@@ -62,6 +66,15 @@ def test_alias_bit_identical_to_union_index(split_and_union):
         assert (
             alias.suggest("parze", max_edits=1)[0]["options"]
             == union.suggest("parze", max_edits=1)[0]["options"]
+        )
+        # doc-values + docmap paths must span BOTH members (overridden:
+        # per-member docmaps into per-member actors)
+        assert alias.facets("hot term", "repo") == union.facets("hot term", "repo")
+        hits = [d for d, _ in alias.search("parse json", k=20)]
+        r = alias.resolve(hits)
+        assert sorted(int(x) for x in r["doc_id"]) == sorted(hits)
+        assert alias.collapse("parse json", "repo", k=5) == union.collapse(
+            "parse json", "repo", k=5
         )
     finally:
         alias.close()
