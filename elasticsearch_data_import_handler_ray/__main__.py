@@ -114,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="verify every on-disk index invariant")
     fs.add_argument("index_dir")
 
+    st = sub.add_parser("stats", help="ES _cat/indices: manifest + per-run summary of an index")
+    st.add_argument("index_dir")
+
     an = sub.add_parser("analyze", help="ES _analyze: print the token stream for a text")
     an.add_argument("text", nargs="+")
     an.add_argument("--analyzer", default="code",
@@ -367,6 +370,24 @@ def main(argv: list[str] | None = None) -> int:
             from .index.fsck import verify_index
 
             print(json.dumps(verify_index(args.index_dir)))
+        elif args.cmd == "stats":
+            from .state.manifest import Manifest
+
+            man = Manifest.load(args.index_dir)
+            runs = man.complete_runs()
+            print(json.dumps({
+                "n_docs": man.n_docs,
+                "sum_dl": man.sum_dl,
+                "avgdl": round(man.avgdl, 4),
+                "config": man.config.to_dict(),
+                "runs": [
+                    {"run_id": rid, "n_docs": r.get("n_docs"),
+                     "n_postings": sum(s.get("n_postings", 0) for s in r["segments"]),
+                     "segments": len(r["segments"]),
+                     "files": len(r.get("files", []))}
+                    for rid, r in runs.items()
+                ],
+            }))
         elif args.cmd == "analyze":
             from .functions.analysis import get_analyzer
 
