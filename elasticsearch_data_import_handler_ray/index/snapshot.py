@@ -175,6 +175,11 @@ def restore_index(
     with open(snap_path) as f:
         doc = json.load(f)
     items = [(rel, e["sha256"], e["bytes"]) for rel, e in sorted(doc["files"].items())]
+    # manifest.json goes LAST, alone, after every data chunk verified: a
+    # failed/interrupted restore then leaves no manifest behind, so the
+    # "already holds an index" guard cannot block the retry
+    last = [it for it in items if it[0] == "manifest.json"]
+    items = [it for it in items if it[0] != "manifest.json"]
     os.makedirs(target_dir, exist_ok=True)
     n = sum(
         ray.get(
@@ -184,6 +189,8 @@ def restore_index(
             ]
         )
     )
+    if last:
+        n += ray.get(_restore_chunk.remote(repo_dir, target_dir, last))
     out = {"name": name, "files": n, "n_docs": doc.get("n_docs")}
     if fsck:
         from .fsck import verify_index

@@ -108,3 +108,27 @@ def test_snapshot_respects_runlock_and_name_collision(snap_env):
             snapshot_index(idx, repo, "blocked")
     with pytest.raises(RuntimeError, match="already exists"):
         snapshot_index(idx, repo, "two")
+
+
+def test_failed_restore_is_retryable(snap_env, tmp_path):
+    """A restore that dies on a corrupt blob must not leave manifest.json
+    behind — the retry (after repair) into the SAME directory succeeds."""
+    idx, repo, files, root = snap_env
+    snap = json.load(open(os.path.join(repo, "snap-two.json")))
+    sha = next(
+        e["sha256"] for rel, e in snap["files"].items() if rel.endswith("postings.bin")
+    )
+    blob = os.path.join(repo, "blobs", sha[:2], sha)
+    original = open(blob, "rb").read()
+    corrupt = bytearray(original)
+    corrupt[0] ^= 0xFF
+    tgt = str(tmp_path / "retry")
+    open(blob, "wb").write(bytes(corrupt))
+    try:
+        with pytest.raises(RuntimeError, match="corrupt"):
+            restore_index(repo, "two", tgt)
+    finally:
+        open(blob, "wb").write(original)
+    assert not os.path.exists(os.path.join(tgt, "manifest.json"))
+    out = restore_index(repo, "two", tgt)  # same dir, after repair
+    assert not out["fsck"]["problems"]
