@@ -505,6 +505,28 @@ def _histogram_search(sf_dir: str):
     )
 
 
+def _pipeline_agg_search(sf_dir: str):
+    """ES pipeline aggregations (cumulative_sum / derivative / moving_avg)
+    over a histogram under a query — FULL SQL oracle via window functions
+    over the same bucket list."""
+    eng = _dv_engine(sf_dir)
+    try:
+        rows = eng.pipeline_agg("hash join query", "n_chars", 250.0, window=3)
+    finally:
+        eng.close()
+    return pa.table(
+        {
+            "bucket": pa.array([int(r["bucket"]) for r in rows], type=pa.int64()),
+            "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+            "cumulative_sum": pa.array(
+                [r["cumulative_sum"] for r in rows], type=pa.int64()
+            ),
+            "derivative": pa.array([r["derivative"] for r in rows], type=pa.int64()),
+            "moving_avg": pa.array([r["moving_avg"] for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def _percentiles_search(sf_dir: str):
     """ES percentiles aggregation under a query: exact discrete quantiles of
     n_chars over ALL docs matching 'hash join query' (OR). Per-actor partials
@@ -1453,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,
             "percolate": _percolate,
+            "pipeline_agg_search": _pipeline_agg_search,
             "bool_search": _bool_search,
             "hybrid_search": _hybrid_search,
             "phrase_prefix_search": _phrase_prefix_search,
@@ -1938,6 +1961,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ([25, 50, 75, 95, 99][i])::BIGINT AS p, (vs[i])::DOUBLE AS val
             FROM q, unnest(generate_series(1, 5)) AS g(i)
+        """,
+        "pipeline_agg_search": """
+            WITH h AS (
+                SELECT (FLOOR(n_chars / 250.0) * 250)::BIGINT AS bucket,
+                       count(*)::BIGINT AS n
+                FROM documents
+                WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                         ['hash', 'join', 'query'])) > 0
+                GROUP BY bucket
+            )
+            SELECT bucket, n,
+                   (sum(n) OVER (ORDER BY bucket))::BIGINT AS cumulative_sum,
+                   (n - lag(n) OVER (ORDER BY bucket))::BIGINT AS derivative,
+                   avg(n) OVER (ORDER BY bucket
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS moving_avg
+            FROM h
         """,
         "histogram_search": """
             SELECT (FLOOR(n_chars / 250.0) * 250)::BIGINT AS bucket,

@@ -2242,6 +2242,40 @@ class QueryEngine:
                 agg[key] = agg.get(key, 0) + int(cnt)
         return sorted(agg.items())
 
+    def pipeline_agg(
+        self,
+        text: str,
+        field: str,
+        interval: float,
+        *,
+        mode: str = "or",
+        window: int = 3,
+    ) -> list[dict]:
+        """ES pipeline aggregations over a histogram's buckets:
+        cumulative_sum, derivative (None for the first bucket, the ES rule)
+        and a simple-model moving_avg over the trailing ``window`` buckets.
+        The parent histogram is the distributed part (per-actor partials);
+        pipeline aggs are pure bucket-list post-processing, so they run on
+        the driver over ≤ |buckets| rows — exactly how ES computes them."""
+        buckets = self.histogram(text, field, interval, mode=mode)
+        out = []
+        csum = 0
+        counts: list[int] = []
+        for i, (key, n) in enumerate(buckets):
+            csum += n
+            counts.append(n)
+            tail = counts[max(0, i + 1 - window) : i + 1]
+            out.append(
+                {
+                    "bucket": key,
+                    "n": n,
+                    "cumulative_sum": csum,
+                    "derivative": (n - counts[i - 1]) if i > 0 else None,
+                    "moving_avg": sum(tail) / len(tail),
+                }
+            )
+        return out
+
     def cardinality(self, text: str, field: str, *, mode: str = "or") -> int:
         """ES cardinality aggregation under a query: the number of DISTINCT
         values of a doc-value field over ALL matching docs. Exact: each actor

@@ -336,3 +336,21 @@ def test_hybrid_rrf_search(dv_engine, docs, ws_oracle, sf_dir):
     want = rrf_fuse([lex, vec], k=10)
     assert got == want
     assert got[0][0] == 7  # the query vector's own doc tops the vector list
+
+
+def test_pipeline_agg_matches_pandas(dv_engine, docs):
+    """Pipeline aggs over histogram buckets == direct pandas window ops."""
+    rows = dv_engine.pipeline_agg("table scan", "n_chars", 200.0, window=2)
+    m = _matches(docs, "table scan")
+    h = (
+        (docs[m]["n_chars"] // 200 * 200)
+        .value_counts()
+        .sort_index()
+    )
+    assert [r["bucket"] for r in rows] == [float(b) for b in h.index]
+    assert [r["n"] for r in rows] == h.tolist()
+    assert [r["cumulative_sum"] for r in rows] == h.cumsum().tolist()
+    assert rows[0]["derivative"] is None
+    assert [r["derivative"] for r in rows][1:] == h.diff().dropna().astype(int).tolist()
+    want_ma = h.rolling(2, min_periods=1).mean().tolist()
+    assert [r["moving_avg"] for r in rows] == want_ma
