@@ -1002,6 +1002,21 @@ def _sql_expr(sf_dir: str):
     return sql_transform(_SQL_EXPR.format(src="t"))(ds)
 
 
+def _repeated_spans(sf_dir: str):
+    """Repeated-passage detection (strided-fingerprint approximation of
+    suffix-array substring dedup): 6-token spans occurring in ≥2 distinct
+    docs. Rows-only — planted-passage naive-count oracle pinned in
+    tests/test_stages.py."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.dedup import repeated_ngram_spans
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return repeated_ngram_spans(ds, window=6, stride=1, min_docs=2, num_buckets=16)
+
+
 def _pack_sequences(sf_dir: str):
     """LLM sequence packing: docs → training sequences with per-sequence
     whitespace-token totals ≤ 512 (next-fit greedy inside hash buckets —
@@ -1471,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "suggest_terms": _suggest_terms,
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
+            "repeated_spans": _repeated_spans,
             "rescore_search": _rescore_search,
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,

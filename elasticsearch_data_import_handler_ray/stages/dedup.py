@@ -725,3 +725,85 @@ def dedup_corpus(
     )
     clusters = neardup_clusters(pairs.select(["doc_a", "doc_b"]))
     return apply_dedup(ds_factory(), clusters, id_col=id_col)
+
+
+# ------------------------------------------------- repeated-passage detection
+def repeated_ngram_spans(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+    min_docs: int = 2,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Exact repeated passages across documents: hash every ``window``-token
+    span (sampled every ``stride`` tokens) and report spans whose hash occurs
+    in ≥ ``min_docs`` DISTINCT docs — the strided-fingerprint approximation
+    of suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": exact-substring matches ≥ a length
+    threshold; the stride trades boundary precision for one vectorized pass,
+    a documented public-knowledge substitute — no suffix array in-core).
+
+    Scale shape: spans hash per batch with the rolling-polynomial kernel
+    (one pass, no string joins); only (bucket, span_hash, doc_id, pos) 28-B
+    rows ride ONE bounded-group shuffle keyed by hash(span_hash) % B with
+    data-proportional B; a group is one collision bucket, never a corpus
+    fraction. Output: (span_hash, doc_id, pos, n_docs) for every repeated
+    span occurrence — join back to docs for excision/reporting.
+
+    Partitioning assumption (module docstring contract): the REPEATED-span
+    occurrence set is output-sized and collected; the corpus never is."""
+    if num_buckets is None:
+        num_buckets = shuffle_fanout(ds)
+
+    def spans(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bucket": pa.array([], pa.int32()), "span_hash": pa.array([], pa.uint64()),
+             "doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        tok_h, offsets = _token_hashes(t[text_col])
+        sh, sh_doc = _shingle_hashes(tok_h, offsets, window)
+        if len(sh) == 0:
+            return empty
+        # start-token position of each shingle within its doc (shingles are
+        # emitted for consecutive valid starts, so rank-in-run == position),
+        # then strided sampling
+        pos = np.arange(len(sh)) - np.searchsorted(sh_doc, sh_doc)
+        keep = (pos % stride) == 0
+        sh, sh_doc, pos = sh[keep], sh_doc[keep], pos[keep]
+        ids = t[id_col].to_numpy(zero_copy_only=False)[sh_doc]
+        bucket = ((sh * _FNV) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {"bucket": pa.array(bucket), "span_hash": pa.array(sh, type=pa.uint64()),
+             "doc_id": pa.array(ids.astype(np.int64)), "pos": pa.array(pos.astype(np.int64))}
+        )
+
+    def bucket_repeats(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("span_hash")["doc_id"].nunique()
+        hot = nd[nd >= min_docs]
+        if hot.empty:
+            return pd.DataFrame(
+                {"span_hash": pd.Series(dtype="uint64"), "doc_id": pd.Series(dtype="int64"),
+                 "pos": pd.Series(dtype="int64"), "n_docs": pd.Series(dtype="int64")}
+            )
+        out = g[g["span_hash"].isin(hot.index)].copy()
+        out["n_docs"] = out["span_hash"].map(hot).astype("int64")
+        return out[["span_hash", "doc_id", "pos", "n_docs"]].drop_duplicates()
+
+    rows = ds.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)
+    rep = rows.groupby("bucket").map_groups(bucket_repeats, batch_format="pandas")
+    out = _collect_blocks(
+        rep,
+        pa.schema([("span_hash", pa.uint64()), ("doc_id", pa.int64()),
+                   ("pos", pa.int64()), ("n_docs", pa.int64())]),
+    )
+    if len(out) == 0:
+        return out
+    idx = np.lexsort((out["pos"].to_numpy(zero_copy_only=False),
+                      out["doc_id"].to_numpy(zero_copy_only=False),
+                      out["span_hash"].to_numpy(zero_copy_only=False)))
+    return out.take(idx)

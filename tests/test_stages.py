@@ -633,3 +633,60 @@ def test_pack_sequences_invariants_and_oracle():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+# ------------------------------------------------ repeated-passage detection
+def test_repeated_ngram_spans_planted():
+    """Plant one 25-token passage into 3 docs (different positions) and a
+    second into 2 docs: every reported (doc, pos, n_docs) occurrence matches
+    a naive all-docs window count; unique text reports nothing."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.dedup import (
+        repeated_ngram_spans,
+    )
+
+    rng = np.random.default_rng(8)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = [
+        list(rng.choice(vocab, size=int(rng.integers(40, 80)))) for _ in range(50)
+    ]
+    passage = [f"p{i}" for i in range(25)]
+    other = [f"q{i}" for i in range(22)]
+    for d, at in [(3, 0), (7, 10), (20, 5)]:
+        docs[d][at : at + 25] = passage
+    for d, at in [(11, 4), (31, 0)]:
+        docs[d][at : at + 22] = other
+    df = pd.DataFrame(
+        {"doc_id": np.arange(50, dtype=np.int64), "text": [" ".join(d) for d in docs]}
+    )
+    W = 20
+    out = repeated_ngram_spans(
+        ray.data.from_pandas(df), window=W, stride=1, min_docs=2, num_buckets=8
+    ).to_pandas()
+    # naive: every W-token window tuple → set of (doc, pos)
+    occ: dict[tuple, list] = {}
+    for did, toks in enumerate(docs):
+        toks = [t.lower() for t in toks]
+        for p in range(len(toks) - W + 1):
+            occ.setdefault(tuple(toks[p : p + W]), []).append((did, p))
+    want = set()
+    for gram, places in occ.items():
+        nd = len({d for d, _ in places})
+        if nd >= 2:
+            for d, p in places:
+                want.add((d, p, nd))
+    got = set(zip(out["doc_id"].astype(int), out["pos"].astype(int), out["n_docs"].astype(int)))
+    assert got == want
+    assert len(want) > 10  # both planted passages produce multiple windows
+    # each repeated gram groups under ONE hash with a consistent doc count
+    per_hash = out.groupby("span_hash")["doc_id"].nunique()
+    assert (per_hash >= 2).all()
+    # stride sampling: only stride-aligned positions survive
+    out2 = repeated_ngram_spans(
+        ray.data.from_pandas(df), window=W, stride=5, min_docs=2, num_buckets=8
+    ).to_pandas()
+    assert set(out2["pos"].astype(int) % 5) <= {0}
+    assert set(zip(out2["doc_id"].astype(int), out2["pos"].astype(int))) <= {
+        (d, p) for d, p, _ in want
+    }
