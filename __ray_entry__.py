@@ -1735,6 +1735,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'route_any' FROM toks
               WHERE list_has_any(ts, ['group', 'sort'])
         """,
+        "mix_epochs": """
+            SELECT d.doc_id, d.source, e.epoch
+            FROM documents d
+            JOIN (SELECT unnest(generate_series(0, 2))::BIGINT AS epoch) e
+              ON e.epoch < (CASE d.source WHEN 'src0' THEN 3
+                                          WHEN 'src1' THEN 2 ELSE 1 END)
+        """,
         "stratified_sample": """
             SELECT doc_id, lang, source, (doc_id * 48271) % 2147483647 AS rank
             FROM documents

@@ -912,6 +912,30 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_mix_epochs(sf_dir: str):
+    """Epoch-weighted source mixing (the training-mix upsampling primitive:
+    a high-value source sees more epochs than a bulk source): src0 docs
+    repeat ×3, src1 ×2, everything else ×1, each copy tagged with its epoch
+    ordinal. Pure per-batch np.repeat — NO shuffle; replication happens
+    inside the stream, so a 100 TB mix never materializes (the trainer
+    consumes the expanded stream)."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "source"])
+    factors = {"src0": 3, "src1": 2}
+
+    def f(t: pa.Table) -> pa.Table:
+        src = pd.Series(t["source"].to_numpy(zero_copy_only=False))
+        reps = src.map(factors).fillna(1).astype(np.int64).to_numpy()
+        idx = np.repeat(np.arange(len(t)), reps)
+        # epoch ordinal within each replicated row: 0..reps-1
+        starts = np.zeros(len(t), dtype=np.int64)
+        np.cumsum(reps[:-1], out=starts[1:])
+        epoch = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, reps)
+        out = t.take(idx)
+        return out.append_column("epoch", pa.array(epoch, type=pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_var_std(sf_dir: str):
     """Grouped variance / stddev via the PARTIAL-aggregation pattern: each
     batch reduces to per-group (n, Σx, Σx²) — exact int64 arithmetic on the
@@ -1048,6 +1072,7 @@ QUERIES = {
     "nested_build": q_nested_build,
     "sample_hash": q_sample_hash,
     "stratified_sample": q_stratified_sample,
+    "mix_epochs": q_mix_epochs,
     "asof_join": q_asof_join,
     "session_window": q_session_window,
     "window_sliding": q_window_sliding,
