@@ -1002,6 +1002,22 @@ def _sql_expr(sf_dir: str):
     return sql_transform(_SQL_EXPR.format(src="t"))(ds)
 
 
+def _heavy_hitters(sf_dir: str):
+    """Count-Min heavy hitters over the documents tokens — NO-shuffle
+    sketch reduction (per-batch grids + local candidates). With an ample
+    grid the estimates equal exact counts, so the DuckDB exact count is a
+    FULL oracle; the tight-grid overestimate bound is pinned in
+    tests/test_sketch.py."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.sketch import cms_heavy_hitters
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return cms_heavy_hitters(ds, k=20, width=16384, depth=5, track=256)
+
+
 def _repeated_spans(sf_dir: str):
     """Repeated-passage detection (strided-fingerprint approximation of
     suffix-array substring dedup): 6-token spans occurring in ≥2 distinct
@@ -1487,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
             "repeated_spans": _repeated_spans,
+            "heavy_hitters": _heavy_hitters,
             "rescore_search": _rescore_search,
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,
@@ -1734,6 +1751,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'route_any' FROM toks
               WHERE list_has_any(ts, ['group', 'sort'])
+        """,
+        "heavy_hitters": r"""
+            WITH toks AS (
+                SELECT tok.t AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok(t)
+                WHERE tok.t <> ''
+            )
+            SELECT term, count(*)::BIGINT AS est_count
+            FROM toks GROUP BY term
+            ORDER BY est_count DESC, term LIMIT 20
         """,
         "mix_epochs": """
             SELECT d.doc_id, d.source, e.epoch
