@@ -1002,6 +1002,27 @@ def _sql_expr(sf_dir: str):
     return sql_transform(_SQL_EXPR.format(src="t"))(ds)
 
 
+def _bpe_tokenize(sf_dir: str):
+    """BPE tokenizer-fit + apply (Sennrich): ONE corpus pass for word
+    frequencies, driver merge loop on the vocabulary-sized dict, broadcast
+    merges, distributed encode. Rows-only — hand-computed merges +
+    reconstruction invariants pinned in tests/test_bpe.py."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_frequencies,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    merges = train_bpe(word_frequencies(ds, max_words=100_000), vocab_size=200)
+    out = apply_bpe(ds, merges)
+    return out.select_columns(["doc_id", "n_words", "n_bpe_tokens"])
+
+
 def _heavy_hitters(sf_dir: str):
     """Count-Min heavy hitters over the documents tokens — NO-shuffle
     sketch reduction (per-batch grids + local candidates). With an ample
@@ -1504,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": _pack_sequences,
             "repeated_spans": _repeated_spans,
             "heavy_hitters": _heavy_hitters,
+            "bpe_tokenize": _bpe_tokenize,
             "rescore_search": _rescore_search,
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,
