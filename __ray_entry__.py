@@ -1023,6 +1023,20 @@ def _bpe_tokenize(sf_dir: str):
     return out.select_columns(["doc_id", "n_words", "n_bpe_tokens"])
 
 
+def _keywords(sf_dir: str):
+    """Per-doc keyword extraction by tf·idf (top-3, ties → term asc): one
+    bounded df pass + broadcast df map + local per-batch cut. FULL SQL
+    oracle — identical tf·ln(N/df) arithmetic and tie-break in DuckDB."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.text import keyword_extract
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return keyword_extract(ds, top_n=3)
+
+
 def _heavy_hitters(sf_dir: str):
     """Count-Min heavy hitters over the documents tokens — NO-shuffle
     sketch reduction (per-batch grids + local candidates). With an ample
@@ -1526,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "repeated_spans": _repeated_spans,
             "heavy_hitters": _heavy_hitters,
             "bpe_tokenize": _bpe_tokenize,
+            "keywords": _keywords,
             "rescore_search": _rescore_search,
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,
@@ -1773,6 +1788,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'route_any' FROM toks
               WHERE list_has_any(ts, ['group', 'sort'])
+        """,
+        "keywords": r"""
+            WITH toks AS (
+                SELECT doc_id, tok.t AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok(t)
+                WHERE tok.t <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM toks GROUP BY term
+            ), nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks)
+            SELECT doc_id, term, score FROM (
+                SELECT t.doc_id, t.term, t.tf * ln(nn.n / d.df) AS score,
+                       row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY t.tf * ln(nn.n / d.df) DESC, t.term
+                       ) AS rn
+                FROM tf t JOIN df d ON t.term = d.term CROSS JOIN nn
+            ) WHERE rn <= 3
         """,
         "heavy_hitters": r"""
             WITH toks AS (

@@ -259,3 +259,101 @@ def pack_sequences(
     return rows.groupby("bucket").map_groups(
         lambda g: _pack_group(g, budget), batch_format="pandas"
     )
+
+
+# --------------------------------------------------------- keyword extraction
+def keyword_extract(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+):
+    """Per-document keyword extraction by tf·idf (the ES significant-text /
+    tagging shape): → (doc_id, term, score), the ``top_n`` highest
+    tf·ln(N/df) terms per doc (ties → term asc).
+
+    Two passes, both bounded: (1) document frequencies via per-batch
+    DISTINCT (doc, term) partials → groupby(term).sum — one row per distinct
+    term per batch rides the shuffle; (2) the (term → df) map broadcasts via
+    ray.put (vocabulary-sized — same cap rationale as BPE's word dict) and
+    every batch scores + cuts its own docs locally. No corpus-sized
+    materialization anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        pairs = pd.DataFrame({"d": parent[keep], "term": words[keep]}).drop_duplicates()
+        vc = pairs["term"].value_counts()
+        n_docs = pairs["d"].nunique()
+        out = pa.table(
+            {"term": pa.array(vc.index.astype(str)), "df": pa.array(vc.to_numpy(), type=pa.int64())}
+        )
+        # sentinel row carries this batch's doc count (term "" is impossible)
+        return pa.concat_tables(
+            [out, pa.table({"term": pa.array([""]), "df": pa.array([n_docs], type=pa.int64())})]
+        )
+
+    agg = (
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    import ray as _ray
+
+    tbl = pa.concat_tables([b for b in _ray.get(agg.to_arrow_refs())])
+    terms = tbl["term"].to_pylist()
+    dfs = tbl["df"].to_pylist()
+    n_total = 0
+    df_map = {}
+    for t_, d_ in zip(terms, dfs):
+        if t_ == "":
+            n_total += int(d_)
+        else:
+            df_map[t_] = int(d_)
+    ref = _ray.put((df_map, float(n_total)))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+        if len(t) == 0:
+            return empty
+        import pandas as pd
+
+        df_map, N = ray.get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        g = (
+            pd.DataFrame({"d": parent[keep], "term": words[keep]})
+            .groupby(["d", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        if g.empty:
+            return empty
+        dfv = g["term"].map(df_map).to_numpy(dtype=np.float64)
+        g["score"] = g["tf"].to_numpy(dtype=np.int64) * np.log(N / dfv)
+        g = g.sort_values(["d", "score", "term"], ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("d", sort=False).head(top_n)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[g["d"].to_numpy()].astype(np.int64)),
+                "term": pa.array(g["term"].astype(str)),
+                "score": pa.array(g["score"].to_numpy(), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -690,3 +690,38 @@ def test_repeated_ngram_spans_planted():
     assert set(zip(out2["doc_id"].astype(int), out2["pos"].astype(int))) <= {
         (d, p) for d, p, _ in want
     }
+
+
+def test_keyword_extract_matches_pandas():
+    """tf·idf keywords == a direct pandas recompute (top-3, ties term asc)."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.text import keyword_extract
+
+    rng = np.random.default_rng(6)
+    vocab = [f"k{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 30)))) for _ in range(200)]
+    texts += ["", "unique_token_xyz common common"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    got = (
+        keyword_extract(ray.data.from_pandas(df), top_n=3)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for did, text in zip(df["doc_id"], df["text"]):
+        for w in text.lower().split():
+            rows.append((did, w))
+    toks = pd.DataFrame(rows, columns=["doc_id", "term"])
+    tf = toks.groupby(["doc_id", "term"]).size().rename("tf").reset_index()
+    dfreq = toks.drop_duplicates().groupby("term").size().rename("df").reset_index()
+    N = float(toks["doc_id"].nunique())
+    j = tf.merge(dfreq, on="term")
+    j["score"] = j["tf"].to_numpy(dtype=np.int64) * np.log(N / j["df"].to_numpy(dtype=np.float64))
+    j = j.sort_values(["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort")
+    want = j.groupby("doc_id", sort=False).head(3)[["doc_id", "term", "score"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # planted doc: "common" (tf=2, df=1) outranks "unique_token_xyz" (tf=1, df=1)
+    last = got[got.doc_id == len(texts) - 1]
+    assert last["term"].tolist()[:2] == ["common", "unique_token_xyz"]
