@@ -243,6 +243,31 @@ def _ann_bruteforce(sf_dir: str):
     )
 
 
+def _ann_pq_refined(sf_dir: str):
+    """Product quantization + exact refine (the FAISS IVFPQ-refine recipe):
+    8-byte ADC shortlist → exact cosine re-rank of ONLY the shortlist. With
+    an ample shortlist the result equals brute force, so the SAME exact SQL
+    oracle applies; PQ's coarse-ranking/recall properties are pinned in
+    tests/test_stages.py."""
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import (
+        pq_encode,
+        pq_search_refined,
+        pq_train,
+    )
+
+    qids, qm = _queries_embeddings(sf_dir)
+    emb = table(sf_dir, "embeddings")
+    # unstructured synthetic vectors are PQ's worst case — measured at
+    # sf0.01: (m=16, k=64) covers every true top-5 within a 100-shortlist
+    # (m=8,k=16 missed some at 100); 150 adds margin
+    books = pq_train(emb, m=16, k=64, train_sample=2000)
+    codes = pq_encode(emb, books)
+    return pq_search_refined(
+        codes, emb, books, qids, qm, k=5, shortlist=150
+    ).select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def _ann_lsh(sf_dir: str):
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.ann import knn_lsh
@@ -1523,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_simhash": _dedup_simhash,
             "ngram_jaccard": _ngram_jaccard,
             "ann_bruteforce": _ann_bruteforce,
+            "ann_pq_refined": _ann_pq_refined,
             "ann_lsh": _ann_lsh,
             "ann_ivf": _ann_ivf,
             "ann_ivf_partitioned": _ann_ivf_partitioned,
@@ -1910,6 +1936,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+            SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rank FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                       ) AS rn
+                FROM q, embeddings e WHERE e.vec_id <> q.qid
+            ) WHERE rn <= 5
+        """,
+        "ann_pq_refined": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
             SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rank FROM (
                 SELECT q.qid, e.vec_id,

@@ -725,3 +725,91 @@ def test_keyword_extract_matches_pandas():
     # planted doc: "common" (tf=2, df=1) outranks "unique_token_xyz" (tf=1, df=1)
     last = got[got.doc_id == len(texts) - 1]
     assert last["term"].tolist()[:2] == ["common", "unique_token_xyz"]
+
+
+# ---------------------------------------------------- product quantization
+def test_pq_roundtrip_and_recall():
+    """PQ: codes are m bytes per vector; ADC ranking recalls most of the
+    exact-cosine top-k on clustered data; encode == a direct numpy recompute;
+    the query's OWN vector is always its nearest PQ neighbor."""
+    from elasticsearch_data_import_handler_ray.stages.ann import (
+        knn_bruteforce,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(4)
+    # clustered vectors (PQ shines on structure, matching real embeddings)
+    centers = rng.standard_normal((10, 32)) * 3
+    M = np.vstack([c + rng.standard_normal((40, 32)) * 0.3 for c in centers])
+    ids = np.arange(len(M))
+    t = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in M], type=pa.list_(pa.float64()))}
+    )
+    ds = ray.data.from_arrow(t)
+    books = pq_train(ds, m=8, k=16, train_sample=400)
+    assert books.shape == (8, 16, 4)
+    codes = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    assert len(codes) == len(M)
+    assert all(len(c) == 8 for c in codes["codes"])  # 8 bytes per vector
+    # encode identity vs direct recompute
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    want0 = [
+        int(((Mn[0, j * 4 : (j + 1) * 4] - books[j]) ** 2).sum(axis=1).argmin())
+        for j in range(8)
+    ]
+    assert list(codes.iloc[0]["codes"]) == want0
+    # PQ's honest contract: coarse ranking is right (every ADC top-10
+    # neighbor comes from the query's true cluster; the query's own vector
+    # is rank 1), while INTRA-cluster order is quantization noise — the
+    # production recipe re-ranks the ADC shortlist exactly (FAISS refine)
+    q_ids, q_m = ids[:5], M[:5]
+    exact = knn_bruteforce(ds, q_ids, q_m, k=10).to_pandas()
+    approx = pq_search(pq_encode(ds, books), books, q_ids, q_m, k=10).to_pandas()
+    recalls = []
+    for qid in q_ids:
+        a_sub = approx[approx.query_id == qid].sort_values("rank")
+        assert a_sub.iloc[0]["neighbor_id"] == qid  # self-match at rank 1
+        assert (a_sub["neighbor_id"] // 40 == qid // 40).all()  # right cluster
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        recalls.append(len(e & set(a_sub["neighbor_id"])) / 10)
+    assert np.mean(recalls) >= 0.25, recalls  # coarse floor; refine re-ranks
+
+
+def test_pq_refined_equals_bruteforce():
+    """PQ shortlist + exact re-rank == brute force when the shortlist covers
+    the true neighborhood (the FAISS refine contract, pinned exactly)."""
+    from elasticsearch_data_import_handler_ray.stages.ann import (
+        knn_bruteforce,
+        pq_encode,
+        pq_search_refined,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 32)) * 3
+    M = np.vstack([c + rng.standard_normal((30, 32)) * 0.3 for c in centers])
+    ids = np.arange(len(M))
+    t = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in M], type=pa.list_(pa.float64()))}
+    )
+    ds = ray.data.from_arrow(t)
+    books = pq_train(ds, m=8, k=16, train_sample=300)
+    codes = pq_encode(ds, books)
+    q_ids, q_m = ids[:4], M[:4]
+    got = (
+        pq_search_refined(codes, ds, books, q_ids, q_m, k=5, shortlist=30)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        knn_bruteforce(ds, q_ids, q_m, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
