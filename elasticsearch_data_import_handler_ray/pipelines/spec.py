@@ -226,6 +226,13 @@ def _read_source(s: SourceSpec, paths: str | list[str] | None = None) -> ray.dat
         return ray.data.read_csv(p)
     if s.format == "json":
         return ray.data.read_json(p)
+    if s.format == "text":
+        # one doc per line with a content-hash doc_id (sources/catalog.py)
+        from ..sources.catalog import Catalog
+
+        c = Catalog()
+        c.register_text("_t", p)
+        return c["_t"]
     raise ValueError(f"unknown source format {s.format}")
 
 

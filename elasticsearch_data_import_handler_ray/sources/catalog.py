@@ -29,7 +29,31 @@ class Catalog:
         self._datasets[name] = ray.data.read_csv(path)
 
     def register_json(self, name: str, path: str) -> None:
+        # newline-delimited JSON (.jsonl) and .json[l].gz are handled by the
+        # same reader (Arrow infers gzip from the extension)
         self._datasets[name] = ray.data.read_json(path)
+
+    def register_text(self, name: str, path: str, *, text_col: str = "text") -> None:
+        """Raw text corpus: ONE DOCUMENT PER LINE (the common LLM-corpus
+        layout; .gz transparent via Arrow). Each row gets a deterministic
+        int64 doc id from a 64-bit content hash — stable under re-sharding
+        and partitioning (global line numbers would need a cross-block
+        barrier); exact duplicate lines collide by construction, which the
+        exact-dedup stage removes anyway."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        ds = ray.data.read_text(path)
+
+        def add_id(t: pa.Table) -> pa.Table:
+            txt = t["text"].to_numpy(zero_copy_only=False)
+            ids = pd.util.hash_array(txt.astype(object)).astype(np.int64)
+            return pa.table({"doc_id": pa.array(ids), text_col: t["text"]})
+
+        self._datasets[name] = ds.map_batches(
+            add_id, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     def __getitem__(self, name: str) -> ray.data.Dataset:
         if name not in self._datasets and self.base_dir:
