@@ -151,6 +151,10 @@ class ImportSpec:
     index_num_segments: int = 8
     index_positions: bool = False
     index_store_cols: tuple = ()
+    # parquet sink only: hive-partition the output by these columns — one
+    # directory per key, so a re-run can skip finished partitions and a
+    # downstream read prunes by partition (the resumable-output layout)
+    partition_cols: tuple = ()
 
 
 @dataclass
@@ -212,6 +216,7 @@ class PipelineSpec:
                     index_num_segments=i.get("index_num_segments", 8),
                     index_positions=i.get("index_positions", False),
                     index_store_cols=tuple(i.get("index_store_cols", ())),
+                    partition_cols=tuple(i.get("partition_cols", ())),
                 )
                 for i in d.get("imports", [])
             ],
@@ -260,7 +265,10 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
             if imp.sink == "parquet":
                 ds = _dedup_first_by_id(ds, imp.id_column)
                 os.makedirs(imp.target, exist_ok=True)
-                ds.write_parquet(imp.target)
+                if imp.partition_cols:
+                    ds.write_parquet(imp.target, partition_cols=list(imp.partition_cols))
+                else:
+                    ds.write_parquet(imp.target)
                 results[imp.name] = {"status": "complete", "sink": "parquet"}
             elif imp.sink == "index":
                 from ..index.build import build_index

@@ -221,3 +221,33 @@ def test_text_source_end_to_end(tmp_path):
     }))
     res = ray.data.read_parquet(out_dir).to_pandas()
     assert len(res) == 100 and (res["n_tokens"] == 6).all()
+
+
+def test_partitioned_parquet_sink(tmp_path):
+    """partition_cols on the parquet sink: hive layout (one dir per key),
+    partition-pruned reads see only their key's rows, full read == unsorted
+    full table."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.pipelines.spec import (
+        PipelineSpec,
+        run_pipeline,
+    )
+
+    out_dir = str(tmp_path / "bylang")
+    run_pipeline(PipelineSpec.from_dict({
+        "sources": [{"name": "docs", "path": os.path.join(SF, "documents.parquet"),
+                     "columns": ["doc_id", "lang", "n_chars"]}],
+        "imports": [{"name": "p", "source": "docs", "id_column": "doc_id",
+                     "sink": "parquet", "target": out_dir,
+                     "partition_cols": ["lang"]}],
+    }))
+    dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("lang="))
+    assert len(dirs) >= 2
+    src = pd.read_parquet(os.path.join(SF, "documents.parquet"), columns=["doc_id", "lang", "n_chars"])
+    full = ray.data.read_parquet(out_dir).to_pandas()
+    assert sorted(full["doc_id"]) == sorted(src["doc_id"])
+    # pruned read: one partition holds exactly its language's docs
+    one = dirs[0].split("=", 1)[1]
+    sub = ray.data.read_parquet(os.path.join(out_dir, dirs[0])).to_pandas()
+    assert len(sub) == (src["lang"] == one).sum()
