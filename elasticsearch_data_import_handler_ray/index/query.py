@@ -1595,7 +1595,9 @@ class QueryEngine:
                 {"terms": terms, "idfs": idfs, "avgdl": self.avgdl, "k": k,
                  "mode": mode, "method": q_method, "k1": self.k1, "b": self.b,
                  "phrase": phrase, "exclude_terms": exclude_terms,
-                 "slop": max(0, int(q.get("slop", 0))),
+                 # clamp keeps the composite-key window (ci<<32 | pos+slop)
+                 # inside one candidate's range; 2^20 ≫ any meaningful slop
+                 "slop": max(0, min(int(q.get("slop", 0)), 1 << 20)),
                  "filters": q.get("filters"), "after": q.get("after"),
                  "allowed_ids": q.get("allowed_ids"),
                  "must_terms": q.get("must_terms"),
