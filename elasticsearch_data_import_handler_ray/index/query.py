@@ -896,15 +896,20 @@ class QueryShard:
         dictionary range — an anchored ``^pattern$`` RE2 pass does the rest,
         vectorized over the candidate range. Same capped-union contract as
         expand_prefix/expand_wildcard."""
-        import re as _re
-
         prefix = ""
         for c in pattern:
             if c in r".^$*+?{}[]\|()":
                 break
             prefix += c
         rx = "^(?:" + pattern + ")$"
-        _re.compile(rx)  # surface bad patterns as ValueError on the driver
+        # Validate with the SAME engine that executes (Arrow RE2), not
+        # Python re: syntax the two disagree on (lookarounds, backrefs) would
+        # pass an re.compile() check and then blow up inside shard actors as
+        # an opaque RayTaskError. A one-element probe surfaces it here.
+        try:
+            pc.match_substring_regex(pa.array([""], type=pa.string()), pattern=rx)
+        except pa.lib.ArrowInvalid as e:
+            raise ValueError(f"invalid regexp pattern {pattern!r}: {e}") from None
         found: set[str] = set()
         for r in self.readers:
             if prefix:
@@ -1736,12 +1741,16 @@ class QueryEngine:
         """ES regexp-query shape: the pattern must match WHOLE dictionary
         terms (anchored); the capped expansion union scores as a normal OR
         query with per-term idf (same blending as wildcard/prefix/fuzzy)."""
-        import re as _re
-
+        # Driver-side probe with the EXECUTING engine (Arrow RE2, not Python
+        # re): RE2 rejects lookarounds/backrefs that re accepts, and the
+        # mismatch would otherwise surface inside shard actors as an opaque
+        # RayTaskError instead of this clean ValueError.
         try:
-            _re.compile(pattern)
-        except _re.error as e:
-            raise ValueError(f"bad regexp: {e}") from e
+            pc.match_substring_regex(
+                pa.array([""], type=pa.string()), pattern="^(?:" + pattern + ")$"
+            )
+        except pa.lib.ArrowInvalid as e:
+            raise ValueError(f"bad regexp: {e}") from None
         per = ray.get(
             [a.expand_regexp.remote(pattern.lower(), max_expansions) for a in self._actors]
         )

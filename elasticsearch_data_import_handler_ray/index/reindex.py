@@ -15,6 +15,8 @@ pruning."""
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 from dataclasses import replace
 
 from .build import BuildResult, build_index
@@ -57,11 +59,18 @@ def reindex(
     keep = ["doc_id", content] + [
         c for c in new_cfg.store_cols if c in cols and c not in ("doc_id", content)
     ]
-    staging = os.path.join(dst_index_dir, "_reindex_src")
-    ds.select_columns(keep).write_parquet(staging)
-    files = [
-        os.path.join(staging, f)
-        for f in sorted(os.listdir(staging))
-        if f.endswith(".parquet")
-    ]
-    return build_index(files, dst_index_dir, mode="full", config=new_cfg)
+    # Stage OUTSIDE the destination index dir and clean up afterwards:
+    # snapshot/fsck/stats walk the whole index directory, so a staging copy
+    # left under <dst>/ would ride along in every snapshot (a second full
+    # corpus copy) and confuse on-disk tooling.
+    staging = tempfile.mkdtemp(prefix="edih_reindex_src_")
+    try:
+        ds.select_columns(keep).write_parquet(staging)
+        files = [
+            os.path.join(staging, f)
+            for f in sorted(os.listdir(staging))
+            if f.endswith(".parquet")
+        ]
+        return build_index(files, dst_index_dir, mode="full", config=new_cfg)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -72,7 +72,13 @@ def rollover_import(root: str, corpus, *, max_docs: int) -> dict:
     n = Manifest.load(idx_dir).n_docs
     rolled = None
     if n >= max_docs:
-        rolled = f"idx-{len(st['members']) + 1:06d}"
+        # Next name from a MONOTONIC counter over every name ever seen
+        # (members + current write pointer), not len(members)+1: after
+        # retention_drop shrinks members, len()+1 would collide with a live
+        # generation and the write pointer would land on a full index that
+        # then never rolls again.
+        seen = [int(m.split("-")[1]) for m in (*st["members"], st["write"])]
+        rolled = f"idx-{max(seen) + 1:06d}"
         st["write"] = rolled
     _save(root, st)
     return {"written_to": write, "n_docs": int(n), "rolled_to": rolled}

@@ -52,9 +52,13 @@ def hybrid_search(
     from ..stages.ann import knn_bruteforce
 
     lex = [d for d, _ in engine.search(text, k=n_each, mode=mode)]
+    # Sentinel query_id -1: knn_bruteforce drops rows whose id equals the
+    # query id (self-match exclusion for doc-to-doc knn). A hybrid query
+    # vector is NOT a corpus row, so no real vec_id may be excluded — -1
+    # can never collide with the non-negative vec_id space.
     knn = knn_bruteforce(
         emb_ds,
-        np.array([0], dtype=np.int64),
+        np.array([-1], dtype=np.int64),
         np.asarray(query_vec, dtype=np.float64).reshape(1, -1),
         id_col=id_col,
         emb_col=emb_col,

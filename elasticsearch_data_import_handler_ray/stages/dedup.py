@@ -769,6 +769,15 @@ def repeated_ngram_spans(
         sh, sh_doc = _shingle_hashes(tok_h, offsets, window)
         if len(sh) == 0:
             return empty
+        # _shingle_hashes emits a whole-doc fallback hash for docs shorter
+        # than ``window`` (a MinHash convenience); those are not
+        # window-token spans, so duplicate SHORT docs must not surface as
+        # repeated spans here. Same strictness as decontam._strict_shingles.
+        doc_tokens = np.diff(offsets)
+        strict = doc_tokens[sh_doc] >= window
+        sh, sh_doc = sh[strict], sh_doc[strict]
+        if len(sh) == 0:
+            return empty
         # start-token position of each shingle within its doc (shingles are
         # emitted for consecutive valid starts, so rank-in-run == position),
         # then strided sampling
