@@ -26,24 +26,73 @@ import pyarrow as pa
 from elasticsearch_data_import_handler_ray.functions.partitioning import pool_concurrency
 
 
+# ------------------------------------------------- shared per-process indexes
+# The ~30 *_search entries need a documents index, but only FOUR distinct
+# configurations of it. Building each entry its own throwaway index made the
+# driver's sf0.01 CORRECTNESS run so expensive it recorded only 50 of ~102
+# queries() entries in round 2 — so indexes are memoized per (sf_dir, kind)
+# for the process lifetime and shared. Entries that MUTATE an index
+# (upsert/delete tombstones) take _private_index_copy instead so the shared
+# artifact stays pristine.
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _index_cfg(kind: str):
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    base = dict(num_segments=4, doc_id_col="doc_id", content_col="text")
+    if kind in ("code", "code_sha"):
+        return IndexConfig(analyzer="code", **base)
+    if kind == "pos":
+        return IndexConfig(analyzer="code", positions=True, **base)
+    if kind == "stored_text":
+        return IndexConfig(analyzer="code", store_cols=("text",), **base)
+    if kind == "mlt_ws":
+        return IndexConfig(analyzer="whitespace", store_cols=("text",), **base)
+    if kind == "dv":
+        return IndexConfig(
+            analyzer="whitespace", store_cols=("lang", "n_chars", "source"), **base
+        )
+    raise KeyError(kind)
+
+
+def _shared_index(sf_dir: str, kind: str) -> str:
+    key = (os.path.abspath(sf_dir), kind)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        from elasticsearch_data_import_handler_ray.index.build import build_index
+
+        got = tempfile.mkdtemp(prefix=f"edih_{kind}_idx_")
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            got,
+            mode="full",
+            config=_index_cfg(kind),
+            compute_sha=(kind == "code_sha"),
+        )
+        _INDEX_CACHE[key] = got
+    return got
+
+
+def _private_index_copy(sf_dir: str, kind: str) -> str:
+    """Fresh on-disk copy of a shared index for entries that mutate it."""
+    import shutil
+
+    dst = tempfile.mkdtemp(prefix=f"edih_{kind}_priv_")
+    shutil.rmtree(dst)
+    shutil.copytree(_shared_index(sf_dir, kind), dst)
+    return dst
+
+
 # --------------------------------------------------------------------- entry
 def entry() -> Any:
     """Flagship: read sf0.001 documents → build inverted index (tokenize →
     doc-shard groupby → actor-pool segment write) → BM25 top-10 for a fixed
     query set via the shard actor pool. Returns one row per (query, rank)."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
     sf_dir = "/root/testdata/sf0.001"
-    index_dir = tempfile.mkdtemp(prefix="edih_entry_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
-        compute_sha=True,
-    )
+    index_dir = _shared_index(sf_dir, "code_sha")
     eng = QueryEngine(index_dir)
     # terms drawn from the documents table's actual vocabulary
     queries_ = [
@@ -215,11 +264,16 @@ def _dedup_simhash(sf_dir: str):
 
 
 def _ngram_jaccard(sf_dir: str):
+    """Exact 3-gram Jaccard ≥ 0.5 over the WHOLE documents table (r02's
+    doc_id<100 slice cut every planted near-dup pair in half and returned 0
+    rows — a vacuous gate). Threshold 0.5 keeps the LSH miss probability
+    <2e-4/pair; the planted pairs sit at j≈0.95+. Full DuckDB oracle: string
+    3-gram sets, same tokenize (lower, split \\s+, drop empty)."""
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.dedup import ngram_jaccard_pairs
 
-    ds = table(sf_dir, "documents", columns=["doc_id", "text"]).filter(expr="doc_id < 100")
-    return ngram_jaccard_pairs(ds, threshold=0.2)
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
 def _queries_embeddings(sf_dir: str, k=5):
@@ -292,8 +346,12 @@ def _ann_ivf_partitioned(sf_dir: str):
     from elasticsearch_data_import_handler_ray.stages.ann import ivf_build, ivf_search
 
     qids, qm = _queries_embeddings(sf_dir)
-    idx = tempfile.mkdtemp(prefix="edih_ivf_")
-    ivf_build(table(sf_dir, "embeddings"), idx, n_lists=16, seed=13)
+    key = (os.path.abspath(sf_dir), "ivf")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="edih_ivf_")
+        ivf_build(table(sf_dir, "embeddings"), idx, n_lists=16, seed=13)
+        _INDEX_CACHE[key] = idx
     return ivf_search(idx, qids, qm, k=5, nprobe=4)
 
 
@@ -367,14 +425,10 @@ def _upsert_search(sf_dir: str):
 
     from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_ups_idx_")
+    # mutates (incremental upsert run) → private copy of the shared build
+    index_dir = _private_index_copy(sf_dir, "code")
     src = os.path.join(sf_dir, "documents.parquet")
-    build_index(
-        src, index_dir, mode="full",
-        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
-    )
     t = pq.read_table(src)
     ids_np = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     upd = t.filter(pa.array(ids_np % 25 == 0))
@@ -417,18 +471,9 @@ def _term_df_salted(sf_dir: str):
 
 
 def _bm25_on(sf_dir: str):
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_q_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "code"))
     try:
         results = eng.search_many(
             [{"text": "hash join query", "mode": "or"}, {"text": "vector scan filter", "mode": "or"}],
@@ -448,21 +493,7 @@ def _facet_search(sf_dir: str):
     """ES terms-aggregation under a query: per-lang doc counts over ALL docs
     matching 'hash join query' (whitespace analyzer → the match predicate is
     SQL-expressible, so this one gets a full DuckDB oracle)."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
-    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
-
-    index_dir = tempfile.mkdtemp(prefix="edih_facet_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("lang",),
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = _dv_engine(sf_dir)
     try:
         facets = eng.facets("hash join query", "lang", mode="or", top=100)
     finally:
@@ -479,21 +510,9 @@ def _dv_engine(sf_dir: str):
     """documents index with lang/n_chars doc-values (shared by the filter /
     stats / histogram entries; whitespace analyzer keeps the match predicate
     SQL-expressible)."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_dv_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("lang", "n_chars", "source"),
-        ),
-    )
-    return QueryEngine(index_dir)
+    return QueryEngine(_shared_index(sf_dir, "dv"))
 
 
 def _stats_search(sf_dir: str):
@@ -632,9 +651,8 @@ def _delete_search(sf_dir: str):
     match predicate is SQL-expressible, deletions are id-literal)."""
     from elasticsearch_data_import_handler_ray.index.tombstones import add_deletions
 
-    eng = _dv_engine(sf_dir)
-    idx = eng.man.index_dir
-    eng.close()
+    # mutates (tombstones) → private copy so the shared dv index stays clean
+    idx = _private_index_copy(sf_dir, "dv")
     add_deletions(idx, [d for d in range(0, 100)])  # doc_ids 0..99
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
@@ -684,21 +702,9 @@ def _mlt_search(sf_dir: str):
     """ES more_like_this: tf·idf term selection from a like-doc's stored
     _source, then a minimum_should_match OR query excluding the source doc
     (rows-only; oracle identity pinned in tests/test_mlt.py)."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_mlt_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("text",),
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "mlt_ws"))
     rows = []
     try:
         for qi, like in enumerate([0, 7, "hash join query merge sort vector"]):
@@ -793,21 +799,10 @@ def _reindex_search(sf_dir: str):
     index, then answer counts from the NEW index — full DuckDB oracle (the
     reindexed corpus is the same live doc set, so whitespace match counts are
     SQL-expressible)."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
     from elasticsearch_data_import_handler_ray.index.reindex import reindex
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    src = tempfile.mkdtemp(prefix="edih_reidx_src_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        src,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("text",),
-        ),
-    )
+    src = _shared_index(sf_dir, "stored_text")  # reindex reads, never mutates
     dst = tempfile.mkdtemp(prefix="edih_reidx_dst_")
     reindex(src, dst, analyzer="whitespace", num_segments=2)
     eng = QueryEngine(dst)
@@ -887,23 +882,27 @@ def _date_histogram_search(sf_dir: str):
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
     from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    d = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
-    d["day"] = (
-        pd.Timestamp("2024-01-01") + pd.to_timedelta(d["doc_id"] % 500, unit="D")
-    ).dt.strftime("%Y-%m-%d")
-    root = tempfile.mkdtemp(prefix="edih_dh_idx_")
-    src = os.path.join(root, "docs.parquet")
-    pq.write_table(pa.Table.from_pandas(d, preserve_index=False), src)
-    index_dir = os.path.join(root, "idx")
-    build_index(
-        src,
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("day",),
-        ),
-    )
+    key = (os.path.abspath(sf_dir), "date_hist")
+    index_dir = _INDEX_CACHE.get(key)
+    if index_dir is None:
+        d = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+        d["day"] = (
+            pd.Timestamp("2024-01-01") + pd.to_timedelta(d["doc_id"] % 500, unit="D")
+        ).dt.strftime("%Y-%m-%d")
+        root = tempfile.mkdtemp(prefix="edih_dh_idx_")
+        src = os.path.join(root, "docs.parquet")
+        pq.write_table(pa.Table.from_pandas(d, preserve_index=False), src)
+        index_dir = os.path.join(root, "idx")
+        build_index(
+            src,
+            index_dir,
+            mode="full",
+            config=IndexConfig(
+                analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+                content_col="text", store_cols=("day",),
+            ),
+        )
+        _INDEX_CACHE[key] = index_dir
     eng = QueryEngine(index_dir)
     try:
         buckets = eng.date_histogram("hash join query", "day", interval="month")
@@ -940,18 +939,9 @@ def _paged_search(sf_dir: str):
     """ES search_after deep pagination: three consecutive 10-doc pages via
     (score, doc_id) cursors (rows-only; full-ranking slice identity is pinned
     in tests/test_index.py)."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_page_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "code"))
     rows = []
     try:
         text = "hash join query"
@@ -972,18 +962,9 @@ def _fuzzy_wildcard(sf_dir: str):
     """Fuzzy (edit-distance) + wildcard term queries over the documents index
     (rows-only; rank identity vs the full-vocab scalar oracle is pinned in
     tests/test_index.py)."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_fz_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "code"))
     rows = []
     try:
         for qi, res in enumerate(
@@ -1132,21 +1113,9 @@ def _phrase_search(sf_dir: str):
     """Positional index + exact phrase top-k (mode='phrase'); rows-only —
     oracle-checked (rank+score identity vs a naive sliding-window scorer) in
     tests/test_positions.py."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_ph_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
-            positions=True,
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "pos"))
     phrases = ["hash scan join", "table scan", "batch batch batch", "sort merge", "group query row"]
     try:
         results = eng.search_many([{"text": p, "mode": "phrase"} for p in phrases], k=10)
@@ -1164,21 +1133,9 @@ def _phrase_slop_search(sf_dir: str):
     assignment with adjusted-position span ≤ slop (transpositions match at
     slop 2, per the documented ES rule). Rows-only — rank+score identity vs a
     brute-force assignment oracle pinned in tests/test_positions.py."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_phs_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
-            positions=True,
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "pos"))
     # (text, slop): includes transposed pairs that only match with slop ≥ 2
     qs = [("hash scan join", 1), ("scan table", 2), ("join hash", 2),
           ("sort merge", 0), ("group row", 3)]
@@ -1200,21 +1157,9 @@ def _phrase_prefix_search(sf_dir: str):
     expanded, best completing expansion's phrase score per doc. Rows-only —
     identity vs the full-vocab-expansion oracle pinned in
     tests/test_positions.py."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_php_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
-            positions=True,
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "pos"))
     rows = []
     try:
         for qi, text in enumerate(["table sc", "hash jo", "group b"]):
@@ -1233,20 +1178,9 @@ def _suggest_terms(sf_dir: str):
     corrections ranked by (edit distance asc, df desc, term asc). Rows-only —
     exact identity vs a full-vocabulary scalar-DP oracle is pinned in
     tests/test_index.py::test_suggest_matches_naive_oracle."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_sug_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "code"))
     rows = []
     try:
         for text in ["tabel scah", "queyr", "batsh grop"]:
@@ -1272,23 +1206,24 @@ def _alias_search(sf_dir: str):
     from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    t = pq.read_table(src, columns=["doc_id", "text"])
-    half = len(t) // 2
-    root = tempfile.mkdtemp(prefix="edih_alias_")
-    parts = []
-    for name, tbl in (("a", t.slice(0, half)), ("b", t.slice(half))):
-        p = os.path.join(root, f"{name}.parquet")
-        pq.write_table(tbl, p)
-        idx = os.path.join(root, f"idx_{name}")
-        build_index(
-            p, idx, mode="full",
-            config=IndexConfig(
-                analyzer="code", num_segments=2, doc_id_col="doc_id", content_col="text"
-            ),
-        )
-        parts.append(idx)
-    eng = MultiIndexEngine(parts)
+    key = (os.path.abspath(sf_dir), "alias_halves")
+    root = _INDEX_CACHE.get(key)
+    if root is None:
+        src = os.path.join(sf_dir, "documents.parquet")
+        t = pq.read_table(src, columns=["doc_id", "text"])
+        half = len(t) // 2
+        root = tempfile.mkdtemp(prefix="edih_alias_")
+        for name, tbl in (("a", t.slice(0, half)), ("b", t.slice(half))):
+            p = os.path.join(root, f"{name}.parquet")
+            pq.write_table(tbl, p)
+            build_index(
+                p, os.path.join(root, f"idx_{name}"), mode="full",
+                config=IndexConfig(
+                    analyzer="code", num_segments=2, doc_id_col="doc_id", content_col="text"
+                ),
+            )
+        _INDEX_CACHE[key] = root
+    eng = MultiIndexEngine([os.path.join(root, "idx_a"), os.path.join(root, "idx_b")])
     try:
         results = eng.search_many(
             [{"text": q, "mode": "or"} for q in
@@ -1311,23 +1246,12 @@ def _hybrid_search(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
 
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
     from elasticsearch_data_import_handler_ray.pipelines.hybrid import hybrid_search
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_hyb_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
-        ),
-    )
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     emb = pq.read_table(emb_path)
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "code"))
     rows = []
     try:
         for qi, (text, vid) in enumerate([("table scan", 3), ("hash join", 11)]):
@@ -1347,20 +1271,9 @@ def _bool_search(sf_dir: str):
     """Composed ES bool query (must + should + must_not + msm in one
     scatter). Rows-only — bit-identity vs the per-class-hit oracle pinned in
     tests/test_index.py."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_bool_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "code"))
     cases = [
         dict(must="table", should="scan hash join", minimum_should_match=1),
         dict(must="group sort", should="row batch", must_not="slow"),
@@ -1381,21 +1294,7 @@ def _collapse_search(sf_dir: str):
     """ES field collapsing: top-k with one best hit per distinct `source`
     value. Rows-only — exact pandas-oracle identity pinned in
     tests/test_docvalues.py."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
-    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
-
-    index_dir = tempfile.mkdtemp(prefix="edih_col_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("source",),
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = _dv_engine(sf_dir)
     rows = []
     try:
         for qi, text in enumerate(["table scan", "hash join row", "query group"]):
@@ -1411,21 +1310,10 @@ def _synonym_search(sf_dir: str):
     """Query-time synonyms (Lucene SynonymQuery: tf summed before tf-norm,
     idf from the max member df). Rows-only — bit-identity vs the merged-
     postings oracle pinned in tests/test_index.py."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_syn_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text"
-        ),
-    )
     syns = [["scan", "seek"], ["group", "cluster"], ["fast", "quick"]]
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "code"))
     rows = []
     try:
         for qi, text in enumerate(["table scan fast", "group by hash", "fast row"]):
@@ -1443,21 +1331,9 @@ def _rescore_search(sf_dir: str):
     """ES rescore: BM25 top-window re-ranked by a phrase query (total mode).
     Rows-only — bit-identity vs the naive combine of the BM25 + phrase
     oracles pinned in tests/test_positions.py."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_rsc_idx_")
-    build_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        mode="full",
-        config=IndexConfig(
-            analyzer="code", num_segments=4, doc_id_col="doc_id", content_col="text",
-            positions=True,
-        ),
-    )
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_shared_index(sf_dir, "pos"))
     rows = []
     try:
         for qi, (text, rtext) in enumerate(
@@ -1483,13 +1359,17 @@ def _multifield_search(sf_dir: str):
     )
     from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    index_dir = tempfile.mkdtemp(prefix="edih_mf_idx_")
-    build_multifield_index(
-        os.path.join(sf_dir, "documents.parquet"),
-        index_dir,
-        fields={"text": 1.0, "source": 2.0},
-        config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id"),
-    )
+    key = (os.path.abspath(sf_dir), "multifield")
+    index_dir = _INDEX_CACHE.get(key)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="edih_mf_idx_")
+        build_multifield_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            index_dir,
+            fields={"text": 1.0, "source": 2.0},
+            config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id"),
+        )
+        _INDEX_CACHE[key] = index_dir
     eng = MultiFieldEngine(index_dir)
     qs = [
         {"text": "hash join query", "mode": "or"},
@@ -1957,6 +1837,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM q, embeddings e WHERE e.vec_id <> q.qid
             ) WHERE rn <= 5
         """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(l) - 2),
+                           i -> array_to_string(l[i:i+2], ' '))) AS s
+                FROM toks WHERE len(l) >= 3
+            )
+            SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE j >= 0.5
+        """,
         "term_df_whitespace": _TERM_DF_SQL,
         "term_df_stop_stem": _TERM_DF_STOP_STEM_SQL,
         "term_df_salted": _TERM_DF_SQL,
@@ -2242,7 +2142,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fg JOIN bg USING (lang) CROSS JOIN tot
         """,
         # rows-only (non-SQL-expressible; oracle-checked in tests/):
-        #   nested_build, lang_id, dedup_minhash, dedup_simhash, ngram_jaccard,
+        #   nested_build, lang_id, dedup_minhash, dedup_simhash,
         #   ann_lsh, embed_neardup, bm25_topk, phrase_search, multimodal_decode,
         #   fuzzy_wildcard_search
     }
