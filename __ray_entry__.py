@@ -992,6 +992,83 @@ _SQL_EXPR = """
 """
 
 
+_SQL_MULTI = """
+    SELECT c.c_mktsegment,
+           count(*)::BIGINT AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+def _sql_multi(sf_dir: str):
+    """Cross-source SQL prepStatement (the reference's multi-view Spark-SQL
+    config surface): a join+GROUP BY over two registered views, run by the
+    bounded driver-side DuckDB layer (pipelines/sqlexpr.sql_query). The
+    oracle is the IDENTICAL statement over the whole tables — equality
+    proves the catalog materialization + view plumbing is sound."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.pipelines.sqlexpr import sql_query
+
+    views = {
+        "orders": ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+        ),
+        "customer": ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+        ),
+    }
+    return sql_query(_SQL_MULTI, views)
+
+
+def _sql_db_source(sf_dir: str):
+    """SQL-database source (sources.jdbc parity): the documents table is
+    loaded into a throwaway sqlite file ONCE per process, re-read through
+    Catalog.register_sql (ray.data.read_sql + connection factory), and
+    aggregated per lang. Oracle: the same aggregate over the parquet."""
+    import sqlite3
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import Catalog
+
+    key = (os.path.abspath(sf_dir), "sqlite_db")
+    db = _INDEX_CACHE.get(key)
+    if db is None:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+        )
+        db = os.path.join(tempfile.mkdtemp(prefix="edih_sqldb_"), "docs.sqlite3")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE documents (doc_id INTEGER, lang TEXT, n_chars INTEGER)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, ?)",
+            zip(
+                t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["n_chars"].to_pylist()
+            ),
+        )
+        con.commit()
+        con.close()
+        _INDEX_CACHE[key] = db
+    from functools import partial
+
+    cat = Catalog()
+    cat.register_sql(
+        "documents", "SELECT doc_id, lang, n_chars FROM documents", partial(_sqlite3_connect, db)
+    )
+    return cat["documents"].groupby("lang").aggregate(
+        Sum("n_chars", alias_name="sum_chars"), Count(alias_name="n_docs")
+    )
+
+
+def _sqlite3_connect(path: str):
+    import sqlite3
+
+    return sqlite3.connect(path)
+
+
 def _sql_expr(sf_dir: str):
     """The reference's config surface was SQL strings; sql_transform runs a
     row-local SELECT per Arrow batch via DuckDB-on-Arrow (D2 fidelity layer).
@@ -1457,6 +1534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phrase_prefix_search": _phrase_prefix_search,
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
+            "sql_multi_prep": _sql_multi,
+            "sql_db_source": _sql_db_source,
             "multimodal_decode": _multimodal,
             "chunk_text": _chunk_text,
             "redact": _redact,
@@ -1861,6 +1940,12 @@ def oracle_sql() -> dict[str, str]:
         "term_df_stop_stem": _TERM_DF_STOP_STEM_SQL,
         "term_df_salted": _TERM_DF_SQL,
         "sql_expr": _SQL_EXPR.format(src="lineitem"),
+        "sql_multi_prep": _SQL_MULTI,
+        "sql_db_source": """
+            SELECT lang, SUM(n_chars)::BIGINT AS sum_chars,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
+        """,
         "window_rank": """
             SELECT l_orderkey, l_linenumber,
                    ROW_NUMBER() OVER (PARTITION BY l_orderkey

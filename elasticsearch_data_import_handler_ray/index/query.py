@@ -40,95 +40,6 @@ from ..functions.codec import PostingBlocks, decode_posting
 from ..state.manifest import Manifest
 from .segment import SegmentReader
 
-_EXHAUSTED = 1 << 64
-
-
-class _TermIter:
-    """Cursor over one term's posting blocks within one segment."""
-
-    __slots__ = ("pb", "idf", "k1", "b", "ub_blocks", "ub_global", "bi", "pos", "ids", "tfs", "dls")
-
-    def __init__(self, pb: PostingBlocks, idf_t: float, avgdl: float, k1: float = bm25.K1, b: float = bm25.B):
-        self.pb = pb
-        self.idf = idf_t
-        self.k1, self.b = k1, b
-        self.ub_blocks = bm25.block_upper_bound(idf_t, pb.max_tfs, pb.min_dls, avgdl, k1, b)
-        self.ub_global = float(self.ub_blocks.max())
-        self.bi = 0
-        self.pos = 0
-        self._load_block()
-
-    def _load_block(self):
-        if self.bi < self.pb.n:
-            self.ids, self.tfs, self.dls = self.pb.decode_block(self.bi)
-        else:
-            self.ids = None
-
-    @property
-    def curr_doc(self) -> int:
-        return _EXHAUSTED if self.ids is None else int(self.ids[self.pos])
-
-    @property
-    def curr_block_ub(self) -> float:
-        return 0.0 if self.ids is None else float(self.ub_blocks[self.bi])
-
-    def block_last_possible(self) -> int:
-        """Largest doc_id the current block could contain (next block's
-        first_doc − 1; for the decoded last block, its actual last doc)."""
-        if self.ids is None:
-            return _EXHAUSTED
-        if self.bi + 1 < self.pb.n:
-            return int(self.pb.first_docs[self.bi + 1]) - 1
-        return int(self.ids[-1])
-
-    def seek(self, target: int) -> None:
-        """Advance to the first doc >= target."""
-        if self.ids is None:
-            return
-        if target >= _EXHAUSTED:
-            self.bi = self.pb.n
-            self.ids = None
-            return
-        # skip whole blocks using first_docs (block i covers [first_i, first_{i+1}))
-        if target > int(self.ids[-1]):
-            nbi = int(np.searchsorted(self.pb.first_docs, np.uint64(target), side="right")) - 1
-            nbi = max(nbi, self.bi + 1)
-            if nbi != self.bi:
-                self.bi = nbi
-                self.pos = 0
-                self._load_block()
-                if self.ids is None:
-                    return
-        p = int(np.searchsorted(self.ids, np.uint64(target), side="left"))
-        if p >= len(self.ids):
-            self.bi += 1
-            self.pos = 0
-            self._load_block()
-            if self.ids is not None and int(self.ids[0]) < target:
-                self.seek(target)
-        else:
-            self.pos = p
-
-    def advance(self) -> None:
-        self.pos += 1
-        if self.ids is not None and self.pos >= len(self.ids):
-            self.bi += 1
-            self.pos = 0
-            self._load_block()
-
-    def contribution_at_current(self, avgdl: float) -> float:
-        return float(
-            bm25.contribution(
-                self.idf,
-                np.float64(self.tfs[self.pos]),
-                np.float64(self.dls[self.pos]),
-                avgdl,
-                self.k1,
-                self.b,
-            )
-        )
-
-
 def _heap_push(heap: list, k: int, score: float, doc_id: int) -> None:
     """Min-heap of (score, -doc_id): worst = lowest score, then largest doc_id.
     DAAT visits ascending doc_id, so equal-score later docs are correctly
@@ -545,93 +456,151 @@ def _score_bmw(
     get_dead=None,
     allowed: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    get_decoded=None,
+    heap_lock=None,
 ) -> None:
-    """Block-max WAND over each segment, θ shared across segments via `heap`."""
+    """Vectorized block-max pruning over each segment, θ shared across
+    segments via `heap` (and across THREADS via ``heap_lock`` — BMW's
+    pruning lives on a global θ, so the per-reader thread pool writes one
+    shared heap under a lock instead of the per-thread heaps the other
+    scorers use; a stale-low θ only weakens pruning, never correctness, but
+    reads still take the lock so a mid-sift heap root can't leak a
+    transiently-high θ).
+
+    Doc-id space is partitioned into INTERVALS at the union of every query
+    term's posting-block boundaries, so inside one interval each term is
+    covered by exactly one block and the interval's score upper bound is the
+    sum of those blocks' precomputed maxima (bm25.block_upper_bound).
+    Intervals are visited in DESCENDING-UB order: the best candidates are
+    scored first, θ rises immediately, and the loop stops at the first
+    interval whose UB ≤ θ (the order is sorted, so everything after it is
+    prunable too). Each surviving interval is scored exactly like
+    _score_exhaustive — candidate union, ascending-term vectorized
+    accumulation — so scores are bit-identical to the exhaustive scorer and
+    the exact oracle; only whole blocks that can contain a top-k doc are
+    ever varbyte-decoded.
+
+    Exactness of the ≤-skip under out-of-order visiting: block_upper_bound
+    carries a (1+1e-12) margin, so any achievable doc score is STRICTLY
+    below its interval UB — an interval with UB ≤ θ cannot even tie the
+    current k-th doc, regardless of doc-id tie-breaks. This replaces round
+    2's doc-at-a-time Python WAND loop (measured 6.6× slower than the
+    vectorized exhaustive scorer at sf0.1 and degenerate at high df/N)."""
     for ri, rd in enumerate(readers, reader_offset):
         dd = get_dead(ri) if get_dead is not None else None
-        iters: list[tuple[str, _TermIter]] = []
-        for t in terms:
+        pbs: list[tuple[str, PostingBlocks, np.ndarray]] = []
+        for t in terms:  # terms pre-sorted ascending — accumulation order
             if get_blocks is not None:
                 pb = get_blocks(ri, t)
             else:
                 blob = rd.posting_blob(t)
                 pb = PostingBlocks(blob) if blob is not None else None
-            if pb is not None:
-                iters.append((t, _TermIter(pb, idfs[t], avgdl, k1, b)))
-        if not iters:
+            if pb is not None and pb.n > 0:
+                ubb = bm25.block_upper_bound(
+                    idfs[t], pb.max_tfs, pb.min_dls, avgdl, k1, b
+                )
+                pbs.append((t, pb, ubb))
+        if not pbs:
             continue
-        while True:
-            live = [(ti.curr_doc, t, ti) for t, ti in iters if ti.ids is not None]
-            if not live:
-                break
-            live.sort(key=lambda x: x[0])
-            theta = _theta(heap, k)
-            # term-level WAND pivot
-            acc = 0.0
-            pivot_idx = -1
-            for i, (_, _, ti) in enumerate(live):
-                acc += ti.ub_global
-                if acc > theta:
-                    pivot_idx = i
-                    break
-            if pivot_idx < 0:
-                break  # no doc can beat θ
-            pivot_doc = live[pivot_idx][0]
-            if pivot_doc == _EXHAUSTED:
-                break
-            # extend the pivot prefix over every term at the same doc — their
-            # contributions must be counted before pivot_doc may be skipped
-            while pivot_idx + 1 < len(live) and live[pivot_idx + 1][0] == pivot_doc:
-                pivot_idx += 1
-            if live[0][0] == pivot_doc:
-                # align blocks, then block-max check
-                block_ub = 0.0
-                for d, _, ti in live[: pivot_idx + 1]:
-                    if d < pivot_doc:
-                        ti.seek(pivot_doc)
-                    block_ub += ti.curr_block_ub if ti.curr_doc != _EXHAUSTED else 0.0
-                if block_ub <= theta:
-                    # skip to the nearest block boundary beyond pivot_doc —
-                    # capped at the first unaccounted term's current doc
-                    # (its contribution is not in block_ub)
-                    nxt = min(
-                        ti.block_last_possible() for _, _, ti in live[: pivot_idx + 1]
-                    ) + 1
-                    if pivot_idx + 1 < len(live):
-                        nxt = min(nxt, live[pivot_idx + 1][0])
-                    nxt = max(nxt, pivot_doc + 1)
-                    for _, _, ti in live[: pivot_idx + 1]:
-                        if ti.curr_doc < nxt:
-                            ti.seek(nxt)
-                    continue
-                # full evaluation in ascending-TERM order (bit-exact w/ oracle)
-                score = 0.0
-                for t, ti in iters:
-                    if ti.ids is not None and ti.curr_doc == pivot_doc:
-                        score += ti.contribution_at_current(avgdl)
-                for t, ti in iters:
-                    if ti.ids is not None and ti.curr_doc == pivot_doc:
-                        ti.advance()
-                # upsert tombstone: a superseded version never enters the
-                # heap (θ from live docs only underestimates — sound)
-                if dd is not None:
-                    j = int(np.searchsorted(dd, np.uint64(pivot_doc)))
-                    if j < len(dd) and int(dd[j]) == pivot_doc:
-                        continue
-                if allowed is not None:
-                    # ES filter context: only allowed docs enter the heap (θ
-                    # from allowed docs only underestimates — sound)
-                    j = int(np.searchsorted(allowed, np.uint64(pivot_doc)))
-                    if j >= len(allowed) or int(allowed[j]) != pivot_doc:
-                        continue
-                if after is not None and (score, -pivot_doc) >= (after[0], -int(after[1])):
-                    continue  # search_after cursor: strictly after only
-                _heap_push(heap, k, score, pivot_doc)
+        bounds = np.unique(np.concatenate([pb.first_docs for _, pb, _ in pbs]))
+        n_int = len(bounds)
+        # per term: covering block index per interval (-1 = before 1st block;
+        # past the last block the last block's UB is used — looser, sound)
+        covers: list[np.ndarray] = []
+        ub = np.zeros(n_int, dtype=np.float64)
+        for _, pb, ubb in pbs:
+            c = np.searchsorted(pb.first_docs, bounds, side="right") - 1
+            covers.append(c)
+            np.add(ub, np.where(c >= 0, ubb[np.clip(c, 0, pb.n - 1)], 0.0), out=ub)
+        order = np.argsort(-ub, kind="stable")
+        rem = order[ub[order] > 0.0]  # zero-UB intervals hold no docs at all
+        decoded: dict[tuple[int, int], tuple] = {}
+        full_dec: dict[int, tuple] = {}  # term idx → whole-list decode
+        umax = np.uint64(0xFFFFFFFFFFFFFFFF)
+        batch_n = 4  # grows ×4 per round: per-round Python cost amortizes
+        while len(rem):
+            if heap_lock is not None:
+                with heap_lock:
+                    theta = _theta(heap, k)
             else:
-                # advance the lagging terms to the pivot
-                for d, _, ti in live[:pivot_idx]:
-                    if d < pivot_doc:
-                        ti.seek(pivot_doc)
+                theta = _theta(heap, k)
+            if theta >= 0.0:
+                # rem is UB-descending: one binary search finds the prune cut
+                cut = int(np.searchsorted(-ub[rem], -theta, side="left"))
+                rem = rem[:cut]
+                if not len(rem):
+                    break
+            batch, rem = rem[:batch_n], rem[batch_n:]
+            batch_n = min(batch_n * 4, 4096)
+            # flat sorted [lo0,hi0,lo1,hi1,...] — membership = odd searchsorted
+            lows = bounds[batch]
+            highs = np.where(
+                batch + 1 < n_int, bounds[np.minimum(batch + 1, n_int - 1)], umax
+            ).astype(np.uint64)
+            s = np.argsort(lows)
+            flat = np.empty(2 * len(batch), dtype=np.uint64)
+            flat[0::2], flat[1::2] = lows[s], highs[s]
+            per_term = []
+            for t_idx, (t, pb, _) in enumerate(pbs):
+                full = full_dec.get(t_idx)
+                if full is None:
+                    cvs = covers[t_idx][batch]
+                    blks = np.unique(cvs[cvs >= 0])
+                    if not len(blks):
+                        continue
+                    if len(blks) > max(4, pb.n // 4):
+                        # a big slice of this term's list is live this round:
+                        # one bulk decode (shared with the exhaustive scorer's
+                        # LRU when available) beats per-block varbyte calls
+                        full = get_decoded(ri, t) if get_decoded is not None else None
+                        if full is None:
+                            full = pb.decode_all()
+                        full_dec[t_idx] = full
+                if full is not None:
+                    ids, tfs_a, dls_a = full
+                else:
+                    parts = []
+                    for c in blks.tolist():  # ascending → concat ids sorted
+                        arrs = decoded.get((t_idx, c))
+                        if arrs is None:
+                            arrs = pb.decode_block(c)
+                            decoded[(t_idx, c)] = arrs
+                        parts.append(arrs)
+                    ids = np.concatenate([p[0] for p in parts])
+                    tfs_a = np.concatenate([p[1] for p in parts])
+                    dls_a = np.concatenate([p[2] for p in parts])
+                inside = (np.searchsorted(flat, ids, side="right") & 1).astype(bool)
+                if inside.any():
+                    per_term.append((t, ids[inside], tfs_a[inside], dls_a[inside]))
+            if not per_term:
+                continue
+            union = np.unique(np.concatenate([x[1] for x in per_term]))
+            scores = np.zeros(len(union), dtype=np.float64)
+            for t, ids, tfs, dls in per_term:  # ascending-term accumulation
+                pos = np.searchsorted(union, ids)
+                scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl, k1, b)
+            if dd is not None:
+                from .tombstones import in_sorted
+
+                alive = ~in_sorted(union, dd)  # superseded versions (upsert)
+                union, scores = union[alive], scores[alive]
+            if allowed is not None:
+                from .tombstones import in_sorted
+
+                keep = in_sorted(union, allowed)  # ES filter context
+                union, scores = union[keep], scores[keep]
+            if after is not None:
+                cs, cd = after  # search_after cursor: strictly after only
+                keep = (scores < cs) | ((scores == cs) & (union > np.uint64(cd)))
+                union, scores = union[keep], scores[keep]
+            top = bm25.topk_indices(scores, union, k)
+            if heap_lock is not None:
+                with heap_lock:
+                    for i in top:
+                        _heap_push(heap, k, float(scores[i]), int(union[i]))
+            else:
+                for i in top:
+                    _heap_push(heap, k, float(scores[i]), int(union[i]))
 
 
 def _levenshtein_distances(cands: np.ndarray, q: str) -> np.ndarray:
@@ -1378,8 +1347,22 @@ class QueryShard:
             _score_bmw(
                 rds, terms, idfs, avgdl, k, heap,
                 get_blocks=self._blocks, k1=k1, b=b, reader_offset=ri_lo, get_dead=gd,
-                allowed=allowed, after=after,
+                allowed=allowed, after=after, get_decoded=self._decoded,
+                heap_lock=q.get("_heap_lock"),
             )
+
+    @staticmethod
+    def _uses_bmw(q: dict) -> bool:
+        """Mirror of _score_readers' scorer dispatch: True iff this query
+        takes the block-max path (whose pruning needs a SHARED θ heap)."""
+        return not (
+            q.get("groups")
+            or q["mode"] in ("phrase", "and")
+            or q["method"] == "exhaustive"
+            or q.get("exclude_terms")
+            or q.get("min_should_match")
+            or q.get("must_terms")
+        )
 
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
         """queries: [{terms (sorted), idfs, avgdl, k, mode, method}] →
@@ -1405,10 +1388,22 @@ class QueryShard:
                 # explicit doc-id restriction (the rescore window): scorers
                 # intersect per-reader, so ids outside this actor just no-op
                 q = {**q, "_allowed": np.asarray(sorted(q["allowed_ids"]), dtype=np.uint64)}
-            if use_pool:
+            if use_pool and self._uses_bmw(q):
+                # BMW prunes on a GLOBAL θ: per-thread heaps would each start
+                # at θ=-1 and skip nothing. All threads share ONE lock-guarded
+                # heap; push batches are ≤k per round so contention is noise.
+                import threading
+
+                q = {**q, "_heap_lock": threading.Lock()}
+                futs = [
+                    self._pool.submit(self._score_readers, ri, ri + 1, q, heap)
+                    for ri in range(n_r)
+                ]
+                for f in futs:
+                    f.result()
+            elif use_pool:
                 # per-reader heaps merged after: identical results (segments
-                # hold disjoint docs; for BMW a weaker per-thread θ only means
-                # less skipping, never different survivors)
+                # hold disjoint docs)
                 local_heaps = [[] for _ in range(n_r)]
                 futs = [
                     self._pool.submit(self._score_readers, ri, ri + 1, q, local_heaps[ri])

@@ -66,9 +66,13 @@ def _dedup_first_by_id(ds: ray.data.Dataset, id_col: str, num_buckets: int | Non
 @dataclass
 class SourceSpec:
     name: str
-    path: str
-    format: str = "parquet"  # parquet | csv | json
+    path: str  # file path; for format="sql", the sqlite database file
+    format: str = "parquet"  # parquet | csv | json | text | sql
     columns: list[str] | None = None
+    # format="sql" only: the SELECT shipped to the database (the reference's
+    # sources.jdbc query) and optional hash-shard keys for parallel reads
+    sql: str | None = None
+    shard_keys: list[str] | None = None
 
 
 def _builtin_step(name: str, params: dict) -> Callable:
@@ -128,11 +132,17 @@ class TransformStep:
 
 @dataclass
 class PrepSpec:
-    """Like a prepStatement: derive a new named dataset from an existing one."""
+    """Like a prepStatement: derive a new named dataset from an existing one
+    (``source`` + row-local ``steps``), or — the reference's full
+    prepStatement surface — from a cross-view SQL statement (``sql`` set,
+    ``source`` empty): joins/GROUP BY/windows over any registered names, run
+    driver-side by sqlexpr.sql_query under its bounded-view contract."""
 
     name: str
     source: str
     steps: list[TransformStep] = field(default_factory=list)
+    sql: str | None = None
+    max_rows_per_view: int = 2_000_000
 
 
 @dataclass
@@ -199,7 +209,13 @@ class PipelineSpec:
         return cls(
             sources=[SourceSpec(**s) for s in d.get("sources", [])],
             preps=[
-                PrepSpec(p["name"], p["source"], steps(p.get("steps")))
+                PrepSpec(
+                    p["name"],
+                    p.get("source", ""),
+                    steps(p.get("steps")),
+                    sql=p.get("sql_multi"),
+                    max_rows_per_view=p.get("max_rows_per_view", 2_000_000),
+                )
                 for p in d.get("preps", [])
             ],
             imports=[
@@ -238,7 +254,29 @@ def _read_source(s: SourceSpec, paths: str | list[str] | None = None) -> ray.dat
         c = Catalog()
         c.register_text("_t", p)
         return c["_t"]
+    if s.format == "sql":
+        # JSON-spec SQL source: path = a sqlite file (the only DB in this
+        # sandbox; stdlib). Programmatic pipelines with a real DB register
+        # via Catalog.register_sql with their own connection factory.
+        if not s.sql:
+            raise ValueError("sql source needs a 'sql' SELECT statement")
+        from functools import partial
+
+        from ..sources.catalog import Catalog
+
+        c = Catalog()
+        c.register_sql(
+            "_s", s.sql, partial(_sqlite_connect, p), shard_keys=s.shard_keys
+        )
+        return c["_s"]
     raise ValueError(f"unknown source format {s.format}")
+
+
+def _sqlite_connect(path: str):
+    """Module-level (picklable) sqlite connection factory for read tasks."""
+    import sqlite3
+
+    return sqlite3.connect(path)
 
 
 def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
@@ -251,6 +289,23 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
         cat.register(s.name, _read_source(s))
 
     for p in spec.preps:
+        if p.sql:
+            # cross-view prepStatement: every registered name the SQL
+            # references becomes a bounded DuckDB view (sqlexpr.sql_query)
+            from .sqlexpr import sql_query
+
+            import re as _re
+
+            toks = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", p.sql))
+            views = {n: cat[n] for n in cat.names() if n in toks}
+            if not views:
+                raise ValueError(
+                    f"prep {p.name!r}: sql_multi references no registered source"
+                )
+            cat.register(
+                p.name, sql_query(p.sql, views, max_rows_per_view=p.max_rows_per_view)
+            )
+            continue
         ds = cat[p.source]
         for step in p.steps:
             ds = step.fn(ds)
@@ -297,11 +352,13 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
                     # input file so build_index's file lineage sees a stable,
                     # append-only set (see module docstring for the contract)
                     src = source_specs.get(imp.source)
-                    if src is None:
+                    if src is None or src.format == "sql":
                         raise ValueError(
                             f"incremental index sink '{imp.name}' requires a "
-                            "file-backed source (not a prep): staging is keyed "
-                            "by source input file for lineage"
+                            "file-backed source (not a prep or sql source): "
+                            "staging is keyed by source input file for lineage "
+                            "— incremental DB imports use a {lastRun} watermark "
+                            "in the SQL instead (state/watermark.py)"
                         )
                     for f in sorted(cat[imp.source].input_files()):
                         h = hashlib.blake2b(f.encode(), digest_size=8).hexdigest()

@@ -69,6 +69,49 @@ class SQLBatch:
         return out
 
 
+def sql_query(
+    query: str,
+    views: dict[str, "ray.data.Dataset"],
+    *,
+    max_rows_per_view: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Cross-source SQL — the reference's prepStatement surface (arbitrary
+    Spark SQL over several registered temp views: joins, GROUP BY, windows).
+
+    Runs DRIVER-SIDE: every referenced view is materialized into one DuckDB
+    connection and the full statement executes there. That is sound only for
+    BOUNDED inputs, so each view is capped at ``max_rows_per_view`` rows and
+    the call fails fast past the cap — the guard that keeps this a
+    config-parity layer for dimension-table work, not a second (non-scaling)
+    execution engine. Corpus-sized SQL belongs to the native distributed
+    pipelines (pipelines/relational.py); note the reference itself ran ALL
+    its SQL on one embedded local-mode engine, so parity for the statements
+    it could actually execute is exactly this shape.
+
+    Incremental-lineage constraint (same reason the spec layer rejects sql
+    sources in incremental index sinks): a cross-view result has no per-file
+    lineage, so imports built from it must run mode="full" or carry their
+    own {lastRun} watermark upstream.
+
+    Returns the result as a Dataset (distributed again from here on)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name, ds in views.items():
+        # bounded materialization: cap + 1 detects overflow without counting
+        rows = ds.limit(max_rows_per_view + 1).to_pandas()
+        if len(rows) > max_rows_per_view:
+            raise ValueError(
+                f"sql_query view {name!r} exceeds max_rows_per_view="
+                f"{max_rows_per_view}: cross-source SQL is driver-side and "
+                "bounded by contract — use the native relational pipelines "
+                "for corpus-sized inputs"
+            )
+        con.register(name, rows)
+    out = con.execute(query).arrow()
+    return ray.data.from_arrow(out)
+
+
 def sql_transform(
     query: str, *, view: str = "t", concurrency: int | tuple[int, int] | None = None
 ) -> Callable[[ray.data.Dataset], ray.data.Dataset]:

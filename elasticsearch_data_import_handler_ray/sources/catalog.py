@@ -33,6 +33,33 @@ class Catalog:
         # same reader (Arrow infers gzip from the extension)
         self._datasets[name] = ray.data.read_json(path)
 
+    def register_sql(
+        self,
+        name: str,
+        sql: str,
+        connection_factory,
+        *,
+        shard_keys: list[str] | None = None,
+        parallelism: int = -1,
+    ) -> None:
+        """SQL-database source — the reference's headline ``sources.jdbc``
+        block (SURVEY.md §2.A1). ``connection_factory`` is a zero-arg callable
+        returning a DB-API2 connection (sqlite3.connect, psycopg2.connect,
+        ...); Ray ships it to read tasks, so it must be picklable (use a
+        module-level function or functools.partial, not a live connection).
+
+        Scale shape: with ``shard_keys`` (a column list, e.g. the table's
+        integer PK) ``ray.data.read_sql`` splits the query into hash-sharded
+        partitions executed as parallel read tasks — the analogue of the
+        JDBC partitionColumn/numPartitions knobs. Without shard keys the
+        read is one task (correct for small dimension tables; pass keys for
+        anything big)."""
+        kwargs = {}
+        if shard_keys:
+            kwargs["shard_keys"] = shard_keys
+            kwargs["parallelism"] = parallelism
+        self._datasets[name] = ray.data.read_sql(sql, connection_factory, **kwargs)
+
     def register_text(self, name: str, path: str, *, text_col: str = "text") -> None:
         """Raw text corpus: ONE DOCUMENT PER LINE (the common LLM-corpus
         layout; .gz transparent via Arrow). Each row gets a deterministic
