@@ -992,6 +992,44 @@ _SQL_EXPR = """
 """
 
 
+def _nested_search(sf_dir: str):
+    """ES nested-query semantics over the A19 orders/lineitem build: parents
+    where SOME SINGLE lineitem has quantity 12 AND linenumber 7 (a flattened
+    mapping would also match orders where different items carry the two
+    values — the exact leak `nested` prevents). Full SQL oracle on the
+    match SET; rank+score identity is pinned in tests/test_nested.py."""
+    from elasticsearch_data_import_handler_ray.index.nested import (
+        NestedEngine,
+        build_nested_index,
+    )
+    from elasticsearch_data_import_handler_ray.pipelines.relational import q_nested_build
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    key = (os.path.abspath(sf_dir), "nested")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="edih_nested_idx_")
+        build_nested_index(
+            q_nested_build(sf_dir),
+            idx,
+            parent_id_col="o_orderkey",
+            nested_col="items",
+            sub_fields=["l_linenumber", "l_quantity"],
+            config=IndexConfig(analyzer="whitespace", num_segments=4),
+        )
+        _INDEX_CACHE[key] = idx
+    eng = NestedEngine(idx)
+    try:
+        hits = eng.nested_search(
+            {"l_quantity": "12", "l_linenumber": "7"}, mode="and", k=10**9
+        )
+    finally:
+        eng.close()
+    return pa.table(
+        {"parent_id": pa.array(sorted(int(p) for p, _ in hits), type=pa.int64())}
+    )
+
+
 _SQL_MULTI = """
     SELECT c.c_mktsegment,
            count(*)::BIGINT AS n_orders,
@@ -1536,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sql_expr": _sql_expr,
             "sql_multi_prep": _sql_multi,
             "sql_db_source": _sql_db_source,
+            "nested_search": _nested_search,
             "multimodal_decode": _multimodal,
             "chunk_text": _chunk_text,
             "redact": _redact,
@@ -1945,6 +1984,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, SUM(n_chars)::BIGINT AS sum_chars,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "nested_search": """
+            SELECT DISTINCT l_orderkey AS parent_id FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) = 12 AND l_linenumber = 7
+            ORDER BY parent_id
         """,
         "window_rank": """
             SELECT l_orderkey, l_linenumber,

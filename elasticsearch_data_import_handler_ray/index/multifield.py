@@ -161,6 +161,8 @@ class MultiFieldEngine:
     """Driver facade over per-field sub-indexes (mirrors QueryEngine's
     2-round scatter/gather; never calls ray.init)."""
 
+    SHARD_CLS = MultiFieldShard  # subclasses (index/nested.py) swap the actor
+
     def __init__(self, index_dir: str, *, actor_num_cpus: float | None = None):
         with open(os.path.join(index_dir, "multifield.json")) as fh:
             self.weights: dict[str, float] = json.load(fh)["fields"]
@@ -180,7 +182,7 @@ class MultiFieldEngine:
         total = float(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4.0
         if actor_num_cpus is None:
             actor_num_cpus = max(0.01, min(0.25, (total * 0.5) / max(cfg0.num_segments, 1)))
-        remote = ray.remote(num_cpus=actor_num_cpus)(MultiFieldShard)
+        remote = ray.remote(num_cpus=actor_num_cpus)(type(self).SHARD_CLS)
         # group seg ids onto ≤ CPU actors; the SAME seg grouping for every
         # field keeps doc shards aligned within one actor
         seg_dirs = {
