@@ -285,12 +285,16 @@ def run_build_only() -> dict:
         with open(os.path.join(corpus, f), "rb") as fh:
             fh.read()
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    # GRAFT_SCALING_POSITIONS=1 runs the protocol on the positional build
+    # (heavier shuffle payload — the r3 check that the ≥0.8 bar is not a
+    # plain-postings artifact)
+    positions = os.environ.get("GRAFT_SCALING_POSITIONS", "") == "1"
     t0 = time.monotonic()
     res = build_index(
         corpus,
         INDEX_DIR,
         mode="full",
-        config=IndexConfig(analyzer="code", num_segments=32),
+        config=IndexConfig(analyzer="code", num_segments=32, positions=positions),
         compute_sha=True,
     )
     build_s = time.monotonic() - t0
