@@ -326,11 +326,51 @@ class PostingBlocks:
     def __init__(self, blob: bytes | np.ndarray):
         b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
         self._buf = b
-        # ONE terminal-byte scan for the whole blob; every header read below
-        # walks this index instead of rescanning remaining bytes
+        # ONE terminal-byte scan for the whole blob; term_pos[v] is the last
+        # byte of value v, so the blob is addressable by VALUE INDEX
         term_pos = np.flatnonzero((b & 0x80) == 0)
-        (df,), off = _read_varbytes(b, 0, 1, term_pos)
+        (df,), _ = _read_varbytes(b, 0, 1, term_pos)
         self.df = int(df)
+        # The encoder emits FULL blocks (BLOCK_SIZE docs) except the last, so
+        # every block carries exactly 5 header + (3·BLOCK_SIZE − 1) payload
+        # values and the header VALUE indices are closed-form — the whole
+        # header table decodes in a few vectorized passes instead of the old
+        # per-block Python walk (measured 1.3 s for an 18.5k-block list; the
+        # walk was the block-max scorer's cold-start tax).
+        nb = max(1, -(-self.df // BLOCK_SIZE))
+        vpb = 5 + 3 * BLOCK_SIZE - 1  # values per full block
+        hdr0 = 1 + vpb * np.arange(nb, dtype=np.int64)  # first header value idx
+        hdr_idx = (hdr0[:, None] + np.arange(5)).ravel()  # all header value idx
+        if nb > 1 and hdr_idx[-1] >= len(term_pos):
+            # not the fixed-block layout this closed form assumes — fall back
+            self._init_sequential(b, term_pos)
+            return
+        # gather ONLY the header values' bytes and decode them in one pass
+        starts = np.where(hdr_idx > 0, term_pos[hdr_idx - 1] + 1, 0)
+        ends = term_pos[hdr_idx] + 1
+        widths = ends - starts
+        sel = np.repeat(starts, widths) + (
+            np.arange(int(widths.sum())) - np.repeat(np.cumsum(widths) - widths, widths)
+        )
+        hdr_vals = varbyte_decode(b[sel], count=5 * nb).reshape(nb, 5)
+        counts = hdr_vals[:, 0].astype(np.int64)
+        expect = np.full(nb, BLOCK_SIZE, dtype=np.int64)
+        expect[-1] = self.df - BLOCK_SIZE * (nb - 1)
+        if not np.array_equal(counts, expect):
+            self._init_sequential(b, term_pos)  # layout drifted — be safe
+            return
+        self.n = nb
+        self.counts = counts
+        self.first_docs = hdr_vals[:, 1].copy()
+        self.max_tfs = hdr_vals[:, 2].copy()
+        self.min_dls = hdr_vals[:, 3].copy()
+        self._pay_len = hdr_vals[:, 4].astype(np.int64)
+        self._pay_off = term_pos[hdr_idx.reshape(nb, 5)[:, 4]] + 1
+
+    def _init_sequential(self, b: np.ndarray, term_pos: np.ndarray) -> None:
+        """Reference header walk (also the fallback for any non-fixed-block
+        layout): one _read_varbytes per block header."""
+        off = int(term_pos[0]) + 1
         counts, firsts, maxtfs, mindls, poffs, plens = [], [], [], [], [], []
         remaining = self.df
         while remaining > 0:
@@ -355,21 +395,35 @@ class PostingBlocks:
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Bulk-decode every block in ONE varbyte pass (queries over large
         postings were dominated by per-block decode call overhead)."""
-        if self.n == 0:
+        return self.decode_many(np.arange(self.n, dtype=np.int64))
+
+    def decode_many(
+        self, blocks: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode an ascending SUBSET of blocks in one varbyte pass —
+        (doc_ids, tfs, dls) concatenated in block order. The block-max
+        scorer's per-round workhorse: a round touching 50 blocks costs one
+        vectorized decode, not 50 python calls."""
+        blocks = np.asarray(blocks, dtype=np.int64)
+        if len(blocks) == 0 or self.n == 0:
             z = np.empty(0, dtype=np.uint64)
             return z, z.copy(), z.copy()
-        n_b = self.counts
+        n_b = self.counts[blocks]
         payload = np.concatenate(
-            [self._buf[s : s + l] for s, l in zip(self._pay_off, self._pay_len)]
+            [
+                self._buf[self._pay_off[i] : self._pay_off[i] + self._pay_len[i]]
+                for i in blocks
+            ]
         )
         v_b = 3 * n_b - 1  # values per block: gaps(n-1) + tfs(n) + dls(n)
         vals = varbyte_decode(payload, count=int(v_b.sum()))
-        vs = np.zeros(self.n, dtype=np.int64)
-        if self.n > 1:
+        k = len(blocks)
+        vs = np.zeros(k, dtype=np.int64)
+        if k > 1:
             np.cumsum(v_b[:-1], out=vs[1:])
         total = int(n_b.sum())
-        starts = np.zeros(self.n, dtype=np.int64)
-        if self.n > 1:
+        starts = np.zeros(k, dtype=np.int64)
+        if k > 1:
             np.cumsum(n_b[:-1], out=starts[1:])
         j = np.arange(total, dtype=np.int64) - np.repeat(starts, n_b)  # pos in block
         base = np.repeat(vs, n_b)
@@ -380,8 +434,7 @@ class PostingBlocks:
         nz = j > 0
         g[nz] = vals[(base + j - 1)[nz]]
         cs = np.cumsum(g)
-        block_start_pos = starts
-        ids = np.repeat(self.first_docs, n_b) + (cs - np.repeat(cs[block_start_pos], n_b))
+        ids = np.repeat(self.first_docs[blocks], n_b) + (cs - np.repeat(cs[starts], n_b))
         return ids.astype(np.uint64), tfs, dls
 
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -559,19 +559,36 @@ def _score_bmw(
                 if full is not None:
                     ids, tfs_a, dls_a = full
                 else:
-                    parts = []
-                    for c in blks.tolist():  # ascending → concat ids sorted
-                        arrs = decoded.get((t_idx, c))
-                        if arrs is None:
-                            arrs = pb.decode_block(c)
-                            decoded[(t_idx, c)] = arrs
-                        parts.append(arrs)
+                    missing = np.array(
+                        [c for c in blks.tolist() if (t_idx, c) not in decoded],
+                        dtype=np.int64,
+                    )
+                    if len(missing):
+                        # one vectorized pass for every block this round needs
+                        m_ids, m_tfs, m_dls = pb.decode_many(missing)
+                        bounds_m = np.concatenate(
+                            [[0], np.cumsum(pb.counts[missing])]
+                        )
+                        for bi, c in enumerate(missing.tolist()):
+                            s, e = bounds_m[bi], bounds_m[bi + 1]
+                            decoded[(t_idx, c)] = (m_ids[s:e], m_tfs[s:e], m_dls[s:e])
+                    parts = [decoded[(t_idx, c)] for c in blks.tolist()]
                     ids = np.concatenate([p[0] for p in parts])
                     tfs_a = np.concatenate([p[1] for p in parts])
                     dls_a = np.concatenate([p[2] for p in parts])
-                inside = (np.searchsorted(flat, ids, side="right") & 1).astype(bool)
-                if inside.any():
-                    per_term.append((t, ids[inside], tfs_a[inside], dls_a[inside]))
+                # gather rows inside the batch's intervals by RANGE — two
+                # searchsorteds of the (sorted, disjoint) interval bounds
+                # into ids, O(batch·log n + selected); a parity mask over
+                # the whole list re-scanned big lists every round
+                lo_i = np.searchsorted(ids, flat[0::2], side="left")
+                hi_i = np.searchsorted(ids, flat[1::2], side="left")
+                lens = hi_i - lo_i
+                total = int(lens.sum())
+                if total:
+                    sel_idx = np.repeat(lo_i, lens) + (
+                        np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                    )
+                    per_term.append((t, ids[sel_idx], tfs_a[sel_idx], dls_a[sel_idx]))
             if not per_term:
                 continue
             union = np.unique(np.concatenate([x[1] for x in per_term]))
