@@ -153,6 +153,22 @@ def main(argv: list[str] | None = None) -> int:
         help="module:attr of a dict mapping step names to Dataset->Dataset fns",
     )
 
+    nb = sub.add_parser("nested-build", help="index a list<struct> column with ES nested semantics")
+    nb.add_argument("corpus", help="parquet file/dir holding the parent table")
+    nb.add_argument("index_dir")
+    nb.add_argument("--parent-id-col", required=True)
+    nb.add_argument("--nested-col", required=True)
+    nb.add_argument("--sub-fields", required=True, help="comma-separated struct field names")
+    nb.add_argument("--analyzer", default="whitespace")
+    nb.add_argument("--num-segments", type=int, default=4)
+
+    nq = sub.add_parser("nested-query", help="nested match: field=text clauses on the SAME child")
+    nq.add_argument("index_dir")
+    nq.add_argument("clauses", nargs="+", help="field=text pairs (repeat fields allowed)")
+    nq.add_argument("--mode", default="and", choices=["and", "or"])
+    nq.add_argument("--score-mode", default="max", choices=["max", "sum", "avg"])
+    nq.add_argument("-k", type=int, default=10)
+
     args = p.parse_args(argv)
 
     import ray
@@ -441,6 +457,39 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.spec_json) as f:
                 spec = PipelineSpec.from_dict(json.load(f), registry)
             print(json.dumps(run_pipeline(spec)))
+        elif args.cmd == "nested-build":
+            import ray.data as rd
+
+            from .index.nested import build_nested_index
+            from .state.manifest import IndexConfig
+
+            res = build_nested_index(
+                rd.read_parquet(args.corpus),
+                args.index_dir,
+                parent_id_col=args.parent_id_col,
+                nested_col=args.nested_col,
+                sub_fields=args.sub_fields.split(","),
+                config=IndexConfig(analyzer=args.analyzer, num_segments=args.num_segments),
+            )
+            print(json.dumps({f: {"n_docs": r.n_docs, "n_postings": r.n_postings}
+                              for f, r in res.items()}))
+        elif args.cmd == "nested-query":
+            from .index.nested import NestedEngine
+
+            pairs = []
+            for c in args.clauses:
+                if "=" not in c:
+                    raise SystemExit(f"clause must be field=text, got {c!r}")
+                f, text = c.split("=", 1)
+                pairs.append((f, text))
+            eng = NestedEngine(args.index_dir)
+            try:
+                hits = eng.nested_search(
+                    pairs, k=args.k, mode=args.mode, score_mode=args.score_mode
+                )
+            finally:
+                eng.close()
+            print(json.dumps([{"parent_id": p, "score": round(s, 6)} for p, s in hits]))
     finally:
         ray.shutdown()
     return 0

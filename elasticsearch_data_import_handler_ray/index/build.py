@@ -269,6 +269,7 @@ def build_index(
         _SORT_INPUT_BYTES_MAX = 4 << 30
         ctx = ray.data.DataContext.get_current()
         prev_strategy = ctx.shuffle_strategy
+        total_cpus = int(ray.cluster_resources().get("CPU", 4))
         override = os.environ.get("EDIH_SHUFFLE_STRATEGY")
         if override is None:
             in_bytes = 0
@@ -278,6 +279,17 @@ def build_index(
                 except OSError:
                     pass
             use_hash = config.positions or in_bytes > _SORT_INPUT_BYTES_MAX
+            # Hash shuffle holds PERSISTENT aggregator actors for the whole
+            # exchange; below ~8 CPUs those + the segment-builder actor pool
+            # reserve every core and the upstream read/tokenize tasks starve
+            # — observed as a full livelock at num_cpus=4 (0 tasks anywhere,
+            # shuffle "backpressured:tasks" forever). Sort shuffle is plain
+            # tasks and interleaves, so small hosts take it even for
+            # positional builds (their corpora are small-scale by
+            # construction; the spill cliff that motivates hash needs data
+            # volumes a 4-CPU host never sees).
+            if total_cpus < 8:
+                use_hash = False
         else:
             use_hash = override == "hash"
         ctx.shuffle_strategy = (
@@ -308,8 +320,12 @@ def build_index(
             # (32 CPUs: 8 actors → 17 s, 16 actors → 56 s) and a larger pool
             # also starves the upstream read/tokenize stages
             # (ray_guide.md "Stateful stages = actor pools").
-            total = int(ray.cluster_resources().get("CPU", 4))
-            segment_concurrency = max(2, min(config.num_segments, total // 4))
+            # ≤1 encoder actor per 4 CPUs (memory-bandwidth sweet spot), and
+            # never more than half the host: at 4 CPUs a floor of 2 actors
+            # plus shuffle work left nothing for the read stage
+            segment_concurrency = max(
+                1, min(config.num_segments, total_cpus // 4, total_cpus // 2)
+            )
 
         # Strategy chosen above (before dataset creation). num_partitions is
         # honored by the hash path (one whole-segment task per partition);
