@@ -145,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
     ri.add_argument("--num-segments", type=int, default=None)
     ri.add_argument("--positions", action="store_true")
 
-    pl = sub.add_parser("pipeline", help="run a JSON pipeline spec (the reference's config file)")
+    pl = sub.add_parser(
+        "pipeline", help="run a pipeline spec — JSON, or HOCON for .conf files"
+    )
     pl.add_argument("spec_json")
     pl.add_argument(
         "--registry",
@@ -454,8 +456,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.registry:
                 mod, attr = args.registry.split(":")
                 registry = getattr(importlib.import_module(mod), attr)
-            with open(args.spec_json) as f:
-                spec = PipelineSpec.from_dict(json.load(f), registry)
+            if args.spec_json.endswith((".conf", ".hocon")):
+                from .pipelines.hocon import load_config_file
+
+                spec = PipelineSpec.from_dict(load_config_file(args.spec_json), registry)
+            else:
+                with open(args.spec_json) as f:
+                    spec = PipelineSpec.from_dict(json.load(f), registry)
             print(json.dumps(run_pipeline(spec)))
         elif args.cmd == "nested-build":
             import ray.data as rd
