@@ -1382,6 +1382,34 @@ def _hybrid_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _query_string_search(sf_dir: str):
+    """Lucene/ES ``query_string`` mini-language (the `q=` surface): AND/OR/
+    NOT, +/-, parentheses, "phrases"~slop, wild*ards, fuzzy~N, ^boosts — one
+    compiled tree per query, ONE scatter, sorted-array set algebra per shard
+    (index/querystring.py). Rows-only — bit-identity vs the naive
+    query_string_oracle (and vs search/bool_search for flat reductions) is
+    pinned in tests/test_querystring.py."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "pos"))
+    qs = [
+        "table AND scan",
+        "(hash OR merge) AND join NOT slow",
+        "+group sort^2 batch",
+        'scan* AND "table scan"',
+        "qery~1 row",
+    ]
+    rows = []
+    try:
+        for qi, q in enumerate(qs):
+            for rank, (doc_id, score) in enumerate(eng.query_string(q, k=10), 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _bool_search(sf_dir: str):
     """Composed ES bool query (must + should + must_not + msm in one
     scatter). Rows-only — bit-identity vs the per-class-hit oracle pinned in
@@ -1568,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "percolate": _percolate,
             "pipeline_agg_search": _pipeline_agg_search,
             "bool_search": _bool_search,
+            "query_string_search": _query_string_search,
             "hybrid_search": _hybrid_search,
             "phrase_prefix_search": _phrase_prefix_search,
             "multifield_search": _multifield_search,

@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="search_after cursor from the previous page's last hit")
     q.add_argument("--regexp", action="store_true",
                    help="treat the query as an anchored regexp over dictionary terms")
+    q.add_argument("--query-string", action="store_true", dest="query_string",
+                   help='parse TEXT as the Lucene query_string mini-language '
+                        '(AND/OR/NOT, +/-, parens, "phrase"~slop, wild*ards, '
+                        "fuzzy~N, ^boost; -k 0 prints the full match set)")
     q.add_argument("--mlt", action="store_true",
                    help="more_like_this: the query is a like-text (or a doc_id if integer)")
     q.add_argument("--cardinality", default=None, metavar="FIELD",
@@ -308,6 +312,8 @@ def main(argv: list[str] | None = None) -> int:
                     results = []
                 elif args.regexp:
                     results = [eng.search_regexp(t, k=args.k) for t in args.text]
+                elif args.query_string:
+                    results = [eng.query_string(t, k=args.k) for t in args.text]
                 elif args.mlt:
                     results = [
                         eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)

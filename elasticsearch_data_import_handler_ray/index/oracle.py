@@ -473,3 +473,113 @@ class PhraseOracle(BM25Oracle):
             )
         top = bm25.topk_indices(scores, matched, k)
         return [(int(matched[i]), float(scores[i])) for i in top]
+
+
+def _qs_oracle_node(oracle, node: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Naive mirror of QueryShard._qs_eval over the WHOLE corpus (no shards,
+    no index): evaluate one compiled query_string node (index/querystring.py)
+    → (doc_ids sorted asc, scores). Shares the compiled tree's embedded idfs
+    and the engine's accumulation order (must then should in written order,
+    leaf groups ascending-term) so scores are bit-identical."""
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+    kind = node["kind"]
+    boost = node.get("boost", 1.0)
+    if kind == "none":
+        return empty
+    if kind == "term":
+        p = oracle.postings.get(node["term"])
+        if p is None:
+            return empty
+        ids, tfs = p
+        dls = oracle.doc_lens[np.searchsorted(oracle.all_docs, ids)]
+        sc = bm25.contribution(node["idf"], tfs, dls, oracle.avgdl, oracle.k1, oracle.b)
+        return ids, (sc * boost if boost != 1.0 else sc)
+    if kind == "group":
+        per = [(t, *oracle.postings[t]) for t in node["terms"] if t in oracle.postings]
+        msm = max(1, int(node.get("msm", 1)))
+        if len(per) < msm:
+            return empty
+        union = np.unique(np.concatenate([ids for _, ids, _ in per]))
+        scores = np.zeros(len(union), dtype=np.float64)
+        hits = np.zeros(len(union), dtype=np.int32)
+        dls_u = oracle.doc_lens[np.searchsorted(oracle.all_docs, union)]
+        for t, ids, tfs in per:
+            pos = np.searchsorted(union, ids)
+            scores[pos] += bm25.contribution(
+                node["idfs"][t], tfs, dls_u[pos], oracle.avgdl, oracle.k1, oracle.b
+            )
+            hits[pos] += 1
+        if msm > 1:
+            m = hits >= msm
+            union, scores = union[m], scores[m]
+        return union, (scores * boost if boost != 1.0 else scores)
+    if kind == "phrase":
+        phrase, slop = node["phrase"], int(node.get("slop", 0))
+        doc_tokens = getattr(oracle, "doc_tokens", None)
+        if doc_tokens is None:
+            raise ValueError("phrase clauses need a PhraseOracle")
+        n = len(phrase)
+        if slop > 0:
+            match = lambda toks: PhraseOracle._sloppy_doc_match(toks, phrase, slop)  # noqa: E731
+        else:
+            match = lambda toks: any(  # noqa: E731
+                toks[i : i + n] == phrase for i in range(len(toks) - n + 1)
+            )
+        matched = np.array(
+            sorted(d for d, toks in doc_tokens.items() if match(toks)), dtype=np.uint64
+        )
+        if len(matched) == 0:
+            return empty
+        scores = np.zeros(len(matched), dtype=np.float64)
+        dls = oracle.doc_lens[np.searchsorted(oracle.all_docs, matched)]
+        for t in sorted(set(phrase)):
+            ids, tfs = oracle.postings[t]
+            sel = np.searchsorted(ids, matched)
+            scores += bm25.contribution(
+                node["idfs"][t], tfs[sel], dls, oracle.avgdl, oracle.k1, oracle.b
+            )
+        return matched, (scores * boost if boost != 1.0 else scores)
+    # bool
+    must = [_qs_oracle_node(oracle, c) for c in node["must"]]
+    should = [_qs_oracle_node(oracle, c) for c in node["should"]]
+    if node["must"]:
+        base = must[0][0]
+        for ids, _ in must[1:]:
+            base = np.intersect1d(base, ids, assume_unique=True)
+    else:
+        if not should:
+            return empty
+        msm = max(1, int(node.get("msm", 1)))
+        union = np.unique(np.concatenate([ids for ids, _ in should])) if should else np.empty(0, np.uint64)
+        hits = np.zeros(len(union), dtype=np.int32)
+        for ids, _ in should:
+            hits[np.searchsorted(union, ids)] += 1
+        base = union[hits >= msm]
+    if len(base) == 0:
+        return empty
+    for c in node["must_not"]:
+        ids_mn, _ = _qs_oracle_node(oracle, c)
+        if len(ids_mn):
+            base = base[~np.isin(base, ids_mn, assume_unique=True)]
+            if len(base) == 0:
+                return empty
+    scores = np.zeros(len(base), dtype=np.float64)
+    for ids, sc in must + should:
+        if len(ids) == 0:
+            continue
+        m = np.isin(ids, base, assume_unique=True)
+        if m.any():
+            scores[np.searchsorted(base, ids[m])] += sc[m]
+    return base, (scores * boost if boost != 1.0 else scores)
+
+
+def query_string_oracle(oracle, compiled: dict, k: int = 10) -> list[tuple[int, float]]:
+    """Top-k of a compiled query_string tree against the naive oracle (the
+    engine-identity target for tests/test_querystring.py)."""
+    ids, scores = _qs_oracle_node(oracle, compiled)
+    if len(ids) == 0:
+        return []
+    if k <= 0:
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+    top = bm25.topk_indices(scores, ids, k)
+    return [(int(ids[i]), float(scores[i])) for i in top]

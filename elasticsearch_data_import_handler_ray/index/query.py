@@ -1436,6 +1436,139 @@ class QueryShard:
             out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])
         return out
 
+    # ------------------------------------------------- query_string evaluator
+    # (index/querystring.py builds the compiled trees on the driver; one
+    # scatter ships them here, so an arbitrarily nested boolean costs the
+    # same RPC rounds as a flat search)
+
+    def _qs_eval(
+        self, ri: int, node: dict, avgdl: float, k1: float, b: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Evaluate one compiled query_string node against ONE reader →
+        (doc_ids sorted asc, scores). Set algebra on the sorted posting id
+        arrays; scores follow the Lucene sum-of-matching-clauses rule with
+        children accumulated in written order (leaf groups ascending-term,
+        the repo-wide bit-exactness rule)."""
+        from .tombstones import in_sorted
+
+        empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+        kind = node["kind"]
+        if kind == "none":
+            return empty
+        if kind == "term":
+            arrs = self._decoded(ri, node["term"])
+            if arrs is None:
+                return empty
+            ids, tfs, dls = arrs
+            scores = bm25.contribution(node["idf"], tfs, dls, avgdl, k1, b)
+            dd = self.dead[ri]
+            if dd is not None:
+                alive = ~in_sorted(ids, dd)
+                ids, scores = ids[alive], scores[alive]
+            boost = node.get("boost", 1.0)
+            return ids, (scores * boost if boost != 1.0 else scores)
+        if kind == "group":
+            per = []
+            for t in node["terms"]:  # pre-sorted ascending by the compiler
+                arrs = self._decoded(ri, t)
+                if arrs is not None:
+                    per.append((t, *arrs))
+            msm = max(1, int(node.get("msm", 1)))
+            if len(per) < msm:
+                return empty
+            union = np.unique(np.concatenate([ids for _, ids, _, _ in per]))
+            scores = np.zeros(len(union), dtype=np.float64)
+            hits = np.zeros(len(union), dtype=np.int32)
+            for t, ids, tfs, dls in per:
+                pos = np.searchsorted(union, ids)
+                scores[pos] += bm25.contribution(node["idfs"][t], tfs, dls, avgdl, k1, b)
+                hits[pos] += 1
+            dd = self.dead[ri]
+            if dd is not None:
+                alive = ~in_sorted(union, dd)
+                union, scores, hits = union[alive], scores[alive], hits[alive]
+            if msm > 1:
+                m = hits >= msm
+                union, scores = union[m], scores[m]
+            boost = node.get("boost", 1.0)
+            return union, (scores * boost if boost != 1.0 else scores)
+        if kind == "phrase":
+            heap: list = []
+            _score_phrase(
+                [self.readers[ri]], node["phrase"], node["idfs"], avgdl,
+                1 << 60, heap, k1=k1, b=b, get_decoded=self._decoded,
+                reader_offset=ri, get_dead=lambda i: self.dead[i],
+                slop=int(node.get("slop", 0)),
+            )
+            if not heap:
+                return empty
+            ids = np.array([-negd for _, negd in heap], dtype=np.uint64)
+            scores = np.array([s for s, _ in heap], dtype=np.float64)
+            order = np.argsort(ids)
+            boost = node.get("boost", 1.0)
+            scores = scores[order]
+            return ids[order], (scores * boost if boost != 1.0 else scores)
+        # bool
+        must = [self._qs_eval(ri, c, avgdl, k1, b) for c in node["must"]]
+        should = [self._qs_eval(ri, c, avgdl, k1, b) for c in node["should"]]
+        if node["must"]:
+            base = must[0][0]
+            for ids, _ in must[1:]:
+                base = np.intersect1d(base, ids, assume_unique=True)
+        else:
+            msm = max(1, int(node.get("msm", 1)))
+            if not should:
+                return empty
+            union = np.unique(np.concatenate([ids for ids, _ in should]))
+            hits = np.zeros(len(union), dtype=np.int32)
+            for ids, _ in should:
+                hits[np.searchsorted(union, ids)] += 1
+            base = union[hits >= msm]
+        if len(base) == 0:
+            return empty
+        for c in node["must_not"]:
+            ids_mn, _ = self._qs_eval(ri, c, avgdl, k1, b)
+            if len(ids_mn):
+                base = base[~in_sorted(base, ids_mn)]
+                if len(base) == 0:
+                    return empty
+        scores = np.zeros(len(base), dtype=np.float64)
+        for ids, sc in must + should:
+            if len(ids) == 0:
+                continue
+            m = in_sorted(ids, base)
+            if m.any():
+                scores[np.searchsorted(base, ids[m])] += sc[m]
+        boost = node.get("boost", 1.0)
+        return base, (scores * boost if boost != 1.0 else scores)
+
+    def query_string_batch(
+        self, trees: list[dict], k: int, avgdl: float, k1: float, b: float
+    ) -> list[list[tuple[float, int]]]:
+        """Per compiled tree: this shard's matches as (score, doc_id) —
+        top-k when k > 0, ALL matches when k <= 0 (the match-set/count
+        shape, e.g. the SQL-oracle entry)."""
+        out = []
+        for tree in trees:
+            ids_all: list[np.ndarray] = []
+            sc_all: list[np.ndarray] = []
+            for ri in range(len(self.readers)):
+                ids, sc = self._qs_eval(ri, tree, avgdl, k1, b)
+                if len(ids):
+                    ids_all.append(ids)
+                    sc_all.append(sc)
+            if not ids_all:
+                out.append([])
+                continue
+            ids = np.concatenate(ids_all)  # readers hold disjoint docs
+            sc = np.concatenate(sc_all)
+            if k > 0:
+                top = bm25.topk_indices(sc, ids, k)
+                out.append([(float(sc[i]), int(ids[i])) for i in top])
+            else:
+                out.append([(float(s), int(d)) for s, d in zip(sc, ids)])
+        return out
+
 
 class QueryEngine:
     """Driver-side facade. Spawns the shard actor pool lazily on first use and
@@ -1908,6 +2041,109 @@ class QueryEngine:
             "filters": filters,
         }
         return self.search_many([q], k=k, method="exhaustive")[0]
+
+    def query_string(
+        self,
+        q: str,
+        *,
+        k: int = 10,
+        default_operator: str = "or",
+        max_expansions: int = 50,
+    ) -> list[tuple[int, float]]:
+        """ES/Lucene ``query_string`` mini-language over this index — the
+        `q=`-parameter surface the reference's users query ES with (see
+        index/querystring.py for the grammar: AND/OR/NOT, +/-, parentheses,
+        "phrases"~slop, wild*ards, fuzzy~N, ^boosts, \\ escapes).
+
+        Execution: parse + analyze + wildcard/prefix/fuzzy expansion on the
+        driver (one parallel expansion wave + the cached df round), then the
+        compiled tree ships to every shard in ONE scatter and is evaluated
+        with sorted-array set algebra — an arbitrarily nested boolean costs
+        the same RPC rounds as a flat search. Scores follow the Lucene
+        sum-of-matching-clauses rule (each leaf BM25 · boost), so a flat OR
+        is bit-identical to ``search(mode="or")``.
+
+        ``k <= 0`` returns the FULL match set (count/match-set shape)."""
+        from . import querystring as qs
+
+        tree = qs.parse(q, default_operator)
+        leaves = qs.collect_leaves(tree)
+        field_col = self.man.config.content_col
+        for lf in leaves:
+            f, _ = qs.split_field(lf.text)
+            if f is not None and f != field_col:
+                raise ValueError(
+                    f"field {f!r} is not indexed here (single-field index over "
+                    f"{field_col!r}; use index/multifield.py for multi-field)"
+                )
+        if any(lf.kind == "phrase" for lf in leaves) and not self.man.config.positions:
+            raise ValueError(
+                "phrase clauses need a positional index (IndexConfig(positions=True))"
+            )
+        # one parallel expansion wave for ALL multi-term leaves (prefix /
+        # wildcard / fuzzy): fire every per-shard expand, gather once
+        expansions: dict[tuple[str, str], list[str]] = {}
+        waves: list[tuple[tuple[str, str], list[str], list]] = []
+        for lf in leaves:
+            key = (lf.kind, lf.text)
+            if lf.kind not in ("prefix", "wildcard", "fuzzy") or key in expansions:
+                continue
+            expansions[key] = []
+            body = qs.split_field(lf.text)[1]
+            if lf.kind == "wildcard":
+                pat = body.lower()
+                waves.append(
+                    (key, [], [a.expand_wildcard.remote(pat, max_expansions) for a in self._actors])
+                )
+                continue
+            toks = self.analyzer.analyze_query(body)
+            if not toks:
+                continue
+            seed, rest = toks[-1], toks[:-1]
+            if lf.kind == "prefix":
+                futs = [a.expand_prefix.remote(seed, max_expansions) for a in self._actors]
+            else:
+                futs = [
+                    a.expand_fuzzy.remote(seed, lf.edits, max_expansions) for a in self._actors
+                ]
+            waves.append((key, rest, futs))
+        for key, rest, futs in waves:
+            per = ray.get(futs)
+            expanded = sorted(set().union(*map(set, per)))[:max_expansions]
+            expansions[key] = sorted(set(rest) | set(expanded))
+        # global dfs for every term the tree can reference, then compile
+        all_terms: set[str] = set()
+        for lf in leaves:
+            if lf.kind == "term":
+                all_terms.update(self.analyzer.analyze_query(qs.split_field(lf.text)[1]))
+            elif lf.kind == "phrase":
+                all_terms.update(self.analyzer.analyze_query(lf.text))
+        for terms in expansions.values():
+            all_terms.update(terms)
+        terms_sorted = sorted(all_terms)
+        dfs = dict(zip(terms_sorted, self.global_dfs(terms_sorted).tolist()))
+        idf_of = lambda t: float(bm25.idf(self.N, dfs[t]))  # noqa: E731
+        compiled = qs.compile_tree(
+            tree, self.analyzer, dfs, idf_of, expansions, default_operator
+        )
+        if compiled["kind"] == "none":
+            return []
+        shard_results = ray.get(
+            [
+                a.query_string_batch.remote([compiled], k, self.avgdl, self.k1, self.b)
+                for a in self._actors
+            ]
+        )
+        cand = [c for sr in shard_results for c in sr[0]]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        if k <= 0:
+            order = np.argsort(docs)
+            return [(int(docs[i]), float(scores[i])) for i in order]
+        top = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in top]
 
     def search_synonyms(
         self,

@@ -1,0 +1,361 @@
+"""Lucene/ES ``query_string`` syntax → executable query tree (§2.B surface).
+
+The reference imported documents INTO Elasticsearch and left querying to ES;
+its users' day-one query surface is the Lucene query-string mini-language
+(`q=...` / `query_string` query). This module rebuilds that surface for the
+from-scratch engine:
+
+  parse()    raw string → syntax tree (pure, no index access)
+  compile_…  syntax tree → a picklable EVALUATION tree: terms analyzed with
+             the index analyzer, wildcard/prefix/fuzzy leaves expanded
+             against the term dictionary (capped), global idfs embedded
+             (driver side, 1 df scatter round)
+  the tree then ships to every QueryShard in ONE scatter and is evaluated
+  per shard with sorted-array set algebra (see QueryShard._qs_eval) — no
+  extra RPC rounds beyond plain search.
+
+Supported grammar (the practical ES subset):
+
+  a b             two clauses joined by the default operator (or|and)
+  a AND b         both required            (also &&)
+  a OR b          either                   (also ||)
+  NOT a / -a / !a excluded (must_not)
+  +a              required even when siblings are optional
+  (a OR b) AND c  grouping
+  "big data"      exact phrase (positional index required)
+  "big data"~2    phrase with slop
+  fuzz~1 / fuzz~  fuzzy term (Levenshtein ≤ N, default 2)
+  pre*            prefix expansion
+  w*ld / w?ld     wildcard expansion
+  term^2.5        clause boost (any clause/group may carry ^boost)
+  field:term      accepted only when ``field`` names the indexed column
+  \\*  \\"  \\:     backslash escapes any special character
+
+Semantics (ES bool): a doc matches a node iff every ``must`` child matches,
+no ``must_not`` child matches, and — when the node has no must children —
+at least ``minimum_should_match`` (default 1) should children match. Score =
+Σ of the matching scoring children (must then should, in written order; each
+leaf is BM25, multiplied by its boost), the Lucene sum-of-matching-clauses
+rule. Multi-term expansions (wildcard/prefix/fuzzy) rewrite to a scoring
+boolean (per-expanded-term BM25 with its own idf — Lucene's
+``rewrite=scoring_boolean``), accumulated in ascending-term order per the
+repo-wide bit-exactness rule. A purely negative query (only must_not
+clauses) is rejected, as standalone Lucene does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# --------------------------------------------------------------------- lexer
+_SPECIAL = set('+-!(){}[]^"~*?:\\/&|')
+
+
+@dataclass
+class _Tok:
+    kind: str  # word | quoted | op | lparen | rparen | plus | minus | boost | fuzz
+    text: str = ""
+    num: float = 0.0
+    wild: bool = False  # word contained an unescaped * or ?
+
+
+def _lex(q: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "(":
+            toks.append(_Tok("lparen")); i += 1
+        elif c == ")":
+            toks.append(_Tok("rparen")); i += 1
+        elif c == "+":
+            toks.append(_Tok("plus")); i += 1
+        elif c in "-!":
+            toks.append(_Tok("minus")); i += 1
+        elif c == "&" and q[i : i + 2] == "&&":
+            toks.append(_Tok("op", "AND")); i += 2
+        elif c == "|" and q[i : i + 2] == "||":
+            toks.append(_Tok("op", "OR")); i += 2
+        elif c == "^":
+            j = i + 1
+            while j < n and (q[j].isdigit() or q[j] in ".eE+-"):
+                j += 1
+            try:
+                toks.append(_Tok("boost", num=float(q[i + 1 : j])))
+            except ValueError:
+                raise ValueError(f"bad boost at position {i}: {q[i:j]!r}")
+            i = j
+        elif c == "~":
+            j = i + 1
+            while j < n and (q[j].isdigit() or q[j] == "."):
+                j += 1
+            toks.append(_Tok("fuzz", num=float(q[i + 1 : j]) if j > i + 1 else -1.0))
+            i = j
+        elif c == '"':
+            j, buf = i + 1, []
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    buf.append(q[j + 1]); j += 2
+                else:
+                    buf.append(q[j]); j += 1
+            if j >= n:
+                raise ValueError("unterminated quoted phrase")
+            toks.append(_Tok("quoted", "".join(buf)))
+            i = j + 1
+        else:
+            buf, wild = [], False
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()+^~"!':
+                if q[j] == "\\" and j + 1 < n:
+                    buf.append(q[j + 1]); j += 2
+                    continue
+                if q[j] in "&|" and q[j : j + 2] in ("&&", "||"):
+                    break
+                if q[j] == "-" and buf:  # in-word hyphen is literal
+                    buf.append(q[j]); j += 1
+                    continue
+                if q[j] in "*?":
+                    wild = True
+                buf.append(q[j]); j += 1
+            w = "".join(buf)
+            if w in ("AND", "OR", "NOT"):
+                toks.append(_Tok("op", w))
+            elif w:
+                toks.append(_Tok("word", w, wild=wild))
+            i = j
+    return toks
+
+
+# ----------------------------------------------------------------- parse AST
+@dataclass
+class Leaf:
+    kind: str  # term | phrase | wildcard | prefix | fuzzy
+    text: str
+    boost: float = 1.0
+    slop: int = 0
+    edits: int = 2
+
+
+@dataclass
+class Group:
+    """Parenthesized / operator-built bool of (occur, child) pairs."""
+
+    clauses: list = field(default_factory=list)  # [(occur, node)], occur ∈ must|should|must_not
+    boost: float = 1.0
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok], default_operator: str):
+        if default_operator not in ("or", "and"):
+            raise ValueError("default_operator must be 'or' or 'and'")
+        self.toks = toks
+        self.i = 0
+        self.default_occur = "must" if default_operator == "and" else "should"
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # expr := seq (OR seq)*
+    def parse_expr(self) -> Group:
+        alts = [self.parse_seq()]
+        while (t := self.peek()) is not None and t.kind == "op" and t.text == "OR":
+            self.next()
+            alts.append(self.parse_seq())
+        if len(alts) == 1:
+            return alts[0]
+        return Group(clauses=[("should", a) for a in alts])
+
+    # seq := clause ((AND|NOT|ε) clause)*
+    def parse_seq(self) -> Group:
+        g = Group()
+        force_must = False  # set when the previous separator was an explicit AND
+        while (t := self.peek()) is not None and not (
+            t.kind == "rparen" or (t.kind == "op" and t.text == "OR")
+        ):
+            if t.kind == "op" and t.text == "AND":
+                self.next()
+                # explicit AND promotes BOTH neighbours to must
+                if g.clauses and g.clauses[-1][0] == "should":
+                    g.clauses[-1] = ("must", g.clauses[-1][1])
+                force_must = True
+                continue
+            occur, node = self.parse_clause()
+            if occur == "default":
+                occur = "must" if force_must else self.default_occur
+            g.clauses.append((occur, node))
+            force_must = False
+        if not g.clauses:
+            raise ValueError("empty query")
+        return g
+
+    # clause := [+|-|NOT] primary [^boost]
+    def parse_clause(self) -> tuple[str, object]:
+        occur = "default"
+        t = self.peek()
+        if t is not None and t.kind == "plus":
+            self.next(); occur = "must"
+        elif t is not None and t.kind == "minus":
+            self.next(); occur = "must_not"
+        elif t is not None and t.kind == "op" and t.text == "NOT":
+            self.next(); occur = "must_not"
+        node = self.parse_primary()
+        t = self.peek()
+        if t is not None and t.kind == "boost":
+            self.next()
+            node.boost *= t.num
+        return occur, node
+
+    def parse_primary(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        if t.kind == "lparen":
+            self.next()
+            g = self.parse_expr()
+            t2 = self.peek()
+            if t2 is None or t2.kind != "rparen":
+                raise ValueError("missing closing parenthesis")
+            self.next()
+            return g
+        if t.kind == "quoted":
+            self.next()
+            leaf = Leaf("phrase", t.text)
+            nxt = self.peek()
+            if nxt is not None and nxt.kind == "fuzz":
+                self.next()
+                leaf.slop = int(nxt.num) if nxt.num >= 0 else 0
+            return leaf
+        if t.kind == "word":
+            self.next()
+            word = t.text
+            nxt = self.peek()
+            if nxt is not None and nxt.kind == "fuzz":
+                self.next()
+                edits = 2 if nxt.num < 0 else int(nxt.num)
+                return Leaf("fuzzy", word, edits=edits)
+            if t.wild:
+                if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+                    return Leaf("prefix", word[:-1])
+                return Leaf("wildcard", word)
+            return Leaf("term", word)
+        raise ValueError(f"unexpected token {t.kind} {t.text!r} in query")
+
+
+def parse(q: str, default_operator: str = "or") -> Group:
+    """Query string → syntax tree. Raises ValueError on malformed input."""
+    toks = _lex(q)
+    if not toks:
+        raise ValueError("empty query")
+    p = _Parser(toks, default_operator)
+    g = p.parse_expr()
+    if p.peek() is not None:
+        t = p.peek()
+        raise ValueError(f"trailing token {t.kind} {t.text!r}")
+    if isinstance(g, Leaf):  # single bare clause
+        g = Group(clauses=[("should", g)])
+    return g
+
+
+# ------------------------------------------------------------------- compile
+def split_field(word: str) -> tuple[str | None, str]:
+    """``field:term`` → (field, term); no colon → (None, word)."""
+    if ":" in word:
+        f, _, rest = word.partition(":")
+        if f and rest:
+            return f, rest
+    return None, word
+
+
+def collect_leaves(node) -> list[Leaf]:
+    if isinstance(node, Leaf):
+        return [node]
+    out: list[Leaf] = []
+    for _, c in node.clauses:
+        out.extend(collect_leaves(c))
+    return out
+
+
+def compile_tree(
+    node,
+    analyzer,
+    dfs: dict[str, int],
+    idf_of,
+    expansions: dict[tuple[str, str], list[str]],
+    default_operator: str = "or",
+) -> dict:
+    """Syntax tree → picklable evaluation tree for QueryShard._qs_eval.
+
+    ``dfs`` maps every analyzed/expanded term to its GLOBAL df (0 = unknown);
+    ``idf_of(term)`` → float idf; ``expansions[(kind, text)]`` → expanded
+    dictionary terms for wildcard/prefix/fuzzy leaves (driver pre-computed).
+    Compiled node kinds: term | group | phrase | bool | none.
+    """
+    if isinstance(node, Leaf):
+        if node.kind == "term":
+            toks = list(dict.fromkeys(analyzer.analyze_query(split_field(node.text)[1])))
+            if not toks:
+                return {"kind": "none"}
+            live = [t for t in toks if dfs.get(t, 0) > 0]
+            if not live or (default_operator == "and" and len(live) < len(toks)):
+                return {"kind": "none"}  # (and-mode: a required token is unknown)
+            if len(live) == 1:
+                return {
+                    "kind": "term", "term": live[0],
+                    "idf": idf_of(live[0]), "boost": node.boost,
+                }
+            terms = sorted(live)
+            return {
+                "kind": "group", "terms": terms,
+                "idfs": {t: idf_of(t) for t in terms},
+                "msm": len(terms) if default_operator == "and" else 1,
+                "boost": node.boost,
+            }
+        if node.kind == "phrase":
+            toks = analyzer.analyze_query(node.text)
+            if not toks:
+                return {"kind": "none"}
+            if any(dfs.get(t, 0) == 0 for t in toks):
+                return {"kind": "none"}  # a never-seen token matches no phrase
+            return {
+                "kind": "phrase", "phrase": toks,
+                "idfs": {t: idf_of(t) for t in sorted(set(toks))},
+                "slop": node.slop, "boost": node.boost,
+            }
+        # wildcard / prefix / fuzzy: pre-expanded on the driver
+        exp = sorted(t for t in expansions.get((node.kind, node.text), []) if dfs.get(t, 0) > 0)
+        if not exp:
+            return {"kind": "none"}
+        return {
+            "kind": "group", "terms": exp,
+            "idfs": {t: idf_of(t) for t in exp},
+            "msm": 1, "boost": node.boost,
+        }
+    # Group → bool
+    out = {"kind": "bool", "must": [], "should": [], "must_not": [],
+           "msm": 1, "boost": node.boost}
+    had_positive = False
+    for occur, child in node.clauses:
+        c = compile_tree(child, analyzer, dfs, idf_of, expansions, default_operator)
+        if occur != "must_not":
+            had_positive = True
+        if c["kind"] == "none":
+            if occur == "must":
+                return {"kind": "none"}  # a required clause that cannot match
+            # a should/must_not clause matching nothing is droppable (and
+            # droppable for msm: it contributes 0 hits at any msm ≥ 1)
+            continue
+        out[occur].append(c)
+    if not had_positive:
+        raise ValueError("purely negative query (only must_not clauses) is not supported")
+    if not out["must"] and not out["should"]:
+        return {"kind": "none"}
+    return out

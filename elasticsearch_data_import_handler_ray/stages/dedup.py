@@ -625,18 +625,31 @@ def exact_dedup(
     ds: ray.data.Dataset, *, text_col="text", id_col="doc_id", num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Exact dedup: md5(text) in map_batches → groupby(hash) → keep min id.
-    Output (doc_id, n_dups) — shuffle key is the content hash (A14)."""
-    import hashlib
+    Output (doc_id, n_dups) — shuffle key is the content hash (A14).
 
+    The md5 is computed per BATCH by DuckDB's vectorized md5 kernel over the
+    zero-copy Arrow batch (no per-row Python loop in this hot path); the
+    bucket key is DuckDB's 64-bit hash of the digest, so the groupby fan-out
+    stays data-proportional."""
     if num_buckets is None:
         num_buckets = shuffle_fanout(ds)
 
     def h(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(v.encode()).hexdigest() for v in t[text_col].to_pylist()]
-        bucket = (pd.util.hash_array(np.array(hs, dtype=object)) % num_buckets).astype(np.int32)
-        return pa.table(
-            {"h": pa.array(hs, type=pa.string()), id_col: t[id_col], "_bucket": pa.array(bucket)}
-        )
+        import duckdb
+
+        con = getattr(h, "_con", None)
+        if con is None:
+            con = h._con = duckdb.connect()
+        con.register("_ded_t", t)
+        try:
+            out = con.execute(
+                f'SELECT md5("{text_col}") AS h, "{id_col}", '
+                f'(hash(md5("{text_col}")) % {int(num_buckets)})::INTEGER AS _bucket '
+                "FROM _ded_t"
+            ).arrow()
+        finally:
+            con.unregister("_ded_t")
+        return out.combine_chunks()
 
     hashed = ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True)
 

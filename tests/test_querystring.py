@@ -1,0 +1,281 @@
+"""query_string (Lucene mini-language) parity tests: parser shape/errors +
+rank-AND-score identity of QueryEngine.query_string vs the naive oracle
+mirror (index/oracle.py query_string_oracle) on the tiny corpus, plus
+bit-identity reductions to the plain search paths for flat queries."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_data_import_handler_ray.functions import bm25
+from elasticsearch_data_import_handler_ray.functions.analysis import CodeAnalyzer
+from elasticsearch_data_import_handler_ray.functions.hashing import doc_ids_batch
+from elasticsearch_data_import_handler_ray.index import querystring as qs
+from elasticsearch_data_import_handler_ray.index.build import build_index
+from elasticsearch_data_import_handler_ray.index.oracle import (
+    PhraseOracle,
+    query_string_oracle,
+)
+from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+from fixtures.gen_corpus import corpus_files
+
+
+# --------------------------------------------------------------------- parser
+def _flat(g):
+    return [(occ, type(n).__name__, getattr(n, "text", None)) for occ, n in g.clauses]
+
+
+def test_parse_default_or():
+    g = qs.parse("alpha beta")
+    assert _flat(g) == [("should", "Leaf", "alpha"), ("should", "Leaf", "beta")]
+
+
+def test_parse_default_and():
+    g = qs.parse("alpha beta", default_operator="and")
+    assert _flat(g) == [("must", "Leaf", "alpha"), ("must", "Leaf", "beta")]
+
+
+def test_parse_and_promotes_both_sides():
+    g = qs.parse("alpha AND beta gamma")
+    assert _flat(g)[:2] == [("must", "Leaf", "alpha"), ("must", "Leaf", "beta")]
+    assert _flat(g)[2] == ("should", "Leaf", "gamma")
+
+
+def test_parse_or_nests():
+    g = qs.parse("a OR b AND c")
+    assert [occ for occ, _ in g.clauses] == ["should", "should"]
+    rhs = g.clauses[1][1]
+    assert _flat(rhs) == [("must", "Leaf", "b"), ("must", "Leaf", "c")]
+
+
+def test_parse_occur_markers():
+    g = qs.parse("+a -b !c NOT d e")
+    assert [occ for occ, _ in g.clauses] == [
+        "must", "must_not", "must_not", "must_not", "should",
+    ]
+
+
+def test_parse_leaf_kinds():
+    g = qs.parse('term pre* w*ld fu~1 fz~ "a phrase"~2 esc\\*lit')
+    kinds = [(n.kind, n.text) for _, n in g.clauses]
+    assert kinds == [
+        ("term", "term"), ("prefix", "pre"), ("wildcard", "w*ld"),
+        ("fuzzy", "fu"), ("fuzzy", "fz"), ("phrase", "a phrase"),
+        ("term", "esc*lit"),
+    ]
+    assert g.clauses[3][1].edits == 1
+    assert g.clauses[4][1].edits == 2
+    assert g.clauses[5][1].slop == 2
+
+
+def test_parse_boost_and_group_boost():
+    g = qs.parse("a^2.5 (b OR c)^3")
+    assert g.clauses[0][1].boost == 2.5
+    assert g.clauses[1][1].boost == 3.0
+
+
+def test_parse_errors():
+    for bad in ['"unterminated', "(a OR b", "a)", "", "a ^x"]:
+        with pytest.raises(ValueError):
+            qs.parse(bad)
+
+
+def test_parse_field_split():
+    assert qs.split_field("content:foo") == ("content", "foo")
+    assert qs.split_field("plain") == (None, "plain")
+
+
+# ----------------------------------------------------------- engine vs oracle
+@pytest.fixture(scope="module")
+def built_pos(tiny_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("qs_index") / "tiny_pos")
+    res = build_index(
+        tiny_corpus, index_dir, mode="full",
+        config=IndexConfig(analyzer="code", num_segments=4, positions=True),
+    )
+    assert res.n_docs > 0
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def engine(built_pos):
+    eng = QueryEngine(built_pos)
+    yield eng
+    eng.close()
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus):
+    t = pa.concat_tables([pq.read_table(f) for f in corpus_files(tiny_corpus)])
+    ids = doc_ids_batch(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), t["commit"].combine_chunks()
+    )
+    return PhraseOracle(CodeAnalyzer(), ids, t["content"].combine_chunks())
+
+
+def _levenshtein(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+def _oracle_compile(oracle, q: str, default_operator: str = "or", cap: int = 10_000):
+    """Independent compile against the oracle's postings: full-vocabulary
+    expansions (capped identically to the engine), oracle dfs/idfs."""
+    tree = qs.parse(q, default_operator)
+    leaves = qs.collect_leaves(tree)
+    vocab = sorted(oracle.postings.keys())
+    exp: dict[tuple[str, str], list[str]] = {}
+    dfs: dict[str, int] = {}
+    for lf in leaves:
+        body = qs.split_field(lf.text)[1]
+        key = (lf.kind, lf.text)
+        if lf.kind == "prefix":
+            toks = oracle.analyzer.analyze_query(body)
+            seed, rest = toks[-1], toks[:-1]
+            exp[key] = sorted(
+                set(rest) | set(sorted(t for t in vocab if t.startswith(seed))[:cap])
+            )
+        elif lf.kind == "wildcard":
+            pat = re.compile(
+                "^" + re.escape(body.lower()).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+            )
+            exp[key] = sorted(t for t in vocab if pat.match(t))[:cap]
+        elif lf.kind == "fuzzy":
+            toks = oracle.analyzer.analyze_query(body)
+            seed, rest = toks[-1], toks[:-1]
+            exp[key] = sorted(
+                set(rest) | {t for t in vocab if _levenshtein(t, seed) <= lf.edits}
+            )
+        elif lf.kind == "phrase":
+            for t in oracle.analyzer.analyze_query(lf.text):
+                dfs[t] = oracle.df(t)
+        if lf.kind in ("term", "prefix", "wildcard", "fuzzy"):
+            for t in oracle.analyzer.analyze_query(body):
+                dfs[t] = oracle.df(t)
+    for terms in exp.values():
+        for t in terms:
+            dfs[t] = oracle.df(t)
+    return qs.compile_tree(
+        tree, oracle.analyzer, dfs,
+        lambda t: float(bm25.idf(oracle.N, dfs[t])), exp, default_operator,
+    )
+
+
+def _vocab_terms(oracle):
+    """A few deterministic real tokens spread across the df spectrum."""
+    by_df = sorted(oracle.postings.items(), key=lambda kv: (-len(kv[1][0]), kv[0]))
+    hot = by_df[0][0]
+    mid = by_df[len(by_df) // 3][0]
+    rare = by_df[-2][0]
+    other = by_df[len(by_df) // 2][0]
+    return hot, mid, rare, other
+
+
+QS_CASES = [
+    "{hot} {mid}",
+    "{hot} AND {mid}",
+    "{rare} OR ({hot} AND {mid})",
+    "+{hot} {mid} -{rare}",
+    "({hot} OR {mid}) AND NOT ({rare} OR {other})",
+    "{hot}^2 {mid}",
+    "(({hot} AND {mid}) OR {rare})^1.5 {other}",
+    "{hot} unknownzzz",
+    "{hot} AND (unknownzzz OR {mid})",
+]
+
+
+def test_query_string_identity_vs_oracle(engine, oracle):
+    hot, mid, rare, other = _vocab_terms(oracle)
+    for tmpl in QS_CASES:
+        q = tmpl.format(hot=hot, mid=mid, rare=rare, other=other)
+        for op in ("or", "and"):
+            got = engine.query_string(q, k=15, default_operator=op, max_expansions=10_000)
+            want = query_string_oracle(oracle, _oracle_compile(oracle, q, op), k=15)
+            assert got == want, f"{q!r} (default_operator={op})"
+
+
+def test_query_string_expansions_vs_oracle(engine, oracle):
+    hot, mid, rare, other = _vocab_terms(oracle)
+    for q in [f"{hot[:3]}* {mid}", f"{hot}~1", f"{rare[:2]}?{rare[3:]} {hot}"]:
+        got = engine.query_string(q, k=15, max_expansions=10_000)
+        want = query_string_oracle(oracle, _oracle_compile(oracle, q), k=15)
+        assert got == want, repr(q)
+
+
+def test_query_string_phrase_vs_oracle(engine, oracle):
+    # a real adjacent token pair from some document → non-empty phrase
+    doc_toks = next(iter(oracle.doc_tokens.values()))
+    ph = f'"{doc_toks[0]} {doc_toks[1]}"'
+    hot, mid, _, _ = _vocab_terms(oracle)
+    for q in [f"{ph} {hot}", f"{ph}~1 {mid}", f"{hot} AND {ph}^2", f"{ph} OR {mid}"]:
+        got = engine.query_string(q, k=15, max_expansions=10_000)
+        want = query_string_oracle(oracle, _oracle_compile(oracle, q), k=15)
+        assert got == want, repr(q)
+    assert engine.query_string(f"{ph} {hot}", k=15)  # non-vacuous
+
+
+def test_flat_reductions_bit_identical(engine, oracle):
+    """A flat OR/AND query_string is bit-identical to the plain search paths
+    (same accumulation order end-to-end)."""
+    hot, mid, rare, _ = _vocab_terms(oracle)
+    q = f"{hot} {mid} {rare}"
+    assert engine.query_string(q, k=10) == engine.search(q, k=10, mode="or")
+    assert engine.query_string(q, k=10, default_operator="and") == engine.search(
+        q, k=10, mode="and"
+    )
+    assert engine.query_string(q, k=10, default_operator="and") == engine.bool_search(
+        must=q, k=10
+    )
+
+
+def test_match_set_mode(engine, oracle):
+    """k<=0 returns the FULL match set sorted by doc_id (the count shape)."""
+    hot, mid, _, _ = _vocab_terms(oracle)
+    q = f"{hot} AND {mid}"
+    all_matches = engine.query_string(q, k=0)
+    ids = [d for d, _ in all_matches]
+    assert ids == sorted(ids)
+    # count() takes plain analyzed text, not query-string syntax ("AND" would
+    # become a required term there)
+    assert len(all_matches) == engine.count(f"{hot} {mid}", mode="and")
+    top = engine.query_string(q, k=5)
+    best = sorted(all_matches, key=lambda ds: (-ds[1], ds[0]))[:5]
+    assert top == best
+
+
+def test_boost_changes_ranking(engine, oracle):
+    hot, mid, _, _ = _vocab_terms(oracle)
+    plain = engine.query_string(f"{hot} {mid}", k=10)
+    boosted = engine.query_string(f"{hot} {mid}^100", k=10)
+    assert plain != boosted  # the boost must actually re-rank / re-score
+    # boosting both clauses equally rescales scores but keeps the ranking
+    both = engine.query_string(f"({hot} {mid})^2", k=10)
+    assert [d for d, _ in both] == [d for d, _ in plain]
+    for (d1, s1), (d2, s2) in zip(both, plain):
+        assert s1 == pytest.approx(2 * s2, rel=1e-12)
+
+
+def test_pure_negative_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.query_string("-foo -bar")
+
+
+def test_unknown_field_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.query_string("nosuchfield:foo")
+
+
+def test_indexed_field_prefix_accepted(engine, oracle):
+    hot, mid, _, _ = _vocab_terms(oracle)
+    assert engine.query_string(f"content:{hot} {mid}", k=10) == engine.query_string(
+        f"{hot} {mid}", k=10
+    )
