@@ -313,7 +313,11 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.regexp:
                     results = [eng.search_regexp(t, k=args.k) for t in args.text]
                 elif args.query_string:
-                    results = [eng.query_string(t, k=args.k) for t in args.text]
+                    results = [
+                        eng.query_string(t, k=args.k,
+                                         minimum_should_match=args.msm or None)
+                        for t in args.text
+                    ]
                 elif args.mlt:
                     results = [
                         eng.more_like_this(int(t) if t.isdigit() else t, k=args.k)

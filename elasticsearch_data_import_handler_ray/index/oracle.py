@@ -557,6 +557,15 @@ def _qs_oracle_node(oracle, node: dict) -> tuple[np.ndarray, np.ndarray]:
         base = union[hits >= msm]
     if len(base) == 0:
         return empty
+    if node["must"] and should and node.get("msm_explicit"):
+        msm = max(1, int(node.get("msm", 1)))
+        sh_hits = np.zeros(len(base), dtype=np.int32)
+        for ids, _ in should:
+            if len(ids):
+                sh_hits += np.isin(base, ids, assume_unique=True)
+        base = base[sh_hits >= msm]
+        if len(base) == 0:
+            return empty
     for c in node["must_not"]:
         ids_mn, _ = _qs_oracle_node(oracle, c)
         if len(ids_mn):

@@ -1526,6 +1526,17 @@ class QueryShard:
             base = union[hits >= msm]
         if len(base) == 0:
             return empty
+        # explicit minimum_should_match alongside must clauses (ES: with must
+        # present msm defaults to 0 — should is score-only — unless set)
+        if node["must"] and should and node.get("msm_explicit"):
+            msm = max(1, int(node.get("msm", 1)))
+            sh_hits = np.zeros(len(base), dtype=np.int32)
+            for ids, _ in should:
+                if len(ids):
+                    sh_hits += in_sorted(base, ids)
+            base = base[sh_hits >= msm]
+            if len(base) == 0:
+                return empty
         for c in node["must_not"]:
             ids_mn, _ = self._qs_eval(ri, c, avgdl, k1, b)
             if len(ids_mn):
@@ -2049,6 +2060,7 @@ class QueryEngine:
         k: int = 10,
         default_operator: str = "or",
         max_expansions: int = 50,
+        minimum_should_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """ES/Lucene ``query_string`` mini-language over this index — the
         `q=`-parameter surface the reference's users query ES with (see
@@ -2128,6 +2140,13 @@ class QueryEngine:
         )
         if compiled["kind"] == "none":
             return []
+        if minimum_should_match is not None:
+            # applied at the TOP-level bool only, the ES query_string surface
+            if compiled["kind"] != "bool":
+                compiled = {"kind": "bool", "must": [], "should": [compiled],
+                            "must_not": [], "msm": 1, "boost": 1.0}
+            compiled["msm"] = int(minimum_should_match)
+            compiled["msm_explicit"] = True
         shard_results = ray.get(
             [
                 a.query_string_batch.remote([compiled], k, self.avgdl, self.k1, self.b)

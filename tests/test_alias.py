@@ -81,6 +81,32 @@ def test_alias_bit_identical_to_union_index(split_and_union):
         union.close()
 
 
+def test_alias_query_string_bit_identical(split_and_union):
+    """query_string inherits the alias contract unchanged: blended N/df/avgdl
+    + concatenated actor pools make every compiled-tree evaluation input
+    equal, so results are bit-identical to the union index."""
+    a, b, u = split_and_union
+    alias = MultiIndexEngine([a, b])
+    union = QueryEngine(u)
+    try:
+        for q in [
+            "hot AND term",
+            "(parse OR json) AND hot NOT zzzznope",
+            '+hot "hot term"~1^2',
+            "par* term",
+            "parze~1 hot",
+        ]:
+            got = alias.query_string(q, k=10, max_expansions=10_000)
+            want = union.query_string(q, k=10, max_expansions=10_000)
+            assert got == want, repr(q)
+        assert alias.query_string("hot AND term", k=10)  # non-vacuous
+        # match-set mode spans both members
+        assert alias.query_string("hot", k=0) == union.query_string("hot", k=0)
+    finally:
+        alias.close()
+        union.close()
+
+
 def test_alias_rejects_mismatched_members(split_and_union, tiny_corpus, tmp_path_factory):
     a, _, _ = split_and_union
     other = str(tmp_path_factory.mktemp("aliasws") / "ws")

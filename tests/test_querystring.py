@@ -264,6 +264,31 @@ def test_boost_changes_ranking(engine, oracle):
         assert s1 == pytest.approx(2 * s2, rel=1e-12)
 
 
+def test_minimum_should_match(engine, oracle):
+    """Explicit minimum_should_match: with must present ES defaults msm to 0
+    (should is score-only); an explicit value forces >= N should matches."""
+    hot, mid, rare, other = _vocab_terms(oracle)
+    q = f"+{hot} {mid} {rare} {other}"
+    loose = engine.query_string(q, k=0)
+    for msm in (1, 2, 3):
+        got = engine.query_string(q, k=0, minimum_should_match=msm)
+        compiled = _oracle_compile(oracle, q)
+        compiled["msm"], compiled["msm_explicit"] = msm, True
+        want = query_string_oracle(oracle, compiled, k=0)
+        assert got == want, msm
+        assert len(got) <= len(loose)
+    # tightening msm can only shrink the match set, monotonically
+    ns = [len(engine.query_string(q, k=0, minimum_should_match=m)) for m in (1, 2, 3)]
+    assert ns == sorted(ns, reverse=True)
+    # pure-should query: explicit msm behaves like the no-must branch
+    q2 = f"{hot} {mid} {rare}"
+    got2 = engine.query_string(q2, k=0, minimum_should_match=2)
+    compiled2 = _oracle_compile(oracle, q2)
+    compiled2["msm"], compiled2["msm_explicit"] = 2, True
+    assert got2 == query_string_oracle(oracle, compiled2, k=0)
+    assert 0 < len(got2) < len(engine.query_string(q2, k=0))
+
+
 def test_pure_negative_rejected(engine):
     with pytest.raises(ValueError):
         engine.query_string("-foo -bar")
