@@ -1398,6 +1398,7 @@ def _query_string_search(sf_dir: str):
         "+group sort^2 batch",
         'scan* AND "table scan"',
         "qery~1 row",
+        "table AND doc_len:[40 TO 400]",
     ]
     rows = []
     try:

@@ -486,6 +486,23 @@ def _qs_oracle_node(oracle, node: dict) -> tuple[np.ndarray, np.ndarray]:
     boost = node.get("boost", 1.0)
     if kind == "none":
         return empty
+    if kind == "range":
+        # constant-score filter leaf; values come from ``oracle.qs_doc_values``
+        # (tests attach {field: (sorted ids, aligned vals)}) with doc_len
+        # falling back to the oracle's own lengths
+        dv = getattr(oracle, "qs_doc_values", {}).get(node["field"])
+        if dv is None and node["field"] == "doc_len":
+            dv = (oracle.all_docs, oracle.doc_lens)
+        if dv is None:
+            raise KeyError(f"oracle has no doc-values for {node['field']!r}")
+        ids, vals = dv
+        keep = np.ones(len(ids), dtype=bool)
+        if node["lo"] is not None:
+            keep &= (vals >= node["lo"]) if node["lo_incl"] else (vals > node["lo"])
+        if node["hi"] is not None:
+            keep &= (vals <= node["hi"]) if node["hi_incl"] else (vals < node["hi"])
+        out = np.asarray(ids)[keep]
+        return out, np.full(len(out), float(boost), dtype=np.float64)
     if kind == "term":
         p = oracle.postings.get(node["term"])
         if p is None:

@@ -1442,62 +1442,99 @@ class QueryShard:
     # same RPC rounds as a flat search)
 
     def _qs_eval(
-        self, ri: int, node: dict, avgdl: float, k1: float, b: float
+        self, node: dict, avgdl: float, k1: float, b: float
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Evaluate one compiled query_string node against ONE reader →
-        (doc_ids sorted asc, scores). Set algebra on the sorted posting id
-        arrays; scores follow the Lucene sum-of-matching-clauses rule with
-        children accumulated in written order (leaf groups ascending-term,
-        the repo-wide bit-exactness rule)."""
+        """Evaluate one compiled query_string node against this WHOLE actor →
+        (doc_ids sorted asc, scores). Leaf kinds gather per reader and merge
+        (docs are disjoint across readers, so a concat+argsort is a true
+        sorted union); set algebra then runs once at the actor level — which
+        is what lets range leaves use the actor-wide doc-values directly.
+        Scores follow the Lucene sum-of-matching-clauses rule with children
+        accumulated in written order (leaf groups ascending-term, the
+        repo-wide bit-exactness rule)."""
         from .tombstones import in_sorted
 
         empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+
+        def merged(parts):
+            # parts: per-reader (ids, scores) over DISJOINT docs → sorted asc
+            if not parts:
+                return empty
+            if len(parts) == 1:
+                return parts[0]
+            ids = np.concatenate([p[0] for p in parts])
+            sc = np.concatenate([p[1] for p in parts])
+            order = np.argsort(ids)
+            return ids[order], sc[order]
+
         kind = node["kind"]
         if kind == "none":
             return empty
+        boost = node.get("boost", 1.0)
+        if kind == "range":
+            dv = getattr(self, "_doc_values", {}).get(node["field"])
+            if dv is None:
+                raise KeyError(f"doc-values for '{node['field']}' not loaded")
+            dv_ids, vals = dv  # sorted by id, dead-excluded at load
+            keep = np.ones(len(dv_ids), dtype=bool)
+            if node["lo"] is not None:
+                keep &= (vals >= node["lo"]) if node["lo_incl"] else (vals > node["lo"])
+            if node["hi"] is not None:
+                keep &= (vals <= node["hi"]) if node["hi_incl"] else (vals < node["hi"])
+            ids = dv_ids[keep]
+            # Lucene constant-score rewrite: every matching doc scores 1·boost
+            return ids, np.full(len(ids), float(boost), dtype=np.float64)
         if kind == "term":
-            arrs = self._decoded(ri, node["term"])
-            if arrs is None:
-                return empty
-            ids, tfs, dls = arrs
-            scores = bm25.contribution(node["idf"], tfs, dls, avgdl, k1, b)
-            dd = self.dead[ri]
-            if dd is not None:
-                alive = ~in_sorted(ids, dd)
-                ids, scores = ids[alive], scores[alive]
-            boost = node.get("boost", 1.0)
+            parts = []
+            for ri in range(len(self.readers)):
+                arrs = self._decoded(ri, node["term"])
+                if arrs is None:
+                    continue
+                ids, tfs, dls = arrs
+                scores = bm25.contribution(node["idf"], tfs, dls, avgdl, k1, b)
+                dd = self.dead[ri]
+                if dd is not None:
+                    alive = ~in_sorted(ids, dd)
+                    ids, scores = ids[alive], scores[alive]
+                if len(ids):
+                    parts.append((ids, scores))
+            ids, scores = merged(parts)
             return ids, (scores * boost if boost != 1.0 else scores)
         if kind == "group":
-            per = []
-            for t in node["terms"]:  # pre-sorted ascending by the compiler
-                arrs = self._decoded(ri, t)
-                if arrs is not None:
-                    per.append((t, *arrs))
             msm = max(1, int(node.get("msm", 1)))
-            if len(per) < msm:
-                return empty
-            union = np.unique(np.concatenate([ids for _, ids, _, _ in per]))
-            scores = np.zeros(len(union), dtype=np.float64)
-            hits = np.zeros(len(union), dtype=np.int32)
-            for t, ids, tfs, dls in per:
-                pos = np.searchsorted(union, ids)
-                scores[pos] += bm25.contribution(node["idfs"][t], tfs, dls, avgdl, k1, b)
-                hits[pos] += 1
-            dd = self.dead[ri]
-            if dd is not None:
-                alive = ~in_sorted(union, dd)
-                union, scores, hits = union[alive], scores[alive], hits[alive]
-            if msm > 1:
-                m = hits >= msm
-                union, scores = union[m], scores[m]
-            boost = node.get("boost", 1.0)
+            parts = []  # per-reader (union, scores, hits)
+            for ri in range(len(self.readers)):
+                per = []
+                for t in node["terms"]:  # pre-sorted ascending by the compiler
+                    arrs = self._decoded(ri, t)
+                    if arrs is not None:
+                        per.append((t, *arrs))
+                if len(per) < msm:
+                    continue
+                union = np.unique(np.concatenate([ids for _, ids, _, _ in per]))
+                scores = np.zeros(len(union), dtype=np.float64)
+                hits = np.zeros(len(union), dtype=np.int32)
+                for t, ids, tfs, dls in per:
+                    pos = np.searchsorted(union, ids)
+                    scores[pos] += bm25.contribution(node["idfs"][t], tfs, dls, avgdl, k1, b)
+                    hits[pos] += 1
+                dd = self.dead[ri]
+                if dd is not None:
+                    alive = ~in_sorted(union, dd)
+                    union, scores, hits = union[alive], scores[alive], hits[alive]
+                if msm > 1:
+                    m = hits >= msm
+                    union, scores = union[m], scores[m]
+                if len(union):
+                    parts.append((union, scores))
+            union, scores = merged(parts)
             return union, (scores * boost if boost != 1.0 else scores)
         if kind == "phrase":
             heap: list = []
             _score_phrase(
-                [self.readers[ri]], node["phrase"], node["idfs"], avgdl,
+                self.readers, node["phrase"], node["idfs"], avgdl,
                 1 << 60, heap, k1=k1, b=b, get_decoded=self._decoded,
-                reader_offset=ri, get_dead=lambda i: self.dead[i],
+                reader_offset=0, get_dead=lambda i: self.dead[i],
                 slop=int(node.get("slop", 0)),
             )
             if not heap:
@@ -1505,12 +1542,11 @@ class QueryShard:
             ids = np.array([-negd for _, negd in heap], dtype=np.uint64)
             scores = np.array([s for s, _ in heap], dtype=np.float64)
             order = np.argsort(ids)
-            boost = node.get("boost", 1.0)
             scores = scores[order]
             return ids[order], (scores * boost if boost != 1.0 else scores)
         # bool
-        must = [self._qs_eval(ri, c, avgdl, k1, b) for c in node["must"]]
-        should = [self._qs_eval(ri, c, avgdl, k1, b) for c in node["should"]]
+        must = [self._qs_eval(c, avgdl, k1, b) for c in node["must"]]
+        should = [self._qs_eval(c, avgdl, k1, b) for c in node["should"]]
         if node["must"]:
             base = must[0][0]
             for ids, _ in must[1:]:
@@ -1538,7 +1574,7 @@ class QueryShard:
             if len(base) == 0:
                 return empty
         for c in node["must_not"]:
-            ids_mn, _ = self._qs_eval(ri, c, avgdl, k1, b)
+            ids_mn, _ = self._qs_eval(c, avgdl, k1, b)
             if len(ids_mn):
                 base = base[~in_sorted(base, ids_mn)]
                 if len(base) == 0:
@@ -1561,18 +1597,10 @@ class QueryShard:
         shape, e.g. the SQL-oracle entry)."""
         out = []
         for tree in trees:
-            ids_all: list[np.ndarray] = []
-            sc_all: list[np.ndarray] = []
-            for ri in range(len(self.readers)):
-                ids, sc = self._qs_eval(ri, tree, avgdl, k1, b)
-                if len(ids):
-                    ids_all.append(ids)
-                    sc_all.append(sc)
-            if not ids_all:
+            ids, sc = self._qs_eval(tree, avgdl, k1, b)
+            if len(ids) == 0:
                 out.append([])
                 continue
-            ids = np.concatenate(ids_all)  # readers hold disjoint docs
-            sc = np.concatenate(sc_all)
             if k > 0:
                 top = bm25.topk_indices(sc, ids, k)
                 out.append([(float(sc[i]), int(ids[i])) for i in top])
@@ -2081,13 +2109,18 @@ class QueryEngine:
         tree = qs.parse(q, default_operator)
         leaves = qs.collect_leaves(tree)
         field_col = self.man.config.content_col
+        range_fields = sorted({lf.field_name for lf in leaves if lf.kind == "range"})
         for lf in leaves:
+            if lf.kind == "range":
+                continue  # range fields resolve against doc-values, below
             f, _ = qs.split_field(lf.text)
             if f is not None and f != field_col:
                 raise ValueError(
                     f"field {f!r} is not indexed here (single-field index over "
                     f"{field_col!r}; use index/multifield.py for multi-field)"
                 )
+        if range_fields:
+            self._ensure_doc_values(range_fields)
         if any(lf.kind == "phrase" for lf in leaves) and not self.man.config.positions:
             raise ValueError(
                 "phrase clauses need a positional index (IndexConfig(positions=True))"
@@ -2446,6 +2479,18 @@ class QueryEngine:
                 run_files.append((files, t["doc_ids"] if t else None))
         if not run_files:
             raise ValueError("doc-values need a docmap (write_docmap=True builds)")
+        # validate with the engine that executes (ADVICE r2 rule): probe the
+        # docmap schema on the driver so an unknown field is a clean
+        # ValueError here, not an ArrowInvalid inside a shard actor
+        import pyarrow.parquet as _pq
+
+        avail = set(_pq.read_schema(run_files[0][0][0]).names)
+        bad = sorted(f for f in missing if f not in avail)
+        if bad:
+            raise ValueError(
+                f"no doc-values for {bad}; docmap fields: "
+                f"{sorted(a for a in avail if not a.startswith('__'))}"
+            )
         S = self.man.config.num_segments
         for f in missing:
             ray.get([a.load_doc_values.remote(f, run_files, S) for a in self._actors])

@@ -113,6 +113,17 @@ def _lex(q: str) -> list[_Tok]:
                 if q[j] == "\\" and j + 1 < n:
                     buf.append(q[j + 1]); j += 2
                     continue
+                if q[j] in "[{" and buf and buf[-1] == ":":
+                    # field:[lo TO hi] / field:{lo TO hi} — spaces are part of
+                    # the range body, consume through the closing bracket
+                    k = j
+                    while k < n and q[k] not in "]}":
+                        k += 1
+                    if k >= n:
+                        raise ValueError("unterminated range (missing ] or })")
+                    buf.append(q[j : k + 1])
+                    j = k + 1
+                    continue
                 if q[j] in "&|" and q[j : j + 2] in ("&&", "||"):
                     break
                 if q[j] == "-" and buf:  # in-word hyphen is literal
@@ -133,11 +144,18 @@ def _lex(q: str) -> list[_Tok]:
 # ----------------------------------------------------------------- parse AST
 @dataclass
 class Leaf:
-    kind: str  # term | phrase | wildcard | prefix | fuzzy
+    kind: str  # term | phrase | wildcard | prefix | fuzzy | range
     text: str
     boost: float = 1.0
     slop: int = 0
     edits: int = 2
+    # range-only (ES/Lucene `field:[lo TO hi]`, `field:>=x`): bounds are
+    # float when numeric else raw string; None = unbounded (`*`)
+    field_name: str | None = None
+    lo: object = None
+    hi: object = None
+    lo_incl: bool = True
+    hi_incl: bool = True
 
 
 @dataclass
@@ -237,6 +255,9 @@ class _Parser:
         if t.kind == "word":
             self.next()
             word = t.text
+            rng = _try_parse_range(word)
+            if rng is not None:
+                return rng
             nxt = self.peek()
             if nxt is not None and nxt.kind == "fuzz":
                 self.next()
@@ -248,6 +269,45 @@ class _Parser:
                 return Leaf("wildcard", word)
             return Leaf("term", word)
         raise ValueError(f"unexpected token {t.kind} {t.text!r} in query")
+
+
+def _range_bound(raw: str):
+    """`*` → None (unbounded); numeric → float; else the raw string."""
+    raw = raw.strip()
+    if raw in ("*", ""):
+        return None
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def _try_parse_range(word: str) -> Leaf | None:
+    """``field:[lo TO hi]`` / ``field:{lo TO hi}`` (mixed brackets ok,
+    ``*`` = unbounded) and ``field:>x`` / ``>=`` / ``<`` / ``<=`` →
+    Leaf(kind="range"); anything else → None."""
+    f, body = split_field(word)
+    if f is None or not body:
+        return None
+    if body[0] in "[{" and body[-1] in "]}":
+        inner = body[1:-1]
+        parts = inner.split(" TO ")
+        if len(parts) != 2:
+            raise ValueError(f"bad range {word!r}: expected '[lo TO hi]'")
+        return Leaf(
+            "range", word, field_name=f,
+            lo=_range_bound(parts[0]), hi=_range_bound(parts[1]),
+            lo_incl=body[0] == "[", hi_incl=body[-1] == "]",
+        )
+    if body[0] in "<>":
+        op = body[:2] if body[1:2] == "=" else body[:1]
+        val = _range_bound(body[len(op):])
+        if val is None:
+            raise ValueError(f"bad range {word!r}: missing bound after {op}")
+        if op in (">", ">="):
+            return Leaf("range", word, field_name=f, lo=val, lo_incl=op == ">=")
+        return Leaf("range", word, field_name=f, hi=val, hi_incl=op == "<=")
+    return None
 
 
 def parse(q: str, default_operator: str = "or") -> Group:
@@ -300,6 +360,15 @@ def compile_tree(
     Compiled node kinds: term | group | phrase | bool | none.
     """
     if isinstance(node, Leaf):
+        if node.kind == "range":
+            # constant-score filter leaf (Lucene: each matching doc scores
+            # 1.0 × boost); evaluated against the actor's doc-values
+            return {
+                "kind": "range", "field": node.field_name,
+                "lo": node.lo, "hi": node.hi,
+                "lo_incl": node.lo_incl, "hi_incl": node.hi_incl,
+                "boost": node.boost,
+            }
         if node.kind == "term":
             toks = list(dict.fromkeys(analyzer.analyze_query(split_field(node.text)[1])))
             if not toks:

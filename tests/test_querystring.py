@@ -90,6 +90,28 @@ def test_parse_field_split():
     assert qs.split_field("plain") == (None, "plain")
 
 
+def test_parse_range_forms():
+    g = qs.parse("doc_len:[10 TO 20] n:{1 TO 5} m:[3 TO *} x:>=2 y:<7 z:>1.5")
+    leaves = [n for _, n in g.clauses]
+    assert [n.kind for n in leaves] == ["range"] * 6
+    r0, r1, r2, r3, r4, r5 = leaves
+    assert (r0.field_name, r0.lo, r0.hi, r0.lo_incl, r0.hi_incl) == ("doc_len", 10.0, 20.0, True, True)
+    assert (r1.lo, r1.hi, r1.lo_incl, r1.hi_incl) == (1.0, 5.0, False, False)
+    assert (r2.lo, r2.hi, r2.lo_incl, r2.hi_incl) == (3.0, None, True, False)
+    assert (r3.lo, r3.lo_incl, r3.hi) == (2.0, True, None)
+    assert (r4.hi, r4.hi_incl, r4.lo) == (7.0, False, None)
+    assert (r5.lo, r5.lo_incl) == (1.5, False)
+    # string bounds survive as raw strings
+    rs = qs.parse("repo:[aaa TO bbb]").clauses[0][1]
+    assert (rs.lo, rs.hi) == ("aaa", "bbb")
+    with pytest.raises(ValueError):
+        qs.parse("f:[1 TO")  # unterminated
+    with pytest.raises(ValueError):
+        qs.parse("f:[1 2]")  # missing TO
+    with pytest.raises(ValueError):
+        qs.parse("f:>")  # missing bound
+
+
 # ----------------------------------------------------------- engine vs oracle
 @pytest.fixture(scope="module")
 def built_pos(tiny_corpus, tmp_path_factory):
@@ -287,6 +309,38 @@ def test_minimum_should_match(engine, oracle):
     compiled2["msm"], compiled2["msm_explicit"] = 2, True
     assert got2 == query_string_oracle(oracle, compiled2, k=0)
     assert 0 < len(got2) < len(engine.query_string(q2, k=0))
+
+
+def test_range_clauses_vs_oracle(engine, oracle):
+    """field:[lo TO hi] filters on doc-values with Lucene constant-score
+    semantics (1·boost per matching doc), composable with scoring clauses."""
+    hot, mid, _, _ = _vocab_terms(oracle)
+    lens = np.sort(oracle.doc_lens)
+    lo, hi = int(lens[len(lens) // 4]), int(lens[3 * len(lens) // 4])
+    cases = [
+        f"doc_len:[{lo} TO {hi}]",                   # pure range
+        f"doc_len:[{lo} TO {hi}]^2",                 # boosted constant score
+        f"{hot} AND doc_len:[{lo} TO {hi}]",         # filter + scoring must
+        f"({hot} OR doc_len:>{hi}) AND {mid}",       # nested one-sided
+        f"doc_len:{{{lo} TO {hi}}} {mid}",           # exclusive bounds, should
+        f"{hot} -doc_len:<{lo}",                     # negated range
+        f"doc_len:[{lo} TO *] AND doc_len:[* TO {hi}]",  # unbounded ends
+    ]
+    for q in cases:
+        got = engine.query_string(q, k=0)
+        want = query_string_oracle(oracle, _oracle_compile(oracle, q), k=0)
+        assert got == want, repr(q)
+        assert got, repr(q)  # every case is non-vacuous at these quartiles
+    # pure range: every score is exactly the boost
+    pure = engine.query_string(f"doc_len:[{lo} TO {hi}]^2", k=0)
+    assert {s for _, s in pure} == {2.0}
+    n_in = sum(lo <= v <= hi for v in oracle.doc_lens)
+    assert len(pure) == n_in
+
+
+def test_range_unknown_field_raises(engine):
+    with pytest.raises((ValueError, KeyError)):
+        engine.query_string("nosuchfield:[1 TO 2]")
 
 
 def test_pure_negative_rejected(engine):
