@@ -160,6 +160,19 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         engp.suggest("parze mergq", max_edits=2)
         sug_lat.append((time.monotonic() - t0) * 1000)
+    # round-3: Lucene query_string (nested bool + phrase + prefix expansion)
+    qs_queries = [
+        '(hot OR term) AND parse NOT zzznope',
+        'pars* AND "hot term"~1^2',
+        '+read write buf -proc',
+    ]
+    engp.query_string(qs_queries[0], k=10)  # warm
+    qstr_lat = []
+    for _ in range(10):
+        for q in qs_queries:
+            t0 = time.monotonic()
+            engp.query_string(q, k=10)
+            qstr_lat.append((time.monotonic() - t0) * 1000)
     engp.close()
 
     # relational / data-pipeline stage timings over SF_DIR
@@ -208,6 +221,7 @@ def run_bench() -> dict:
         "slop_p50_ms": round(statistics.median(slop_lat), 2),
         "rescore_p50_ms": round(statistics.median(resc_lat), 2),
         "suggest_p50_ms": round(statistics.median(sug_lat), 2),
+        "query_string_p50_ms": round(statistics.median(qstr_lat), 2),
         "phrase_p95_ms": round(phrase_p95, 2),
     }
     ray.shutdown()

@@ -497,6 +497,10 @@ def _qs_oracle_node(oracle, node: dict) -> tuple[np.ndarray, np.ndarray]:
             raise KeyError(f"oracle has no doc-values for {node['field']!r}")
         ids, vals = dv
         keep = np.ones(len(ids), dtype=bool)
+        if node["lo"] is None and node["hi"] is None:
+            import pandas as pd
+
+            keep &= np.asarray(pd.notna(vals))
         if node["lo"] is not None:
             keep &= (vals >= node["lo"]) if node["lo_incl"] else (vals > node["lo"])
         if node["hi"] is not None:

@@ -1477,6 +1477,13 @@ class QueryShard:
                 raise KeyError(f"doc-values for '{node['field']}' not loaded")
             dv_ids, vals = dv  # sorted by id, dead-excluded at load
             keep = np.ones(len(dv_ids), dtype=bool)
+            if node["lo"] is None and node["hi"] is None:
+                # `_exists_:field` — bounded ranges exclude nulls implicitly
+                # (NaN/None fail every comparison); the unbounded form must
+                # drop them explicitly
+                import pandas as pd
+
+                keep &= np.asarray(pd.notna(vals))
             if node["lo"] is not None:
                 keep &= (vals >= node["lo"]) if node["lo_incl"] else (vals > node["lo"])
             if node["hi"] is not None:

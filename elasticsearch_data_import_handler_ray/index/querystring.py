@@ -289,6 +289,10 @@ def _try_parse_range(word: str) -> Leaf | None:
     f, body = split_field(word)
     if f is None or not body:
         return None
+    if f == "_exists_":
+        # ES `_exists_:field`: docs whose doc-value for `field` is non-null;
+        # modeled as the fully-unbounded range (eval drops nulls)
+        return Leaf("range", word, field_name=body)
     if body[0] in "[{" and body[-1] in "]}":
         inner = body[1:-1]
         parts = inner.split(" TO ")

@@ -343,6 +343,45 @@ def test_range_unknown_field_raises(engine):
         engine.query_string("nosuchfield:[1 TO 2]")
 
 
+def test_exists_clause(engine, oracle):
+    """`_exists_:field` matches every doc with a non-null doc-value."""
+    lf = qs.parse("_exists_:doc_len").clauses[0][1]
+    assert (lf.kind, lf.field_name, lf.lo, lf.hi) == ("range", "doc_len", None, None)
+    got = engine.query_string("_exists_:doc_len", k=0)
+    assert len(got) == oracle.N  # corpus has no nulls: every doc matches
+    assert {s for _, s in got} == {1.0}
+    # null handling: a None-bearing doc-values array drops the null rows
+    from elasticsearch_data_import_handler_ray.index.oracle import _qs_oracle_node
+
+    ids = np.array(sorted(oracle.all_docs[:4]), dtype=np.uint64)
+    vals = np.array(["a", None, "b", None], dtype=object)
+    oracle.qs_doc_values = {"maybe": (ids, vals)}
+    try:
+        node = {"kind": "range", "field": "maybe", "lo": None, "hi": None,
+                "lo_incl": True, "hi_incl": True, "boost": 1.0}
+        out_ids, out_sc = _qs_oracle_node(oracle, node)
+        assert list(out_ids) == [int(ids[0]), int(ids[2])]
+    finally:
+        del oracle.qs_doc_values
+
+
+def test_string_field_range(engine, oracle):
+    """Lexicographic ranges over a string doc-value (the `repo` store col is
+    not in this index's docmap, so pin via the oracle hook + engine error)."""
+    ids = oracle.all_docs[:6].astype(np.uint64)
+    vals = np.array(["aa", "ab", "b", "ba", "c", "cz"], dtype=object)
+    from elasticsearch_data_import_handler_ray.index.oracle import _qs_oracle_node
+
+    oracle.qs_doc_values = {"name": (ids, vals)}
+    try:
+        node = {"kind": "range", "field": "name", "lo": "ab", "hi": "c",
+                "lo_incl": True, "hi_incl": False, "boost": 1.0}
+        out_ids, _ = _qs_oracle_node(oracle, node)
+        assert list(out_ids) == [int(i) for i, v in zip(ids, vals) if "ab" <= v < "c"]
+    finally:
+        del oracle.qs_doc_values
+
+
 def test_pure_negative_rejected(engine):
     with pytest.raises(ValueError):
         engine.query_string("-foo -bar")
