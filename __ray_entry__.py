@@ -1522,6 +1522,11 @@ def _multifield_search(sf_dir: str):
     ]
     try:
         results = eng.search_many(qs, k=10)
+        # cross-field query_string (term/boolean subset, field: restriction)
+        results += [
+            eng.query_string(q, k=10)
+            for q in ["hash AND join", "(scan OR query) NOT src3", "source:src3 AND hash"]
+        ]
     finally:
         eng.close()
     rows = []

@@ -156,6 +156,114 @@ class MultiFieldShard:
             out.append([(s, -negd) for s, negd in sorted(heap, reverse=True)])
         return out
 
+    # ---------------------------------------------- query_string (multifield)
+    def _qs_eval(
+        self, node: dict, weights: dict[str, float], avgdl: dict[str, float],
+        k1: float, b: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Compiled query_string node → (doc_ids sorted asc, scores) for this
+        actor. Leaf score(doc) = Σ_f w_f·BM25_f accumulated field-major,
+        ascending-term — the same order as search_batch and the
+        MultiFieldOracle, so scores stay bit-identical. Bool algebra mirrors
+        QueryShard._qs_eval (index/query.py)."""
+        from .tombstones import in_sorted
+
+        empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+        kind = node["kind"]
+        if kind == "none":
+            return empty
+        boost = node.get("boost", 1.0)
+        if kind in ("term", "group"):
+            terms = [node["term"]] if kind == "term" else node["terms"]
+            idf_of = (
+                (lambda f, t: node["idfs"].get(f))
+                if kind == "term"
+                else (lambda f, t: node["idfs"][f].get(t))
+            )
+            parts = []  # (f, t, ids, tfs, dls) in field-major, term-asc order
+            for f in node["fields"]:
+                for t in terms:
+                    if idf_of(f, t) is None:
+                        continue
+                    for ri in range(len(self.readers[f])):
+                        arrs = self._decoded(f, ri, t)
+                        if arrs is not None:
+                            parts.append((f, t, *arrs))
+            if not parts:
+                return empty
+            union = np.unique(np.concatenate([p[2] for p in parts]))
+            scores = np.zeros(len(union), dtype=np.float64)
+            term_hit = {t: np.zeros(len(union), dtype=bool) for t in terms}
+            for f, t, ids, tfs, dls in parts:
+                pos = np.searchsorted(union, ids)
+                scores[pos] += weights[f] * bm25.contribution(
+                    idf_of(f, t), tfs, dls, avgdl[f], k1, b
+                )
+                term_hit[t][pos] = True
+            msm = max(1, int(node.get("msm", 1)))
+            if msm > 1:
+                hits = np.sum([term_hit[t] for t in terms], axis=0)
+                m = hits >= msm
+                union, scores = union[m], scores[m]
+            return union, (scores * boost if boost != 1.0 else scores)
+        # bool
+        must = [self._qs_eval(c, weights, avgdl, k1, b) for c in node["must"]]
+        should = [self._qs_eval(c, weights, avgdl, k1, b) for c in node["should"]]
+        if node["must"]:
+            base = must[0][0]
+            for ids, _ in must[1:]:
+                base = np.intersect1d(base, ids, assume_unique=True)
+        else:
+            msm = max(1, int(node.get("msm", 1)))
+            if not should:
+                return empty
+            union = np.unique(np.concatenate([ids for ids, _ in should]))
+            hits = np.zeros(len(union), dtype=np.int32)
+            for ids, _ in should:
+                hits[np.searchsorted(union, ids)] += 1
+            base = union[hits >= msm]
+        if len(base) == 0:
+            return empty
+        if node["must"] and should and node.get("msm_explicit"):
+            msm = max(1, int(node.get("msm", 1)))
+            sh_hits = np.zeros(len(base), dtype=np.int32)
+            for ids, _ in should:
+                if len(ids):
+                    sh_hits += in_sorted(base, ids)
+            base = base[sh_hits >= msm]
+            if len(base) == 0:
+                return empty
+        for c in node["must_not"]:
+            ids_mn, _ = self._qs_eval(c, weights, avgdl, k1, b)
+            if len(ids_mn):
+                base = base[~in_sorted(base, ids_mn)]
+                if len(base) == 0:
+                    return empty
+        scores = np.zeros(len(base), dtype=np.float64)
+        for ids, sc in must + should:
+            if len(ids) == 0:
+                continue
+            m = in_sorted(ids, base)
+            if m.any():
+                scores[np.searchsorted(base, ids[m])] += sc[m]
+        return base, (scores * boost if boost != 1.0 else scores)
+
+    def qs_eval_batch(
+        self, trees: list[dict], k: int, weights: dict[str, float],
+        avgdl: dict[str, float], k1: float, b: float,
+    ) -> list[list[tuple[float, int]]]:
+        out = []
+        for tree in trees:
+            ids, sc = self._qs_eval(tree, weights, avgdl, k1, b)
+            if len(ids) == 0:
+                out.append([])
+            elif k > 0:
+                top = bm25.topk_indices(sc, ids, k)
+                out.append([(float(sc[i]), int(ids[i])) for i in top])
+            else:
+                out.append([(float(s), int(d)) for s, d in zip(sc, ids)])
+        return out
+
 
 class MultiFieldEngine:
     """Driver facade over per-field sub-indexes (mirrors QueryEngine's
@@ -248,6 +356,117 @@ class MultiFieldEngine:
             top = bm25.topk_indices(scores, docs, k)
             out.append([(int(docs[i]), float(scores[i])) for i in top])
         return out
+
+    def _compile_qs(self, node, df: dict[str, dict[str, int]], default_operator: str):
+        """Syntax tree → multifield evaluation tree: every term leaf carries
+        per-field idfs (only fields where df>0); a `field:term` prefix
+        restricts the leaf to that one field (the ES query_string `fields`
+        override). Drop/none rules mirror querystring.compile_tree."""
+        from . import querystring as qs
+
+        if isinstance(node, qs.Leaf):
+            f, body = qs.split_field(node.text)
+            fields = [f] if f is not None else self.fields
+            toks = list(dict.fromkeys(self.analyzer.analyze_query(body)))
+            if not toks:
+                return {"kind": "none"}
+            live = [t for t in toks if any(df[g][t] > 0 for g in fields)]
+            if not live or (default_operator == "and" and len(live) < len(toks)):
+                return {"kind": "none"}
+            def idfs_for(t):
+                return {
+                    g: float(bm25.idf(self.N[g], df[g][t]))
+                    for g in fields if df[g][t] > 0
+                }
+            if len(live) == 1:
+                return {"kind": "term", "term": live[0], "fields": fields,
+                        "idfs": idfs_for(live[0]), "boost": node.boost}
+            terms = sorted(live)
+            return {
+                "kind": "group", "terms": terms, "fields": fields,
+                "idfs": {g: {t: float(bm25.idf(self.N[g], df[g][t]))
+                             for t in terms if df[g][t] > 0}
+                         for g in fields},
+                "msm": len(terms) if default_operator == "and" else 1,
+                "boost": node.boost,
+            }
+        out = {"kind": "bool", "must": [], "should": [], "must_not": [],
+               "msm": 1, "boost": node.boost}
+        had_positive = False
+        for occur, child in node.clauses:
+            c = self._compile_qs(child, df, default_operator)
+            if occur != "must_not":
+                had_positive = True
+            if c["kind"] == "none":
+                if occur == "must":
+                    return {"kind": "none"}
+                continue
+            out[occur].append(c)
+        if not had_positive:
+            raise ValueError("purely negative query (only must_not clauses) is not supported")
+        if not out["must"] and not out["should"]:
+            return {"kind": "none"}
+        return out
+
+    def query_string(
+        self,
+        q: str,
+        *,
+        k: int = 10,
+        default_operator: str = "or",
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene query_string over ALL fields at once (term/boolean subset):
+        an unprefixed term scores Σ_f w_f·BM25_f across every field;
+        ``field:term`` restricts a leaf to one field. AND/OR/NOT, +/-,
+        parens, ^boosts and minimum_should_match work exactly as on
+        QueryEngine.query_string; phrases / wildcards / fuzzy / ranges need
+        per-field positional or doc-value machinery this engine does not
+        hold — use the single-field QueryEngine for those."""
+        from . import querystring as qs
+
+        tree = qs.parse(q, default_operator)
+        leaves = qs.collect_leaves(tree)
+        for lf in leaves:
+            if lf.kind != "term":
+                raise ValueError(
+                    f"multifield query_string supports term/boolean clauses only "
+                    f"(got {lf.kind}: {lf.text!r}); use the single-field "
+                    f"QueryEngine for phrases/wildcards/fuzzy/ranges"
+                )
+            f, _ = qs.split_field(lf.text)
+            if f is not None and f not in self.weights:
+                raise ValueError(f"unknown field {f!r}; fields: {self.fields}")
+        all_terms = sorted({
+            t for lf in leaves
+            for t in self.analyzer.analyze_query(qs.split_field(lf.text)[1])
+        })
+        df = self._global_dfs(all_terms)
+        compiled = self._compile_qs(tree, df, default_operator)
+        if compiled["kind"] == "none":
+            return []
+        if minimum_should_match is not None:
+            if compiled["kind"] != "bool":
+                compiled = {"kind": "bool", "must": [], "should": [compiled],
+                            "must_not": [], "msm": 1, "boost": 1.0}
+            compiled["msm"] = int(minimum_should_match)
+            compiled["msm_explicit"] = True
+        shard_results = ray.get([
+            a.qs_eval_batch.remote(
+                [compiled], k, self.weights, self.avgdl, self.k1, self.b
+            )
+            for a in self._actors
+        ])
+        cand = [c for sr in shard_results for c in sr[0]]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        if k <= 0:
+            order = np.argsort(docs)
+            return [(int(docs[i]), float(scores[i])) for i in order]
+        top = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in top]
 
     def close(self) -> None:
         for a in self._actors:

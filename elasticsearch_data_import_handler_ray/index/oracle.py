@@ -603,6 +603,101 @@ def _qs_oracle_node(oracle, node: dict) -> tuple[np.ndarray, np.ndarray]:
     return base, (scores * boost if boost != 1.0 else scores)
 
 
+def _qs_mf_node(mf, node: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Naive mirror of MultiFieldShard._qs_eval over whole per-field corpora:
+    leaf score = Σ_f w_f·BM25_f accumulated field-major ascending-term, the
+    shard's exact order, so scores are bit-identical."""
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+    kind = node["kind"]
+    if kind == "none":
+        return empty
+    boost = node.get("boost", 1.0)
+    if kind in ("term", "group"):
+        terms = [node["term"]] if kind == "term" else node["terms"]
+        idf_of = (
+            (lambda f, t: node["idfs"].get(f))
+            if kind == "term"
+            else (lambda f, t: node["idfs"][f].get(t))
+        )
+        parts = []
+        for f in node["fields"]:
+            o = mf.oracles[f]
+            for t in terms:
+                if idf_of(f, t) is None or t not in o.postings:
+                    continue
+                parts.append((f, t, *o.postings[t]))
+        if not parts:
+            return empty
+        union = np.unique(np.concatenate([p[2] for p in parts]))
+        scores = np.zeros(len(union), dtype=np.float64)
+        term_hit = {t: np.zeros(len(union), dtype=bool) for t in terms}
+        for f, t, ids, tfs in parts:
+            o = mf.oracles[f]
+            pos = np.searchsorted(union, ids)
+            dls = o.doc_lens[np.searchsorted(o.all_docs, ids)]
+            scores[pos] += mf.weights[f] * bm25.contribution(
+                idf_of(f, t), tfs, dls, o.avgdl, o.k1, o.b
+            )
+            term_hit[t][pos] = True
+        msm = max(1, int(node.get("msm", 1)))
+        if msm > 1:
+            hits = np.sum([term_hit[t] for t in terms], axis=0)
+            m = hits >= msm
+            union, scores = union[m], scores[m]
+        return union, (scores * boost if boost != 1.0 else scores)
+    must = [_qs_mf_node(mf, c) for c in node["must"]]
+    should = [_qs_mf_node(mf, c) for c in node["should"]]
+    if node["must"]:
+        base = must[0][0]
+        for ids, _ in must[1:]:
+            base = np.intersect1d(base, ids, assume_unique=True)
+    else:
+        if not should:
+            return empty
+        msm = max(1, int(node.get("msm", 1)))
+        union = np.unique(np.concatenate([ids for ids, _ in should]))
+        hits = np.zeros(len(union), dtype=np.int32)
+        for ids, _ in should:
+            hits[np.searchsorted(union, ids)] += 1
+        base = union[hits >= msm]
+    if len(base) == 0:
+        return empty
+    if node["must"] and should and node.get("msm_explicit"):
+        msm = max(1, int(node.get("msm", 1)))
+        sh_hits = np.zeros(len(base), dtype=np.int32)
+        for ids, _ in should:
+            if len(ids):
+                sh_hits += np.isin(base, ids, assume_unique=True)
+        base = base[sh_hits >= msm]
+        if len(base) == 0:
+            return empty
+    for c in node["must_not"]:
+        ids_mn, _ = _qs_mf_node(mf, c)
+        if len(ids_mn):
+            base = base[~np.isin(base, ids_mn, assume_unique=True)]
+            if len(base) == 0:
+                return empty
+    scores = np.zeros(len(base), dtype=np.float64)
+    for ids, sc in must + should:
+        if len(ids) == 0:
+            continue
+        m = np.isin(ids, base, assume_unique=True)
+        if m.any():
+            scores[np.searchsorted(base, ids[m])] += sc[m]
+    return base, (scores * boost if boost != 1.0 else scores)
+
+
+def multifield_query_string_oracle(mf, compiled: dict, k: int = 10) -> list[tuple[int, float]]:
+    """Top-k of a compiled multifield query_string tree vs MultiFieldOracle."""
+    ids, scores = _qs_mf_node(mf, compiled)
+    if len(ids) == 0:
+        return []
+    if k <= 0:
+        return [(int(d), float(s)) for d, s in zip(ids, scores)]
+    top = bm25.topk_indices(scores, ids, k)
+    return [(int(ids[i]), float(scores[i])) for i in top]
+
+
 def query_string_oracle(oracle, compiled: dict, k: int = 10) -> list[tuple[int, float]]:
     """Top-k of a compiled query_string tree against the naive oracle (the
     engine-identity target for tests/test_querystring.py)."""

@@ -91,3 +91,106 @@ def test_multifield_weights_flow_into_scores(mf_built):
     overlap = set(combined) & set(text_only)
     assert overlap
     assert any(combined[d] != text_only[d] for d in overlap)
+
+
+# ------------------------------------------------- query_string (multifield)
+def _mf_compile(mf, q: str, default_operator: str = "or"):
+    """Independent compile against the oracle's postings (engine parity check
+    for MultiFieldEngine.query_string): idfs from oracle dfs, same drop/none
+    rules as the engine compiler."""
+    from elasticsearch_data_import_handler_ray.functions import bm25
+    from elasticsearch_data_import_handler_ray.index import querystring as qs
+
+    def comp(node):
+        if isinstance(node, qs.Leaf):
+            f, body = qs.split_field(node.text)
+            fields = [f] if f is not None else mf.fields
+            toks = list(dict.fromkeys(mf.analyzer.analyze_query(body)))
+            if not toks:
+                return {"kind": "none"}
+            live = [t for t in toks if any(t in mf.oracles[g].postings for g in fields)]
+            if not live or (default_operator == "and" and len(live) < len(toks)):
+                return {"kind": "none"}
+
+            def idfs_for(t):
+                return {
+                    g: float(bm25.idf(mf.oracles[g].N, len(mf.oracles[g].postings[t][0])))
+                    for g in fields if t in mf.oracles[g].postings
+                }
+
+            if len(live) == 1:
+                return {"kind": "term", "term": live[0], "fields": fields,
+                        "idfs": idfs_for(live[0]), "boost": node.boost}
+            terms = sorted(live)
+            return {"kind": "group", "terms": terms, "fields": fields,
+                    "idfs": {g: {t: idfs_for(t)[g] for t in terms if g in idfs_for(t)}
+                             for g in fields},
+                    "msm": len(terms) if default_operator == "and" else 1,
+                    "boost": node.boost}
+        out = {"kind": "bool", "must": [], "should": [], "must_not": [],
+               "msm": 1, "boost": node.boost}
+        for occur, child in node.clauses:
+            c = comp(child)
+            if c["kind"] == "none":
+                if occur == "must":
+                    return {"kind": "none"}
+                continue
+            out[occur].append(c)
+        if not out["must"] and not out["should"]:
+            return {"kind": "none"}
+        return out
+
+    return comp(qs.parse(q, default_operator))
+
+
+def test_multifield_query_string_vs_oracle(mf_built, mf_oracle):
+    from elasticsearch_data_import_handler_ray.index.oracle import (
+        multifield_query_string_oracle,
+    )
+
+    eng = MultiFieldEngine(mf_built)
+    try:
+        cases = [
+            ("hash AND join", "or"),
+            ("(hash OR scan) AND query NOT src3", "or"),
+            ("+data stream^2", "or"),
+            ("hash join query", "and"),
+            ("source:src3 AND hash", "or"),      # field-restricted leaf
+            ("text:hash -source:src3", "or"),
+            ("data unknownzzz", "or"),
+        ]
+        n_nonempty = 0
+        for q, op in cases:
+            got = eng.query_string(q, k=10, default_operator=op)
+            want = multifield_query_string_oracle(mf_oracle, _mf_compile(mf_oracle, q, op), k=10)
+            assert got == want, (q, op)
+            n_nonempty += bool(got)
+        assert n_nonempty >= 5
+        # explicit minimum_should_match
+        q = "+hash join scan data"
+        loose = eng.query_string(q, k=0)
+        tight = eng.query_string(q, k=0, minimum_should_match=2)
+        compiled = _mf_compile(mf_oracle, q)
+        compiled["msm"], compiled["msm_explicit"] = 2, True
+        assert tight == multifield_query_string_oracle(mf_oracle, compiled, k=0)
+        assert len(tight) <= len(loose)
+        # field restriction restricts: a source-only term scored via text: is gone
+        assert eng.query_string("text:src3", k=10) == []
+        assert eng.query_string("source:src3", k=10)
+    finally:
+        eng.close()
+
+
+def test_multifield_query_string_errors(mf_built):
+    eng = MultiFieldEngine(mf_built)
+    try:
+        with pytest.raises(ValueError, match="term/boolean"):
+            eng.query_string('"a phrase"')
+        with pytest.raises(ValueError, match="term/boolean"):
+            eng.query_string("pre* data")
+        with pytest.raises(ValueError, match="unknown field"):
+            eng.query_string("nofield:foo")
+        with pytest.raises(ValueError, match="negative"):
+            eng.query_string("-hash")
+    finally:
+        eng.close()
