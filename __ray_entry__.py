@@ -1399,6 +1399,7 @@ def _query_string_search(sf_dir: str):
         'scan* AND "table scan"',
         "qery~1 row",
         "table AND doc_len:[40 TO 400]",
+        "/quer[a-z]+/ AND _exists_:doc_len",
     ]
     rows = []
     try:

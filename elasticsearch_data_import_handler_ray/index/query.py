@@ -2120,7 +2120,7 @@ class QueryEngine:
         for lf in leaves:
             if lf.kind == "range":
                 continue  # range fields resolve against doc-values, below
-            f, _ = qs.split_field(lf.text)
+            f = lf.field_name if lf.kind == "regexp" else qs.split_field(lf.text)[0]
             if f is not None and f != field_col:
                 raise ValueError(
                     f"field {f!r} is not indexed here (single-field index over "
@@ -2138,9 +2138,24 @@ class QueryEngine:
         waves: list[tuple[tuple[str, str], list[str], list]] = []
         for lf in leaves:
             key = (lf.kind, lf.text)
-            if lf.kind not in ("prefix", "wildcard", "fuzzy") or key in expansions:
+            if lf.kind not in ("prefix", "wildcard", "fuzzy", "regexp") or key in expansions:
                 continue
             expansions[key] = []
+            if lf.kind == "regexp":
+                pat = lf.text.lower()  # Leaf.text is the bare pattern
+                # probe with the executing engine (Arrow RE2) so bad syntax
+                # is a clean driver-side ValueError (same rule as
+                # search_regexp / expand_regexp)
+                try:
+                    pc.match_substring_regex(
+                        pa.array([""], type=pa.string()), pattern="^(?:" + pat + ")$"
+                    )
+                except pa.lib.ArrowInvalid as e:
+                    raise ValueError(f"invalid regexp /{lf.text}/: {e}") from None
+                waves.append(
+                    (key, [], [a.expand_regexp.remote(pat, max_expansions) for a in self._actors])
+                )
+                continue
             body = qs.split_field(lf.text)[1]
             if lf.kind == "wildcard":
                 pat = body.lower()

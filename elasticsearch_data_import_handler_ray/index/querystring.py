@@ -113,6 +113,18 @@ def _lex(q: str) -> list[_Tok]:
                 if q[j] == "\\" and j + 1 < n:
                     buf.append(q[j + 1]); j += 2
                     continue
+                if q[j] == "/" and (not buf or buf[-1] == ":"):
+                    # /regexp/ (bare or field:/regexp/): the pattern may
+                    # contain any otherwise-special character; consume through
+                    # the closing unescaped slash
+                    k = j + 1
+                    while k < n and q[k] != "/":
+                        k += 2 if q[k] == "\\" else 1
+                    if k >= n:
+                        raise ValueError("unterminated regexp (missing closing /)")
+                    buf.append(q[j : k + 1])
+                    j = k + 1
+                    continue
                 if q[j] in "[{" and buf and buf[-1] == ":":
                     # field:[lo TO hi] / field:{lo TO hi} — spaces are part of
                     # the range body, consume through the closing bracket
@@ -255,6 +267,9 @@ class _Parser:
         if t.kind == "word":
             self.next()
             word = t.text
+            rx = _try_parse_regexp(word)
+            if rx is not None:
+                return rx
             rng = _try_parse_range(word)
             if rng is not None:
                 return rng
@@ -280,6 +295,19 @@ def _range_bound(raw: str):
         return float(raw)
     except ValueError:
         return raw
+
+
+def _try_parse_regexp(word: str) -> Leaf | None:
+    """``/pattern/`` or ``field:/pattern/`` → Leaf(kind="regexp") whose
+    ``text`` is the BARE pattern (no slashes) and ``field_name`` the optional
+    field. Checked before field-splitting so a bare pattern containing ':'
+    is not mistaken for a field prefix."""
+    if len(word) >= 2 and word[0] == "/" and word[-1] == "/":
+        return Leaf("regexp", word[1:-1], field_name=None)
+    f, body = split_field(word)
+    if f is not None and len(body) >= 2 and body[0] == "/" and body[-1] == "/":
+        return Leaf("regexp", body[1:-1], field_name=f)
+    return None
 
 
 def _try_parse_range(word: str) -> Leaf | None:

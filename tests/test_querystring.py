@@ -171,6 +171,9 @@ def _oracle_compile(oracle, q: str, default_operator: str = "or", cap: int = 10_
                 "^" + re.escape(body.lower()).replace(r"\*", ".*").replace(r"\?", ".") + "$"
             )
             exp[key] = sorted(t for t in vocab if pat.match(t))[:cap]
+        elif lf.kind == "regexp":
+            pat = re.compile("^(?:" + lf.text.lower() + ")$")
+            exp[key] = sorted(t for t in vocab if pat.match(t))[:cap]
         elif lf.kind == "fuzzy":
             toks = oracle.analyzer.analyze_query(body)
             seed, rest = toks[-1], toks[:-1]
@@ -341,6 +344,40 @@ def test_range_clauses_vs_oracle(engine, oracle):
 def test_range_unknown_field_raises(engine):
     with pytest.raises((ValueError, KeyError)):
         engine.query_string("nosuchfield:[1 TO 2]")
+
+
+def test_parse_regexp_forms():
+    g = qs.parse('/ab(c|d)+/ content:/x:y/ plain')
+    l0, l1, l2 = (n for _, n in g.clauses)
+    assert (l0.kind, l0.text, l0.field_name) == ("regexp", "ab(c|d)+", None)
+    assert (l1.kind, l1.text, l1.field_name) == ("regexp", "x:y", "content")
+    assert l2.kind == "term"
+    with pytest.raises(ValueError):
+        qs.parse("/unterminated")
+
+
+def test_regexp_clause_vs_oracle(engine, oracle):
+    """/pattern/ expands against the dictionary (anchored, capped) and scores
+    as a per-term-idf OR group — identical to wildcard blending."""
+    hot, mid, rare, _ = _vocab_terms(oracle)
+    cases = [
+        f"/{hot[:3]}.*/ {mid}",
+        f"/{rare[:2]}[a-z]+/ AND {hot}",
+        f"({mid} OR /{hot}/) -{rare}",
+    ]
+    for q in cases:
+        got = engine.query_string(q, k=15, max_expansions=10_000)
+        want = query_string_oracle(oracle, _oracle_compile(oracle, q), k=15)
+        assert got == want, repr(q)
+    assert engine.query_string(cases[0], k=15)  # non-vacuous
+    # a bare regexp reduces to search_regexp bit-identically
+    assert engine.query_string(f"/{hot[:3]}.*/", k=10, max_expansions=10_000) == \
+        engine.search_regexp(f"{hot[:3]}.*", k=10, max_expansions=10_000)
+    # RE2-invalid syntax (lookahead) is a clean driver-side ValueError
+    with pytest.raises(ValueError, match="regexp"):
+        engine.query_string("/(?=abc)def/")
+    with pytest.raises(ValueError, match="not indexed"):
+        engine.query_string("nofield:/abc/")
 
 
 def test_exists_clause(engine, oracle):
