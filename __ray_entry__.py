@@ -1412,6 +1412,45 @@ def _query_string_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _query_string_matchset(sf_dir: str):
+    """query_string boolean / prefix / doc-value-range MATCH SET (k=0) over a
+    whitespace-analyzer index on `documents` — the SQL-expressible slice of
+    the Lucene mini-language, gated against a FULL DuckDB oracle whose
+    token-list algebra replicates the analyzer exactly (same split as
+    term_df_whitespace). Scores are pinned by tests/test_querystring.py and
+    the rows-only query_string_search entry; this entry gates matching."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    key = (os.path.abspath(sf_dir), "ws_docs")
+    index_dir = _INDEX_CACHE.get(key)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="edih_ws_idx_")
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), index_dir,
+            config=IndexConfig(analyzer="whitespace", num_segments=4,
+                               doc_id_col="doc_id", content_col="text"),
+        )
+        _INDEX_CACHE[key] = index_dir
+    eng = QueryEngine(index_dir)
+    cases = [
+        "hash AND join",
+        "(scan OR row) NOT slow",
+        "dat* AND batch",
+        "merge AND doc_len:[20 TO 60]",
+        "+vector -filter",
+    ]
+    rows = []
+    try:
+        for qi, q in enumerate(cases):
+            for doc_id, _ in eng.query_string(q, k=0, max_expansions=100_000):
+                rows.append({"query_idx": qi, "doc_id": int(doc_id)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _bool_search(sf_dir: str):
     """Composed ES bool query (must + should + must_not + msm in one
     scatter). Rows-only — bit-identity vs the per-class-hit oracle pinned in
@@ -1604,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pipeline_agg_search": _pipeline_agg_search,
             "bool_search": _bool_search,
             "query_string_search": _query_string_search,
+            "query_string_matchset": _query_string_matchset,
             "hybrid_search": _hybrid_search,
             "phrase_prefix_search": _phrase_prefix_search,
             "multifield_search": _multifield_search,
@@ -2020,6 +2060,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, SUM(n_chars)::BIGINT AS sum_chars,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "query_string_matchset": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT 0 AS query_idx, doc_id FROM d
+            WHERE list_contains(toks, 'hash') AND list_contains(toks, 'join')
+            UNION ALL
+            SELECT 1, doc_id FROM d
+            WHERE (list_contains(toks, 'scan') OR list_contains(toks, 'row'))
+              AND NOT list_contains(toks, 'slow')
+            UNION ALL
+            SELECT 2, doc_id FROM d
+            WHERE len(list_filter(toks, x -> x LIKE 'dat%')) > 0
+              AND list_contains(toks, 'batch')
+            UNION ALL
+            SELECT 3, doc_id FROM d
+            WHERE list_contains(toks, 'merge') AND len(toks) BETWEEN 20 AND 60
+            UNION ALL
+            SELECT 4, doc_id FROM d
+            WHERE list_contains(toks, 'vector') AND NOT list_contains(toks, 'filter')
         """,
         "nested_search": """
             SELECT DISTINCT l_orderkey AS parent_id FROM lineitem
