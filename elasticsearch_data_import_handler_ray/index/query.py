@@ -1616,6 +1616,26 @@ class QueryShard:
         return out
 
 
+
+def _qs_positive_terms(node: dict) -> set[str]:
+    """Every term a compiled query_string tree can SCORE with (must/should
+    branches; must_not and range/_exists_ leaves excluded) — the highlight
+    term set."""
+    kind = node["kind"]
+    if kind == "term":
+        return {node["term"]}
+    if kind == "group":
+        return set(node["terms"])
+    if kind == "phrase":
+        return set(node["phrase"])
+    if kind == "bool":
+        out: set[str] = set()
+        for c in node["must"] + node["should"]:
+            out |= _qs_positive_terms(c)
+        return out
+    return set()  # none / range
+
+
 class QueryEngine:
     """Driver-side facade. Spawns the shard actor pool lazily on first use and
     reuses it across queries (mmap'd postings stay warm). Never calls
@@ -2088,29 +2108,24 @@ class QueryEngine:
         }
         return self.search_many([q], k=k, method="exhaustive")[0]
 
-    def query_string(
-        self,
-        q: str,
-        *,
-        k: int = 10,
-        default_operator: str = "or",
-        max_expansions: int = 50,
-        minimum_should_match: int | None = None,
-    ) -> list[tuple[int, float]]:
-        """ES/Lucene ``query_string`` mini-language over this index — the
-        `q=`-parameter surface the reference's users query ES with (see
-        index/querystring.py for the grammar: AND/OR/NOT, +/-, parentheses,
-        "phrases"~slop, wild*ards, fuzzy~N, ^boosts, \\ escapes).
+    def _compile_query_string(
+        self, q: str, default_operator: str, max_expansions: int
+    ) -> dict:
+        """Parse + validate + expand + embed idfs → the picklable evaluation
+        tree query_string ships to the shards. Memoized per engine instance
+        (the index — and therefore every df and dictionary expansion — is
+        immutable for the life of an engine, the same assumption the df
+        cache makes), so repeated queries and query_string_highlight's
+        second use skip the expansion wave entirely."""
+        ck = (q, default_operator, max_expansions)
+        if not hasattr(self, "_qs_compile_cache"):
+            from collections import OrderedDict
 
-        Execution: parse + analyze + wildcard/prefix/fuzzy expansion on the
-        driver (one parallel expansion wave + the cached df round), then the
-        compiled tree ships to every shard in ONE scatter and is evaluated
-        with sorted-array set algebra — an arbitrarily nested boolean costs
-        the same RPC rounds as a flat search. Scores follow the Lucene
-        sum-of-matching-clauses rule (each leaf BM25 · boost), so a flat OR
-        is bit-identical to ``search(mode="or")``.
-
-        ``k <= 0`` returns the FULL match set (count/match-set shape)."""
+            self._qs_compile_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        hit = self._qs_compile_cache.get(ck)
+        if hit is not None:
+            self._qs_compile_cache.move_to_end(ck)
+            return hit
         from . import querystring as qs
 
         tree = qs.parse(q, default_operator)
@@ -2193,13 +2208,46 @@ class QueryEngine:
         compiled = qs.compile_tree(
             tree, self.analyzer, dfs, idf_of, expansions, default_operator
         )
+        self._qs_compile_cache[ck] = compiled
+        if len(self._qs_compile_cache) > 512:
+            self._qs_compile_cache.popitem(last=False)
+        return compiled
+
+    def query_string(
+        self,
+        q: str,
+        *,
+        k: int = 10,
+        default_operator: str = "or",
+        max_expansions: int = 50,
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES/Lucene ``query_string`` mini-language over this index — the
+        `q=`-parameter surface the reference's users query ES with (see
+        index/querystring.py for the grammar: AND/OR/NOT, +/-, parentheses,
+        "phrases"~slop, wild*ards, fuzzy~N, /regexp/, field:[lo TO hi],
+        _exists_:field, ^boosts, \\ escapes).
+
+        Execution: parse + analyze + expansion on the driver (one parallel
+        expansion wave + the cached df round, memoized per query string),
+        then the compiled tree ships to every shard in ONE scatter and is
+        evaluated with sorted-array set algebra — an arbitrarily nested
+        boolean costs the same RPC rounds as a flat search. Scores follow
+        the Lucene sum-of-matching-clauses rule (each leaf BM25 · boost), so
+        a flat OR is bit-identical to ``search(mode="or")``.
+
+        ``k <= 0`` returns the FULL match set (count/match-set shape)."""
+        compiled = self._compile_query_string(q, default_operator, max_expansions)
         if compiled["kind"] == "none":
             return []
         if minimum_should_match is not None:
             # applied at the TOP-level bool only, the ES query_string surface
+            # copy before mutating: the compiled tree is cached
             if compiled["kind"] != "bool":
                 compiled = {"kind": "bool", "must": [], "should": [compiled],
                             "must_not": [], "msm": 1, "boost": 1.0}
+            else:
+                compiled = dict(compiled)
             compiled["msm"] = int(minimum_should_match)
             compiled["msm_explicit"] = True
         shard_results = ray.get(
@@ -2218,6 +2266,46 @@ class QueryEngine:
             return [(int(docs[i]), float(scores[i])) for i in order]
         top = bm25.topk_indices(scores, docs, k)
         return [(int(docs[i]), float(scores[i])) for i in top]
+
+    def query_string_highlight(
+        self,
+        q: str,
+        *,
+        k: int = 10,
+        default_operator: str = "or",
+        max_expansions: int = 50,
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float, dict[str, list[int]]]]:
+        """query_string top-k + ES-style highlights: per hit, the POSITIVE
+        query terms' token indices in that doc (expanded wildcard/prefix/
+        fuzzy/regexp terms included — what the user's match actually was).
+        One extra scatter over the k hit docs only; requires
+        IndexConfig(positions=True). Range/_exists_ leaves contribute no
+        highlight terms (they match values, not tokens)."""
+        if not self.man.config.positions:
+            raise ValueError(
+                "highlight needs a positional index (IndexConfig(positions=True))"
+            )
+        hits = self.query_string(
+            q, k=k, default_operator=default_operator,
+            max_expansions=max_expansions,
+            minimum_should_match=minimum_should_match,
+        )
+        if not hits:
+            return []
+        compiled = self._compile_query_string(q, default_operator, max_expansions)
+        terms = sorted(_qs_positive_terms(compiled))
+        if not terms:
+            return [(d, s, {}) for d, s in hits]
+        doc_ids = [d for d, _ in hits]
+        per = ray.get(
+            [a.matched_positions.remote(terms, doc_ids) for a in self._actors]
+        )
+        hl: dict[int, dict[str, list[int]]] = {}
+        for shard in per:
+            for d, t, ps in shard:
+                hl.setdefault(d, {})[t] = ps
+        return [(d, s, hl.get(d, {})) for d, s in hits]
 
     def search_synonyms(
         self,

@@ -434,3 +434,33 @@ def test_indexed_field_prefix_accepted(engine, oracle):
     assert engine.query_string(f"content:{hot} {mid}", k=10) == engine.query_string(
         f"{hot} {mid}", k=10
     )
+
+
+def test_query_string_highlight(engine, oracle):
+    """Highlights return the positive terms' token indices for every hit —
+    verified against the oracle's own token streams (expansions included)."""
+    hot, mid, rare, _ = _vocab_terms(oracle)
+    q = f"{hot[:3]}* AND {mid} -{rare}"
+    out = engine.query_string_highlight(q, k=5, max_expansions=10_000)
+    assert out
+    compiled = _oracle_compile(oracle, q)
+    from elasticsearch_data_import_handler_ray.index.query import _qs_positive_terms
+
+    pos_terms = _qs_positive_terms(compiled)
+    assert mid in pos_terms and rare not in pos_terms
+    for doc_id, score, hl in out:
+        toks = oracle.doc_tokens[doc_id]
+        assert hl, doc_id  # every hit matched at least one positive term
+        for t, positions in hl.items():
+            assert t in pos_terms
+            assert positions == [i for i, tok in enumerate(toks) if tok == t]
+    # hits identical to the plain call (highlight adds, never re-ranks)
+    plain = engine.query_string(q, k=5, max_expansions=10_000)
+    assert [(d, s) for d, s, _ in out] == plain
+    # compile cache: second call must not change results
+    assert engine.query_string(q, k=5, max_expansions=10_000) == plain
+    # range-only query highlights nothing but still returns hits
+    lens = np.sort(oracle.doc_lens)
+    lo, hi = int(lens[2]), int(lens[-3])
+    out2 = engine.query_string_highlight(f"doc_len:[{lo} TO {hi}]", k=3)
+    assert out2 and all(h == {} for _, _, h in out2)
