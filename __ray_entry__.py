@@ -1224,6 +1224,31 @@ def _percolate(sf_dir: str):
     return percolate(ds, qs, analyzer="whitespace")
 
 
+def _percolate_qs(sf_dir: str):
+    """query_string percolation: registered Lucene boolean/range trees
+    matched against the document stream (compiled once, broadcast; one
+    tokenize + one term-vector pass per batch, numpy boolean algebra per
+    tree). FULL SQL oracle — token-list algebra + n_chars comparisons
+    replicate every registered tree exactly."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.percolate import (
+        percolate_query_string,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    qs = [
+        {"query_id": "hot_pair", "q": "hash AND join"},
+        {"query_id": "not_slow", "q": "(scan OR merge) NOT slow"},
+        {"query_id": "big_vec", "q": "vector AND n_chars:[300 TO *]"},
+        {"query_id": "must_plus", "q": "+row +batch -filter"},
+    ]
+    return percolate_query_string(ds, qs, analyzer="whitespace")
+
+
 def _phrase_search(sf_dir: str):
     """Positional index + exact phrase top-k (mode='phrase'); rows-only —
     oracle-checked (rank+score identity vs a naive sliding-window scorer) in
@@ -1640,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "synonym_search": _synonym_search,
             "collapse_search": _collapse_search,
             "percolate": _percolate,
+            "percolate_query_string": _percolate_qs,
             "pipeline_agg_search": _pipeline_agg_search,
             "bool_search": _bool_search,
             "query_string_search": _query_string_search,
@@ -2060,6 +2086,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, SUM(n_chars)::BIGINT AS sum_chars,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "percolate_query_string": """
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id, 'hot_pair' AS query_id FROM d
+            WHERE list_contains(toks, 'hash') AND list_contains(toks, 'join')
+            UNION ALL
+            SELECT doc_id, 'not_slow' FROM d
+            WHERE (list_contains(toks, 'scan') OR list_contains(toks, 'merge'))
+              AND NOT list_contains(toks, 'slow')
+            UNION ALL
+            SELECT doc_id, 'big_vec' FROM d
+            WHERE list_contains(toks, 'vector') AND n_chars >= 300
+            UNION ALL
+            SELECT doc_id, 'must_plus' FROM d
+            WHERE list_contains(toks, 'row') AND list_contains(toks, 'batch')
+              AND NOT list_contains(toks, 'filter')
         """,
         "query_string_matchset": """
             WITH d AS (

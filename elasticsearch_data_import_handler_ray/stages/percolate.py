@@ -132,3 +132,213 @@ def percolate(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------- query_string percolation (r3)
+def _compile_percolate_qs(q: str, analyzer, default_operator: str) -> dict | None:
+    """Query string → MATCHING-ONLY evaluation tree (no idfs — percolation
+    has no corpus statistics and emits matches, not scores). Supported leaf
+    kinds: term (multi-token → any/all by default_operator), "phrase"~slop,
+    field:[lo TO hi] / field:>=x / _exists_:field RANGES over columns of the
+    streamed batch. Dictionary-dependent leaves (wildcard/prefix/fuzzy/
+    regexp) are rejected — there is no term dictionary to expand against.
+    Returns None when the query can never match (no analyzable tokens)."""
+    from ..index import querystring as qs
+
+    def comp(node):
+        if isinstance(node, qs.Leaf):
+            if node.kind == "range":
+                return {"kind": "range", "field": node.field_name,
+                        "lo": node.lo, "hi": node.hi,
+                        "lo_incl": node.lo_incl, "hi_incl": node.hi_incl}
+            if node.kind == "phrase":
+                toks = analyzer.analyze_query(node.text)
+                if not toks:
+                    return {"kind": "none"}
+                return {"kind": "phrase", "phrase": toks, "slop": int(node.slop)}
+            if node.kind != "term":
+                raise ValueError(
+                    f"percolate_query_string cannot expand {node.kind} leaf "
+                    f"{node.text!r}: registered queries match streamed docs, "
+                    f"there is no term dictionary (use literal terms/phrases/"
+                    f"ranges)"
+                )
+            f, body = qs.split_field(node.text)
+            if f is not None:
+                raise ValueError(
+                    f"field-prefixed term {node.text!r}: the percolator "
+                    f"analyzes ONE text column; use ranges for other columns"
+                )
+            toks = sorted(set(analyzer.analyze_query(body)))
+            if not toks:
+                return {"kind": "none"}
+            return {"kind": "terms", "terms": toks,
+                    "msm": len(toks) if default_operator == "and" else 1}
+        out = {"kind": "bool", "must": [], "should": [], "must_not": [], "msm": 1}
+        had_positive = False
+        for occur, child in node.clauses:
+            c = comp(child)
+            if occur != "must_not":
+                had_positive = True
+            if c["kind"] == "none":
+                if occur == "must":
+                    return {"kind": "none"}
+                continue
+            out[occur].append(c)
+        if not had_positive:
+            raise ValueError("purely negative registered query is not supported")
+        if not out["must"] and not out["should"]:
+            return {"kind": "none"}
+        return out
+
+    tree = comp(qs.parse(q, default_operator))
+    return None if tree["kind"] == "none" else tree
+
+
+def _qs_tree_terms(node: dict) -> set[str]:
+    kind = node["kind"]
+    if kind == "terms":
+        return set(node["terms"])
+    if kind == "phrase":
+        return set(node["phrase"])
+    if kind == "bool":
+        out: set[str] = set()
+        for c in node["must"] + node["should"] + node["must_not"]:
+            out |= _qs_tree_terms(c)
+        return out
+    return set()
+
+
+def percolate_query_string(
+    ds,
+    queries: list[dict],
+    *,
+    analyzer: str = "code",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_operator: str = "or",
+):
+    """ES percolator over full Lucene query_string trees: ``queries`` =
+    [{"query_id", "q"}] with AND/OR/NOT, +/-, parens, "phrases"~slop,
+    boosts (ignored — matching only), column ranges and _exists_. → Dataset
+    of (doc_id, query_id) matches.
+
+    Scale shape (same as percolate()): trees compile ONCE on the driver and
+    broadcast; docs stream through a stateless task-pool map_batches. Each
+    batch tokenizes its docs ONE time, builds one boolean doc-vector per
+    distinct term across ALL registered queries (a single vectorized join),
+    then evaluates each tree with numpy boolean algebra over those vectors —
+    per-batch cost O(batch × distinct terms) + O(batch) per tree node, no
+    per-(doc, query) Python except the bounded phrase confirm."""
+    az = get_analyzer(analyzer)
+    compiled: list[tuple[str, dict]] = []
+    for q in queries:
+        tree = _compile_percolate_qs(q["q"], az, q.get("default_operator", default_operator))
+        if tree is not None:
+            compiled.append((str(q["query_id"]), tree))
+    if not compiled:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "query_id": pa.array([], pa.string())})
+        )
+    all_terms = sorted(set().union(*(_qs_tree_terms(t) for _, t in compiled)))
+    prep_ref = ray.put((compiled, all_terms, analyzer))
+
+    def probe(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "query_id": pa.array([], pa.string())}
+        )
+        n = len(t)
+        if n == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        compiled, all_terms, az_name = ray.get(prep_ref)
+        az = get_analyzer(az_name)
+        col = t[text_col]
+        tok_list = az.tokens_of(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        flat = pc.list_flatten(tok_list)
+        parent = pc.list_parent_indices(tok_list).to_numpy(zero_copy_only=False)
+        terms = flat.to_numpy(zero_copy_only=False)
+        pairs = pd.DataFrame({"doc": parent, "term": terms}).drop_duplicates()
+        # one bool vector over this batch's docs per registered term
+        needed = pairs[pairs["term"].isin(all_terms)]
+        term_vec: dict[str, np.ndarray] = {}
+        for term, grp in needed.groupby("term", sort=False):
+            v = np.zeros(n, dtype=bool)
+            v[grp["doc"].to_numpy()] = True
+            term_vec[term] = v
+        zeros = np.zeros(n, dtype=bool)
+        toks_py: dict[int, list[str]] = {}
+
+        def doc_toks(d: int) -> list[str]:
+            if d not in toks_py:
+                toks_py[d] = [x for x in (tok_list[d].as_py() or []) if x]
+            return toks_py[d]
+
+        def ev(node: dict) -> np.ndarray:
+            kind = node["kind"]
+            if kind == "terms":
+                cnt = np.zeros(n, dtype=np.int32)
+                for tm in node["terms"]:
+                    cnt += term_vec.get(tm, zeros)
+                return cnt >= max(1, int(node["msm"]))
+            if kind == "phrase":
+                base = np.ones(n, dtype=bool)
+                for tm in set(node["phrase"]):
+                    base &= term_vec.get(tm, zeros)
+                if not base.any():
+                    return base
+                out = np.zeros(n, dtype=bool)
+                slop, phrase = int(node.get("slop", 0)), node["phrase"]
+                for d in np.flatnonzero(base):
+                    tk = doc_toks(int(d))
+                    if slop > 0:
+                        from ..index.oracle import PhraseOracle
+
+                        out[d] = PhraseOracle._sloppy_doc_match(tk, phrase, slop)
+                    else:
+                        out[d] = _match_phrase_in(tk, phrase)
+                return out
+            if kind == "range":
+                if node["field"] not in t.column_names:
+                    raise KeyError(
+                        f"range field {node['field']!r} is not a column of the "
+                        f"streamed batch (have {t.column_names})"
+                    )
+                vals = t[node["field"]].to_numpy(zero_copy_only=False)
+                keep = np.ones(n, dtype=bool)
+                if node["lo"] is None and node["hi"] is None:
+                    keep &= np.asarray(pd.notna(vals))
+                if node["lo"] is not None:
+                    keep &= (vals >= node["lo"]) if node["lo_incl"] else (vals > node["lo"])
+                if node["hi"] is not None:
+                    keep &= (vals <= node["hi"]) if node["hi_incl"] else (vals < node["hi"])
+                return keep
+            # bool
+            must = [ev(c) for c in node["must"]]
+            should = [ev(c) for c in node["should"]]
+            if must:
+                base = np.logical_and.reduce(must)
+            else:
+                msm = max(1, int(node["msm"]))
+                base = np.sum(should, axis=0) >= msm if should else zeros.copy()
+            for c in node["must_not"]:
+                base = base & ~ev(c)
+            return base
+
+        out_d, out_q = [], []
+        doc_ids = t[id_col].to_numpy(zero_copy_only=False)
+        for qid, tree in compiled:
+            m = ev(tree)
+            if m.any():
+                out_d.append(doc_ids[m].astype(np.int64))
+                out_q.append(np.full(int(m.sum()), qid, dtype=object))
+        if not out_d:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "query_id": pa.array(np.concatenate(out_q).astype(str), pa.string()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

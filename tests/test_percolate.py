@@ -77,3 +77,104 @@ def test_percolate_no_queries_empty():
     df = pd.DataFrame({"doc_id": [1], "text": ["parse json"]})
     out = percolate(ray.data.from_pandas(df), [{"query_id": "e", "text": "!!!"}])
     assert out.count() == 0
+
+
+# ------------------------------------------------- query_string percolation
+def _naive_qs(df, q: str, analyzer="code", default_operator="or"):
+    """Per-doc Python evaluation of a query_string tree (matching only)."""
+    from elasticsearch_data_import_handler_ray.index import querystring as qs
+    from elasticsearch_data_import_handler_ray.index.oracle import PhraseOracle
+
+    az = get_analyzer(analyzer)
+    tree = qs.parse(q, default_operator)
+    occur_default = "must" if default_operator == "and" else "should"
+
+    def ev(node, row, toks, tset) -> bool:
+        if isinstance(node, qs.Leaf):
+            if node.kind == "range":
+                v = row.get(node.field_name)
+                if node.lo is None and node.hi is None:
+                    return v is not None and not (isinstance(v, float) and np.isnan(v))
+                if node.lo is not None and not (v >= node.lo if node.lo_incl else v > node.lo):
+                    return False
+                if node.hi is not None and not (v <= node.hi if node.hi_incl else v < node.hi):
+                    return False
+                return True
+            if node.kind == "phrase":
+                ph = az.analyze_query(node.text)
+                if not set(ph) <= tset:
+                    return False
+                if node.slop > 0:
+                    return PhraseOracle._sloppy_doc_match(toks, ph, node.slop)
+                n = len(ph)
+                return any(toks[i:i + n] == ph for i in range(len(toks) - n + 1))
+            body = qs.split_field(node.text)[1]
+            qt = set(az.analyze_query(body))
+            if not qt:
+                return None  # vacuous clause
+            hits = len(qt & tset)
+            return hits >= (len(qt) if default_operator == "and" else 1)
+        musts, shoulds, nots = [], [], []
+        for occur, child in node.clauses:
+            r = ev(child, row, toks, tset)
+            if r is None:
+                continue
+            (musts if occur == "must" else nots if occur == "must_not" else shoulds).append(r)
+        if any(n for n in nots):
+            return False
+        if musts:
+            return all(musts)
+        return any(shoulds) if shoulds else None
+
+    out = set()
+    for _, row in df.iterrows():
+        toks = az.analyze_query(row["text"])
+        r = ev(tree, row, toks, set(toks))
+        if r:
+            out.add(int(row["doc_id"]))
+    return out
+
+
+def test_percolate_query_string_vs_naive():
+    from elasticsearch_data_import_handler_ray.stages.percolate import (
+        percolate_query_string,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["crash", "panic", "parse", "json", "buffer", "ok", "slow", "fast"]
+    rows = []
+    for i in range(400):
+        toks = rng.choice(vocab, size=rng.integers(3, 12)).tolist()
+        rows.append({"doc_id": i, "text": " ".join(toks),
+                     "severity": int(rng.integers(0, 6))})
+    df = pd.DataFrame(rows)
+    queries = [
+        {"query_id": "a", "q": "(crash OR panic) AND severity:[3 TO *]"},
+        {"query_id": "b", "q": '"parse json" -slow'},
+        {"query_id": "c", "q": "+buffer ok fast"},
+        {"query_id": "d", "q": '"json parse"~2 AND severity:<2'},
+        {"query_id": "e", "q": "_exists_:severity AND crash"},
+        {"query_id": "f", "q": "zzneverseen"},
+    ]
+    out = percolate_query_string(ray.data.from_pandas(df), queries)
+    got = {(int(r["doc_id"]), r["query_id"]) for r in out.take_all()}
+    want = set()
+    for q in queries:
+        for d in _naive_qs(df, q["q"]):
+            want.add((d, q["query_id"]))
+    assert got == want
+    hit_qids = {qid for _, qid in got}
+    assert {"a", "b", "c", "d", "e"} <= hit_qids  # all interesting cases fire
+    assert "f" not in hit_qids
+
+
+def test_percolate_query_string_rejects_expansions():
+    from elasticsearch_data_import_handler_ray.stages.percolate import (
+        percolate_query_string,
+    )
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["parse json"], "severity": [1]})
+    for bad in ["par*", "fuzz~1", "/pa.*/"]:
+        with pytest.raises(ValueError, match="cannot expand"):
+            percolate_query_string(ray.data.from_pandas(df),
+                                   [{"query_id": "x", "q": bad}])
