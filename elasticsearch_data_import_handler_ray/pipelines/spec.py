@@ -108,6 +108,10 @@ def _builtin_step(name: str, params: dict) -> Callable:
         from ..stages.percolate import percolate
 
         return lambda ds: percolate(ds, **params)
+    if name == "percolate_query_string":
+        from ..stages.percolate import percolate_query_string
+
+        return lambda ds: percolate_query_string(ds, **params)
     if name == "langid":
         from ..functions.partitioning import pool_concurrency
         from ..stages.text import LangId
@@ -119,7 +123,10 @@ def _builtin_step(name: str, params: dict) -> Callable:
             concurrency=pool_concurrency(),
             fn_constructor_kwargs=params,
         )
-    raise KeyError(f"unknown builtin step: {name!r} (have {sorted(per_batch) + ['chunk', 'pack_sequences', 'percolate', 'langid']})")
+    raise KeyError(
+        f"unknown builtin step: {name!r} (have "
+        f"{sorted(per_batch) + ['chunk', 'pack_sequences', 'percolate', 'percolate_query_string', 'langid']})"
+    )
 
 
 @dataclass
@@ -147,11 +154,16 @@ class PrepSpec:
 
 @dataclass
 class ImportSpec:
-    """Like an importStatement: transform chain + id column + sink."""
+    """Like an importStatement: transform chain + id column + sink.
+
+    ``id_column`` is optional for the parquet sink (ES auto-ids documents
+    when es.mapping.id is absent — rows pass through un-deduped, e.g. a
+    percolation's (doc_id, query_id) match stream); the index sink always
+    requires it (doc identity is the upsert key)."""
 
     name: str
     source: str
-    id_column: str
+    id_column: str | None
     sink: str  # "parquet" | "index"
     target: str  # output dir (parquet) or index dir (index)
     steps: list[TransformStep] = field(default_factory=list)
@@ -222,7 +234,7 @@ class PipelineSpec:
                 ImportSpec(
                     name=i["name"],
                     source=i["source"],
-                    id_column=i["id_column"],
+                    id_column=i.get("id_column"),
                     sink=i["sink"],
                     target=i["target"],
                     steps=steps(i.get("steps")),
@@ -318,7 +330,8 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
             for step in imp.steps:
                 ds = step.fn(ds)
             if imp.sink == "parquet":
-                ds = _dedup_first_by_id(ds, imp.id_column)
+                if imp.id_column:
+                    ds = _dedup_first_by_id(ds, imp.id_column)
                 os.makedirs(imp.target, exist_ok=True)
                 if imp.partition_cols:
                     ds.write_parquet(imp.target, partition_cols=list(imp.partition_cols))
@@ -328,6 +341,12 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
             elif imp.sink == "index":
                 from ..index.build import build_index
                 from ..state.manifest import IndexConfig
+
+                if not imp.id_column:
+                    raise ValueError(
+                        f"import {imp.name!r}: the index sink requires id_column "
+                        f"(doc identity is the upsert key)"
+                    )
 
                 config = IndexConfig(
                     analyzer=imp.index_analyzer,

@@ -251,3 +251,49 @@ def test_partitioned_parquet_sink(tmp_path):
     one = dirs[0].split("=", 1)[1]
     sub = ray.data.read_parquet(os.path.join(out_dir, dirs[0])).to_pandas()
     assert len(sub) == (src["lang"] == one).sum()
+
+
+def test_builtin_percolate_query_string_in_spec(tmp_path):
+    """A config-only alerting pipeline: stream documents through registered
+    Lucene query_string trees and sink the (doc_id, query_id) matches."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.pipelines.spec import (
+        PipelineSpec,
+        run_pipeline,
+    )
+    from elasticsearch_data_import_handler_ray.stages.percolate import (
+        percolate_query_string,
+    )
+
+    out_dir = str(tmp_path / "alerts")
+    queries = [
+        {"query_id": "pair", "q": "hash AND join"},
+        {"query_id": "big", "q": "vector AND n_chars:[300 TO *]"},
+    ]
+    d = {
+        "sources": [
+            {"name": "docs", "path": os.path.join(SF, "documents.parquet"),
+             "columns": ["doc_id", "text", "n_chars"]}
+        ],
+        "imports": [
+            # no id_column: percolation matches are (doc_id, query_id) PAIRS,
+            # the ES auto-id case — rows must pass through un-deduped
+            {"name": "alerts", "source": "docs",
+             "sink": "parquet", "target": out_dir,
+             "steps": [{"builtin": "percolate_query_string",
+                        "params": {"queries": queries, "analyzer": "whitespace"}}]}
+        ],
+    }
+    run_pipeline(PipelineSpec.from_dict(d))
+    got = (ray.data.read_parquet(out_dir).to_pandas()
+           .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+    src = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text", "n_chars"]
+    )
+    want = (percolate_query_string(src, queries, analyzer="whitespace").to_pandas()
+            .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "query_id"]], want[["doc_id", "query_id"]], check_dtype=False
+    )
+    assert len(got) > 0 and set(got.query_id) == {"pair", "big"}
