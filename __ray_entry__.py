@@ -1437,6 +1437,27 @@ def _query_string_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _ws_docs_index(sf_dir: str, *, store_text: bool = False) -> str:
+    """Shared whitespace-analyzer index over `documents` (one per process;
+    the store_text variant keeps _source for the mutating entries)."""
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    kind = "ws_docs_src" if store_text else "ws_docs"
+    key = (os.path.abspath(sf_dir), kind)
+    index_dir = _INDEX_CACHE.get(key)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix=f"edih_{kind}_idx_")
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), index_dir,
+            config=IndexConfig(analyzer="whitespace", num_segments=4,
+                               doc_id_col="doc_id", content_col="text",
+                               store_cols=("text",) if store_text else ()),
+        )
+        _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
 def _query_string_matchset(sf_dir: str):
     """query_string boolean / prefix / doc-value-range MATCH SET (k=0) over a
     whitespace-analyzer index on `documents` — the SQL-expressible slice of
@@ -1444,21 +1465,9 @@ def _query_string_matchset(sf_dir: str):
     token-list algebra replicates the analyzer exactly (same split as
     term_df_whitespace). Scores are pinned by tests/test_querystring.py and
     the rows-only query_string_search entry; this entry gates matching."""
-    from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
 
-    key = (os.path.abspath(sf_dir), "ws_docs")
-    index_dir = _INDEX_CACHE.get(key)
-    if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="edih_ws_idx_")
-        build_index(
-            os.path.join(sf_dir, "documents.parquet"), index_dir,
-            config=IndexConfig(analyzer="whitespace", num_segments=4,
-                               doc_id_col="doc_id", content_col="text"),
-        )
-        _INDEX_CACHE[key] = index_dir
-    eng = QueryEngine(index_dir)
+    eng = QueryEngine(_ws_docs_index(sf_dir))
     cases = [
         "hash AND join",
         "(scan OR row) NOT slow",
@@ -1471,6 +1480,37 @@ def _query_string_matchset(sf_dir: str):
         for qi, q in enumerate(cases):
             for doc_id, _ in eng.query_string(q, k=0, max_expansions=100_000):
                 rows.append({"query_idx": qi, "doc_id": int(doc_id)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
+def _update_by_query(sf_dir: str):
+    """ES _update_by_query: the query_string match set is rewritten by a
+    batch transform and UPSERTED (incremental build supersedes old versions).
+    FULL SQL oracle: after tagging every `hash AND join` doc, a query for the
+    tag must return exactly the docs whose ORIGINAL text had both terms —
+    end-to-end update semantics expressed as token-list algebra in DuckDB."""
+    import shutil
+
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.index.update import update_by_query
+
+    # mutates (incremental upsert run) → private copy of the stored-source build
+    index_dir = tempfile.mkdtemp(prefix="edih_ubq_priv_")
+    shutil.rmtree(index_dir)
+    shutil.copytree(_ws_docs_index(sf_dir, store_text=True), index_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        tagged = pc2.binary_join_element_wise(t["text"], "ubqtagged", " ")
+        return t.set_column(t.column_names.index("text"), "text", tagged)
+
+    update_by_query(index_dir, "hash AND join", tag)
+    eng = QueryEngine(index_dir)
+    try:
+        rows = [{"doc_id": int(d)} for d, _ in eng.query_string("ubqtagged", k=0)]
     finally:
         eng.close()
     return pa.Table.from_pylist(rows)
@@ -1670,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bool_search": _bool_search,
             "query_string_search": _query_string_search,
             "query_string_matchset": _query_string_matchset,
+            "update_by_query": _update_by_query,
             "hybrid_search": _hybrid_search,
             "phrase_prefix_search": _phrase_prefix_search,
             "multifield_search": _multifield_search,
@@ -2107,6 +2148,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'must_plus' FROM d
             WHERE list_contains(toks, 'row') AND list_contains(toks, 'batch')
               AND NOT list_contains(toks, 'filter')
+        """,
+        "update_by_query": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id FROM d
+            WHERE list_contains(toks, 'hash') AND list_contains(toks, 'join')
         """,
         "query_string_matchset": """
             WITH d AS (
