@@ -114,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--ids", default=None, help="comma-separated doc_ids")
     dl.add_argument("--query", default=None, help="delete every doc matching this query")
     dl.add_argument("--mode", default="or", choices=["or", "and"])
+    dl.add_argument("--query-string", action="store_true", dest="query_string",
+                   help="parse --query as the Lucene query_string mini-language "
+                        "(boolean trees, ranges, _exists_ — the full surface)")
 
     fs = sub.add_parser("fsck", help="verify every on-disk index invariant")
     fs.add_argument("index_dir")
@@ -380,13 +383,17 @@ def main(argv: list[str] | None = None) -> int:
 
                 eng = QueryEngine(args.index_dir)
                 try:
-                    terms = eng.analyze(args.query)
-                    import ray as _ray
+                    if args.query_string:
+                        # full Lucene surface → match set via k=0
+                        ids = [int(d) for d, _ in eng.query_string(args.query, k=0)]
+                    else:
+                        terms = eng.analyze(args.query)
+                        import ray as _ray
 
-                    per = _ray.get(
-                        [a.match_doc_ids.remote(terms, args.mode) for a in eng._actors]
-                    )
-                    ids = [int(d) for p in per for d in p]
+                        per = _ray.get(
+                            [a.match_doc_ids.remote(terms, args.mode) for a in eng._actors]
+                        )
+                        ids = [int(d) for p in per for d in p]
                 finally:
                     eng.close()
             print(json.dumps({"deleted": add_deletions(args.index_dir, ids)}))
