@@ -316,8 +316,12 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.regexp:
                     results = [eng.search_regexp(t, k=args.k) for t in args.text]
                 elif args.query_string:
+                    cur = None
+                    if args.after:
+                        _s, _d = args.after.split(",")
+                        cur = (float(_s), int(_d))
                     results = [
-                        eng.query_string(t, k=args.k,
+                        eng.query_string(t, k=args.k, after=cur,
                                          minimum_should_match=args.msm or None)
                         for t in args.text
                     ]

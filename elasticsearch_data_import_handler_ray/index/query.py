@@ -1597,14 +1597,20 @@ class QueryShard:
         return base, (scores * boost if boost != 1.0 else scores)
 
     def query_string_batch(
-        self, trees: list[dict], k: int, avgdl: float, k1: float, b: float
+        self, trees: list[dict], k: int, avgdl: float, k1: float, b: float,
+        after: tuple[float, int] | None = None,
     ) -> list[list[tuple[float, int]]]:
         """Per compiled tree: this shard's matches as (score, doc_id) —
         top-k when k > 0, ALL matches when k <= 0 (the match-set/count
-        shape, e.g. the SQL-oracle entry)."""
+        shape, e.g. the SQL-oracle entry). ``after``: search_after cursor —
+        keep only matches strictly after (score desc, doc_id asc)."""
         out = []
         for tree in trees:
             ids, sc = self._qs_eval(tree, avgdl, k1, b)
+            if after is not None and len(ids):
+                cs, cd = float(after[0]), np.uint64(int(after[1]))
+                m = (sc < cs) | ((sc == cs) & (ids > cd))
+                ids, sc = ids[m], sc[m]
             if len(ids) == 0:
                 out.append([])
                 continue
@@ -2221,6 +2227,7 @@ class QueryEngine:
         default_operator: str = "or",
         max_expansions: int = 50,
         minimum_should_match: int | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """ES/Lucene ``query_string`` mini-language over this index — the
         `q=`-parameter surface the reference's users query ES with (see
@@ -2236,7 +2243,9 @@ class QueryEngine:
         the Lucene sum-of-matching-clauses rule (each leaf BM25 · boost), so
         a flat OR is bit-identical to ``search(mode="or")``.
 
-        ``k <= 0`` returns the FULL match set (count/match-set shape)."""
+        ``k <= 0`` returns the FULL match set (count/match-set shape).
+        ``after=(score, doc_id)``: ES search_after deep pagination — the
+        next k strictly after the cursor in (score desc, doc_id asc)."""
         compiled = self._compile_query_string(q, default_operator, max_expansions)
         if compiled["kind"] == "none":
             return []
@@ -2250,9 +2259,12 @@ class QueryEngine:
                 compiled = dict(compiled)
             compiled["msm"] = int(minimum_should_match)
             compiled["msm_explicit"] = True
+        cursor = None if after is None else (float(after[0]), int(after[1]))
         shard_results = ray.get(
             [
-                a.query_string_batch.remote([compiled], k, self.avgdl, self.k1, self.b)
+                a.query_string_batch.remote(
+                    [compiled], k, self.avgdl, self.k1, self.b, cursor
+                )
                 for a in self._actors
             ]
         )

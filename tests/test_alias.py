@@ -102,6 +102,11 @@ def test_alias_query_string_bit_identical(split_and_union):
         assert alias.query_string("hot AND term", k=10)  # non-vacuous
         # match-set mode spans both members
         assert alias.query_string("hot", k=0) == union.query_string("hot", k=0)
+        # highlight positions span both members identically (positions are
+        # per-doc, so member/union layout cannot matter)
+        got_hl = alias.query_string_highlight("hot AND term", k=5)
+        want_hl = union.query_string_highlight("hot AND term", k=5)
+        assert got_hl == want_hl and got_hl and all(h for _, _, h in got_hl)
     finally:
         alias.close()
         union.close()

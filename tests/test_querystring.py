@@ -464,3 +464,21 @@ def test_query_string_highlight(engine, oracle):
     lo, hi = int(lens[2]), int(lens[-3])
     out2 = engine.query_string_highlight(f"doc_len:[{lo} TO {hi}]", k=3)
     assert out2 and all(h == {} for _, _, h in out2)
+
+
+def test_query_string_search_after(engine, oracle):
+    """Deep pagination: page N via after-cursor equals the [Nk,(N+1)k) slice
+    of the full ranking (score desc, doc_id asc) — exact, no re-scoring."""
+    hot, mid, _, _ = _vocab_terms(oracle)
+    q = f"{hot} {mid}"
+    full = sorted(engine.query_string(q, k=0), key=lambda ds: (-ds[1], ds[0]))
+    assert len(full) > 12
+    k = 5
+    pages, cursor = [], None
+    for _ in range(len(full) // k + 2):
+        page = engine.query_string(q, k=k, after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == full
