@@ -297,6 +297,20 @@ def _ann_bruteforce(sf_dir: str):
     )
 
 
+def _ann_filtered(sf_dir: str):
+    """ES kNN with a filter: exact cosine top-k over ONLY rows passing the
+    filter clauses (applied BEFORE scoring in the same streamed pass — never
+    a post-filtered top-k that can come up short). FULL SQL oracle."""
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import knn_filtered
+
+    qids, qm = _queries_embeddings(sf_dir)
+    return knn_filtered(
+        table(sf_dir, "embeddings"), qids, qm, k=5,
+        filters=[{"field": "label", "gte": 1}, {"field": "label", "lte": 5}],
+    ).select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def _ann_pq_refined(sf_dir: str):
     """Product quantization + exact refine (the FAISS IVFPQ-refine recipe):
     8-byte ADC shortlist → exact cosine re-rank of ONLY the shortlist. With
@@ -1682,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_simhash": _dedup_simhash,
             "ngram_jaccard": _ngram_jaccard,
             "ann_bruteforce": _ann_bruteforce,
+            "ann_filtered": _ann_filtered,
             "ann_pq_refined": _ann_pq_refined,
             "ann_lsh": _ann_lsh,
             "ann_ivf": _ann_ivf,
@@ -2085,6 +2100,18 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
                        ) AS rn
                 FROM q, embeddings e WHERE e.vec_id <> q.qid
+            ) WHERE rn <= 5
+        """,
+        "ann_filtered": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+            SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rank FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                       ) AS rn
+                FROM q, embeddings e
+                WHERE e.vec_id <> q.qid AND e.label BETWEEN 1 AND 5
             ) WHERE rn <= 5
         """,
         "ann_pq_refined": """

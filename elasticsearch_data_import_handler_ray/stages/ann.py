@@ -696,3 +696,49 @@ def pq_search_refined(
     return knn_bruteforce(
         cand, query_ids, query_matrix, id_col=id_col, emb_col=emb_col, k=k
     )
+
+
+def knn_filtered(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    filters: list[dict] | dict,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> ray.data.Dataset:
+    """ES kNN-with-filter: exact cosine top-k over ONLY the rows passing
+    every filter clause (ES filter context — pure yes/no, applied BEFORE
+    vector scoring, so the result equals brute force over the filtered
+    subset, never a post-filtered full top-k that can return < k rows).
+
+    Clauses use the engine-wide shape ({"field": f, "eq"/"in"/"gte"/"gt"/
+    "lte"/"lt": v}, combinable). Scale shape: the predicate is a vectorized
+    per-batch mask in the SAME streamed pass as the matmul — no extra read,
+    no shuffle, no match-set materialization (unlike a broadcast id-set
+    prefilter, this works at any selectivity)."""
+    flts = [filters] if isinstance(filters, dict) else list(filters)
+
+    def fil(t: pa.Table) -> pa.Table:
+        keep = np.ones(len(t), dtype=bool)
+        for fl in flts:
+            vals = t[fl["field"]].to_numpy(zero_copy_only=False)
+            if "eq" in fl:
+                keep &= vals == fl["eq"]
+            if "in" in fl:
+                keep &= np.isin(vals, np.asarray(fl["in"]))
+            if "gte" in fl:
+                keep &= vals >= fl["gte"]
+            if "gt" in fl:
+                keep &= vals > fl["gt"]
+            if "lte" in fl:
+                keep &= vals <= fl["lte"]
+            if "lt" in fl:
+                keep &= vals < fl["lt"]
+        return t.filter(pa.array(keep))
+
+    filtered = ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
+    return knn_bruteforce(
+        filtered, query_ids, query_matrix, id_col=id_col, emb_col=emb_col, k=k
+    )

@@ -813,3 +813,39 @@ def test_pq_refined_equals_bruteforce():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_filtered_matches_filtered_bruteforce(sf_dir):
+    """ES kNN-with-filter: equals brute force over the pre-filtered subset
+    (filter applied BEFORE scoring), and survivor sets honor the clauses."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.ann import (
+        knn_bruteforce,
+        knn_filtered,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = t["vec_id"].to_numpy(zero_copy_only=False) < 3
+    qt = t.filter(pa.array(mask))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    flt = [{"field": "label", "gte": 2}, {"field": "label", "lte": 6}]
+
+    got = (knn_filtered(table(sf_dir, "embeddings"), qids, qm, k=4, filters=flt)
+           .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # oracle: brute force over a pre-filtered Dataset
+    lab = t["label"].to_numpy(zero_copy_only=False)
+    pre = t.filter(pa.array((lab >= 2) & (lab <= 6)))
+    import ray.data as rd
+
+    want = (knn_bruteforce(rd.from_arrow(pre), qids, qm, k=4)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every neighbor honors the filter
+    lab_of = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    assert all(2 <= lab_of[n] <= 6 for n in got["neighbor_id"])
+    assert len(got) > 0
