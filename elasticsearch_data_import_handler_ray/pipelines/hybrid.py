@@ -45,24 +45,38 @@ def hybrid_search(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     mode: str = "or",
+    query_string: bool = False,
+    knn_filters: list[dict] | dict | None = None,
 ) -> list[tuple[int, float]]:
     """BM25(text) ⊕ cosine(query_vec) under RRF. ``engine`` is a QueryEngine
     whose doc ids share the embedding table's ``id_col`` space. Returns
-    (doc_id, rrf_score) — rank fusion, so no BM25/cosine calibration."""
-    from ..stages.ann import knn_bruteforce
+    (doc_id, rrf_score) — rank fusion, so no BM25/cosine calibration.
 
-    lex = [d for d, _ in engine.search(text, k=n_each, mode=mode)]
+    ``query_string=True`` parses ``text`` as the full Lucene mini-language
+    for the lexical half (the ES ``query`` clause is arbitrary DSL there
+    too — ranges/_exists_ give it a filter context of its own).
+    ``knn_filters`` is the vector half's ES ``knn.filter``: the engine-wide
+    clause shape masked BEFORE scoring over the embedding table's columns
+    (per-retriever filters, exactly the ES combined-search shape)."""
+    from ..stages.ann import knn_bruteforce, knn_filtered
+
+    if query_string:
+        lex = [d for d, _ in engine.query_string(text, k=n_each)]
+    else:
+        lex = [d for d, _ in engine.search(text, k=n_each, mode=mode)]
     # Sentinel query_id -1: knn_bruteforce drops rows whose id equals the
     # query id (self-match exclusion for doc-to-doc knn). A hybrid query
     # vector is NOT a corpus row, so no real vec_id may be excluded — -1
     # can never collide with the non-negative vec_id space.
-    knn = knn_bruteforce(
-        emb_ds,
-        np.array([-1], dtype=np.int64),
-        np.asarray(query_vec, dtype=np.float64).reshape(1, -1),
-        id_col=id_col,
-        emb_col=emb_col,
-        k=n_each,
-    ).to_pandas()
+    qids = np.array([-1], dtype=np.int64)
+    qm = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
+    if knn_filters is not None:
+        knn = knn_filtered(
+            emb_ds, qids, qm, filters=knn_filters, id_col=id_col, emb_col=emb_col, k=n_each
+        ).to_pandas()
+    else:
+        knn = knn_bruteforce(
+            emb_ds, qids, qm, id_col=id_col, emb_col=emb_col, k=n_each
+        ).to_pandas()
     vec = knn.sort_values("rank")["neighbor_id"].astype(int).tolist()
     return rrf_fuse([lex, vec], k=k, k_rrf=k_rrf)

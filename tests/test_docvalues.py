@@ -354,3 +354,39 @@ def test_pipeline_agg_matches_pandas(dv_engine, docs):
     assert [r["derivative"] for r in rows][1:] == h.diff().dropna().astype(int).tolist()
     want_ma = h.rolling(2, min_periods=1).mean().tolist()
     assert [r["moving_avg"] for r in rows] == want_ma
+
+
+def test_hybrid_query_string_and_knn_filter(dv_engine, docs, ws_oracle, sf_dir):
+    """Per-retriever controls: query_string=True drives the lexical half
+    through the Lucene surface; knn_filters masks the vector half BEFORE
+    scoring (the ES knn.filter + query combined-search shape)."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.pipelines.hybrid import (
+        hybrid_search,
+        rrf_fuse,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq_.read_table(emb_path)
+    qvec = np.array(emb["embedding"][7].as_py(), dtype=np.float64)
+    flt = [{"field": "label", "gte": 1}, {"field": "label", "lte": 6}]
+    got = hybrid_search(
+        dv_engine, ray.data.read_parquet(emb_path), "table AND scan", qvec,
+        k=10, n_each=30, query_string=True, knn_filters=flt,
+    )
+    # oracle: lexical via the engine's own (oracle-pinned) query_string;
+    # vector via direct cosine over the label-filtered rows
+    lex = [d for d, _ in dv_engine.query_string("table AND scan", k=30)]
+    lab = np.array(emb["label"].to_pylist())
+    keep = (lab >= 1) & (lab <= 6)
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)[keep]
+    ids = np.array(emb["vec_id"].to_pylist(), dtype=np.int64)[keep]
+    cos = (M @ qvec) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qvec))
+    order = np.lexsort((ids, -cos))[:30]
+    vec = ids[order].tolist()
+    assert got == rrf_fuse([lex, vec], k=10)
+    assert got  # non-vacuous
+    # the knn filter actually bites: unfiltered vector list differs
+    assert vec != ids.tolist()[:30]
