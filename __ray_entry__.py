@@ -1530,6 +1530,28 @@ def _update_by_query(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _query_string_agg(sf_dir: str):
+    """ES aggs under an arbitrary query_string match set: shard-local
+    partials over the matched docs' doc-values (the match set never leaves
+    the shard). FULL SQL oracle — doc_len == whitespace token count, so the
+    histogram is exactly expressible as token-list algebra in DuckDB."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_ws_docs_index(sf_dir))
+    try:
+        hist = eng.query_string_agg(
+            "hash AND join", "doc_len", agg="histogram", interval=10.0
+        )
+        n = eng.query_string_agg("hash AND join", agg="count")
+    finally:
+        eng.close()
+    assert n == sum(c for _, c in hist)
+    return pa.table({
+        "bucket": pa.array([float(b) for b, _ in hist], pa.float64()),
+        "n": pa.array([int(c) for _, c in hist], pa.int64()),
+    })
+
+
 def _bool_search(sf_dir: str):
     """Composed ES bool query (must + should + must_not + msm in one
     scatter). Rows-only — bit-identity vs the per-class-hit oracle pinned in
@@ -1726,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "query_string_search": _query_string_search,
             "query_string_matchset": _query_string_matchset,
             "update_by_query": _update_by_query,
+            "query_string_agg": _query_string_agg,
             "hybrid_search": _hybrid_search,
             "phrase_prefix_search": _phrase_prefix_search,
             "multifield_search": _multifield_search,
@@ -2175,6 +2198,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'must_plus' FROM d
             WHERE list_contains(toks, 'row') AND list_contains(toks, 'batch')
               AND NOT list_contains(toks, 'filter')
+        """,
+        "query_string_agg": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT floor(len(toks) / 10.0) * 10.0 AS bucket,
+                   count(*)::BIGINT AS n
+            FROM d
+            WHERE list_contains(toks, 'hash') AND list_contains(toks, 'join')
+            GROUP BY 1 ORDER BY 1
         """,
         "update_by_query": """
             WITH d AS (

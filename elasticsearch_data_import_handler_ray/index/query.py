@@ -1065,7 +1065,12 @@ class QueryShard:
         ids = self.match_doc_ids(terms, mode)
         if len(ids) == 0:
             return None
-        vals = self._values_of(field, ids)
+        return self._agg_partial(self._values_of(field, ids), histogram_interval, value_counts)
+
+    def _agg_partial(self, vals, histogram_interval=None, value_counts=False):
+        """Shard-local agg partial over a matched doc-value array — shared by
+        the terms/mode path (agg_under_query) and the query_string path
+        (qs_agg), so every agg surface combines identically."""
         if value_counts == "numeric":
             # percentile partial: per-value counts with NUMERIC keys (exact
             # for fields whose distinct-value set is bounded — same contract
@@ -1085,6 +1090,26 @@ class QueryShard:
             float(vals.min()),
             float(vals.max()),
         )
+
+    def qs_agg(
+        self,
+        tree: dict,
+        avgdl: float,
+        k1: float,
+        b: float,
+        field: str | None,
+        histogram_interval: float | None = None,
+        value_counts: bool = False,
+    ):
+        """Aggregations over ALL docs matching a compiled query_string tree,
+        computed locally from this actor's doc-values (match sets never leave
+        the shard). ``field=None`` → bare match count (ES _count)."""
+        ids, _ = self._qs_eval(tree, avgdl, k1, b)
+        if len(ids) == 0:
+            return None
+        if field is None:
+            return int(len(ids))
+        return self._agg_partial(self._values_of(field, ids), histogram_interval, value_counts)
 
     def _score_all_matches(
         self, terms: list[str], mode: str, idfs: dict, avgdl: float,
@@ -2318,6 +2343,83 @@ class QueryEngine:
             for d, t, ps in shard:
                 hl.setdefault(d, {})[t] = ps
         return [(d, s, hl.get(d, {})) for d, s in hits]
+
+    def query_string_agg(
+        self,
+        q: str,
+        field: str | None = None,
+        *,
+        agg: str = "stats",
+        interval: float | None = None,
+        top: int = 10,
+        default_operator: str = "or",
+        max_expansions: int = 50,
+    ):
+        """ES aggregations under an arbitrary query_string match set —
+        compiled once, then each shard evaluates the tree and aggregates ITS
+        matches' doc-values locally (match sets never cross the network; the
+        driver combines O(buckets) partials).
+
+        ``agg``: "count" (field optional — ES _count), "stats"
+        (count/sum/min/max/avg), "histogram" (needs ``interval``; → sorted
+        (bucket, n)), "facets" (terms agg; top-``top`` (value, n))."""
+        compiled = self._compile_query_string(q, default_operator, max_expansions)
+        if compiled["kind"] == "none":
+            return 0 if agg == "count" else (None if agg == "stats" else [])
+        if agg == "count":
+            per = ray.get(
+                [a.qs_agg.remote(compiled, self.avgdl, self.k1, self.b, None)
+                 for a in self._actors]
+            )
+            return int(sum(p for p in per if p is not None))
+        if field is None:
+            raise ValueError(f"agg={agg!r} needs a doc-value field")
+        self._ensure_doc_values([field])
+        if agg == "stats":
+            per = ray.get(
+                [a.qs_agg.remote(compiled, self.avgdl, self.k1, self.b, field)
+                 for a in self._actors]
+            )
+            parts = [p for p in per if p is not None]
+            if not parts:
+                return None
+            n = sum(p[0] for p in parts)
+            sm = sum(p[1] for p in parts)
+            return {
+                "count": int(n), "sum": float(sm),
+                "min": float(min(p[2] for p in parts)),
+                "max": float(max(p[3] for p in parts)),
+                "avg": float(sm / n),
+            }
+        if agg == "histogram":
+            if interval is None:
+                raise ValueError("histogram needs interval=")
+            per = ray.get(
+                [a.qs_agg.remote(compiled, self.avgdl, self.k1, self.b, field,
+                                 float(interval))
+                 for a in self._actors]
+            )
+            out: dict[float, int] = {}
+            for p in per:
+                if p is None:
+                    continue
+                for key, cnt in zip(*p):
+                    out[key] = out.get(key, 0) + int(cnt)
+            return sorted(out.items())
+        if agg == "facets":
+            per = ray.get(
+                [a.qs_agg.remote(compiled, self.avgdl, self.k1, self.b, field,
+                                 None, True)
+                 for a in self._actors]
+            )
+            out2: dict[str, int] = {}
+            for p in per:
+                if p is None:
+                    continue
+                for v, cnt in zip(*p):
+                    out2[v] = out2.get(v, 0) + int(cnt)
+            return sorted(out2.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        raise ValueError(f"unknown agg {agg!r} (count|stats|histogram|facets)")
 
     def search_synonyms(
         self,

@@ -482,3 +482,27 @@ def test_query_string_search_after(engine, oracle):
         pages.extend(page)
         cursor = (page[-1][1], page[-1][0])
     assert pages == full
+
+
+def test_query_string_agg(engine, oracle):
+    """Aggs under a query_string match set: count == len(k=0); stats and
+    histogram over doc_len recompute exactly from the oracle match set."""
+    hot, mid, _, _ = _vocab_terms(oracle)
+    q = f"{hot} AND {mid}"
+    match = engine.query_string(q, k=0)
+    ids = np.array(sorted(d for d, _ in match), dtype=np.uint64)
+    assert engine.query_string_agg(q, agg="count") == len(ids) > 0
+    dls = oracle.doc_lens[np.searchsorted(oracle.all_docs, ids)].astype(np.float64)
+    st = engine.query_string_agg(q, "doc_len", agg="stats")
+    assert st["count"] == len(ids)
+    assert st["min"] == dls.min() and st["max"] == dls.max()
+    assert st["sum"] == pytest.approx(dls.sum(), rel=1e-12)
+    hist = engine.query_string_agg(q, "doc_len", agg="histogram", interval=25.0)
+    want = {}
+    for v in dls:
+        k2 = np.floor(v / 25.0) * 25.0
+        want[k2] = want.get(k2, 0) + 1
+    assert hist == sorted(want.items())
+    # no match → empty shapes
+    assert engine.query_string_agg("zzneverseen", agg="count") == 0
+    assert engine.query_string_agg("zzneverseen", "doc_len", agg="stats") is None
