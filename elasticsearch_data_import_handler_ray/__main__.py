@@ -241,11 +241,16 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 if args.count:
                     for t in args.text:
-                        print(json.dumps({"query": t, "count": eng.count(t, mode=args.mode)}))
+                        n = (eng.query_string_agg(t, agg="count") if args.query_string
+                             else eng.count(t, mode=args.mode))
+                        print(json.dumps({"query": t, "count": n}))
                     results = []
                 elif args.stats:
                     for t in args.text:
-                        print(json.dumps({"query": t, "stats": eng.stats(t, args.stats, mode=args.mode)}))
+                        st = (eng.query_string_agg(t, args.stats, agg="stats")
+                              if args.query_string
+                              else eng.stats(t, args.stats, mode=args.mode))
+                        print(json.dumps({"query": t, "stats": st}))
                     results = []
                 elif args.percentiles:
                     for t in args.text:
@@ -255,7 +260,10 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.histogram:
                     field, interval = args.histogram.rsplit(":", 1)
                     for t in args.text:
-                        buckets = eng.histogram(t, field, float(interval), mode=args.mode)
+                        buckets = (eng.query_string_agg(t, field, agg="histogram",
+                                                        interval=float(interval))
+                                   if args.query_string
+                                   else eng.histogram(t, field, float(interval), mode=args.mode))
                         print(json.dumps({"query": t, "buckets": [{"key": b, "n": n} for b, n in buckets]}))
                     results = []
                 elif args.filter:
@@ -273,7 +281,9 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                 elif args.facet:
                     for t in args.text:
-                        fac = eng.facets(t, args.facet, mode=args.mode)
+                        fac = (eng.query_string_agg(t, args.facet, agg="facets")
+                               if args.query_string
+                               else eng.facets(t, args.facet, mode=args.mode))
                         print(json.dumps({"query": t, "facets": [{"value": v, "n": n} for v, n in fac]}))
                     results = []
                 elif args.cardinality:

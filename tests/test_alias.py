@@ -107,6 +107,11 @@ def test_alias_query_string_bit_identical(split_and_union):
         got_hl = alias.query_string_highlight("hot AND term", k=5)
         want_hl = union.query_string_highlight("hot AND term", k=5)
         assert got_hl == want_hl and got_hl and all(h for _, _, h in got_hl)
+        # aggs under a query_string match set span both members
+        assert alias.query_string_agg("hot AND term", agg="count") == \
+            union.query_string_agg("hot AND term", agg="count") > 0
+        assert alias.query_string_agg("hot AND term", "doc_len", agg="stats") == \
+            union.query_string_agg("hot AND term", "doc_len", agg="stats")
     finally:
         alias.close()
         union.close()
