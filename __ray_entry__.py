@@ -297,6 +297,20 @@ def _ann_bruteforce(sf_dir: str):
     )
 
 
+def _semdedup(sf_dir: str):
+    """SemDeDup (cluster-scoped semantic dedup, arXiv:2303.09540): k-means
+    assignment pass + per-cluster greedy epsilon-ball representatives.
+    Rows-only — exact single-cluster oracle + planted-ball tests in
+    tests/test_stages.py. Threshold 0.30 here because the synthetic
+    embeddings are near-orthogonal (max pairwise cos ~0.46) — a 0.95 run
+    would drop nothing and gate nothing (the ngram_jaccard lesson)."""
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.dedup import semdedup
+
+    out = semdedup(table(sf_dir, "embeddings"), n_clusters=8, threshold=0.30)
+    return out.select_columns(["vec_id", "kept", "rep_id"])
+
+
 def _ann_filtered(sf_dir: str):
     """ES kNN with a filter: exact cosine top-k over ONLY rows passing the
     filter clauses (applied BEFORE scoring in the same streamed pass — never
@@ -1724,6 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_ivf": _ann_ivf,
             "ann_ivf_partitioned": _ann_ivf_partitioned,
             "embed_neardup": _embed_neardup,
+            "semdedup": _semdedup,
             "term_df_whitespace": _term_df_whitespace,
             "term_df_stop_stem": _term_df_stop_stem,
             "upsert_search": _upsert_search,

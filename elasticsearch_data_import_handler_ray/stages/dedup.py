@@ -829,3 +829,71 @@ def repeated_ngram_spans(
                       out["doc_id"].to_numpy(zero_copy_only=False),
                       out["span_hash"].to_numpy(zero_copy_only=False)))
     return out.take(idx)
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    train_sample: int = 2000,
+    seed: int = 13,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering the embeddings and keeping ONE representative per
+    cosine epsilon-ball WITHIN each cluster.
+
+    Output: (id_col, kept BOOL, rep_id) — ``rep_id`` is the kept member that
+    suppressed the row (itself when kept). Deterministic: members are
+    visited ascending-id; a member is kept iff no already-kept member of its
+    cluster has cosine >= threshold (each step is one matmul against the
+    kept set — the only per-row Python is this greedy loop, bounded by
+    cluster size).
+
+    Scale shape (the paper's own design): centroids train on a bounded
+    driver-side sample and broadcast once; assignment is one matmul per
+    streamed batch; ONE groupby(cluster) shuffle whose groups are
+    data-proportional via ``n_clusters`` — pick n_clusters so a cluster's
+    O(|c|·d) members fit one group task, exactly the candidate-set contract
+    at the top of this module."""
+    from .ann import _kmeans, _normalize
+
+    sample = ds.limit(train_sample).to_pandas()
+    sm = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    centroids = _normalize(_kmeans(sm, n_clusters, seed=seed))
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: t[emb_col],
+                             "_cluster": pa.array([], pa.int32())})
+        m = _normalize(np.stack(t[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        cl = (m @ ray.get(cref).T).argmax(axis=1).astype(np.int32)
+        return pa.table({id_col: t[id_col], emb_col: t[emb_col],
+                         "_cluster": pa.array(cl)})
+
+    def pergroup(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = _normalize(np.stack(g[emb_col].to_numpy()[order]).astype(np.float64))
+        kept_rows: list[int] = []
+        keep = np.zeros(len(ids), dtype=bool)
+        rep = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            if kept_rows:
+                sims = M[kept_rows] @ M[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    rep[i] = ids[kept_rows[j]]
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+            rep[i] = ids[i]
+        return pd.DataFrame({id_col: ids, "kept": keep, "rep_id": rep})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return assigned.groupby("_cluster").map_groups(pergroup, batch_format="pandas")

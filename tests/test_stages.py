@@ -849,3 +849,50 @@ def test_knn_filtered_matches_filtered_bruteforce(sf_dir):
     lab_of = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
     assert all(2 <= lab_of[n] <= 6 for n in got["neighbor_id"])
     assert len(got) > 0
+
+
+def test_semdedup_plants_and_oracle():
+    """SemDeDup: planted epsilon-balls collapse to one representative each;
+    the single-cluster case equals a naive global greedy oracle exactly."""
+    import ray.data as rd
+
+    from elasticsearch_data_import_handler_ray.stages.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 32))
+    rows = []
+    vid = 0
+    for b in base:
+        n_copies = int(rng.integers(1, 4))  # 1-3 members per ball
+        for _ in range(n_copies):
+            v = b + rng.normal(scale=1e-3, size=32)  # cos ~ 1.0 within ball
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (semdedup(ds, n_clusters=1, threshold=0.99, train_sample=100)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == vid
+    # naive single-cluster greedy oracle
+    M = np.stack([np.array(r["embedding"]) for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    keep, kept_idx, rep = np.zeros(vid, bool), [], np.empty(vid, np.int64)
+    for i in range(vid):
+        if kept_idx:
+            sims = M[kept_idx] @ M[i]
+            j = int(np.argmax(sims))
+            if sims[j] >= 0.99:
+                rep[i] = kept_idx[j]
+                continue
+        keep[i] = True
+        kept_idx.append(i)
+        rep[i] = i
+    assert out["kept"].to_numpy().tolist() == keep.tolist()
+    assert out["rep_id"].to_numpy().tolist() == rep.tolist()
+    # exactly one representative survives per planted ball
+    assert int(out["kept"].sum()) == 20
+    # multi-cluster run never drops MORE than single-cluster (pairs can only
+    # be separated by clustering, never invented) and keeps every ball
+    out2 = (semdedup(ds, n_clusters=4, threshold=0.99, train_sample=100)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert int(out2["kept"].sum()) >= 20
+    assert set(out2[out2.kept].rep_id) == set(out2[out2.kept].vec_id)
