@@ -1992,6 +1992,19 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        "temperature_sample": """
+            WITH cnt AS (
+                SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+            ),
+            thr AS (
+                SELECT lang,
+                       CAST(floor(sqrt((SELECT min(n) FROM cnt) / n) * 2147483647) AS BIGINT) AS lim
+                FROM cnt
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE ((d.doc_id + 1) * 2654435761) % 2147483647 < thr.lim
+        """,
         "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
         "percolate": r"""
             WITH toks AS (

@@ -1084,3 +1084,39 @@ QUERIES = {
     "var_std": q_var_std,
     "corr": q_corr,
 }
+
+
+def q_temperature_sample(sf_dir: str):
+    """Temperature-scaled domain sampling (the multilingual-training mix
+    rule, sample share ∝ p^(1/T), here T=2): per-source keep-rate
+    r_g = sqrt(n_min / n_g) — the smallest domain keeps 100%, large domains
+    downsample toward balance. Two passes: ONE tiny groupby(count) (the
+    shuffle carries |domains| rows), then the rates broadcast into a
+    streamed hash-predicate filter — deterministic and reproducible, no RNG.
+    The threshold is floor(sqrt(n_min/n_g)·(2³¹−1)) compared against the
+    Knuth multiplicative hash ((id+1)·2654435761) mod (2³¹−1) — the
+    multiplier must exceed the modulus so SMALL ids wrap and spread (48271
+    alone leaves ids < 44k unmixed and under every threshold); sqrt and
+    division are
+    correctly-rounded IEEE doubles in both numpy and DuckDB, so the SQL
+    oracle reproduces the selection bit-exactly."""
+    ds = table(sf_dir, "documents", columns=["doc_id", "lang"])
+    cnt = ds.groupby("lang").count().to_pandas()  # tiny: one row per domain
+    n = cnt["count()"].to_numpy().astype(np.float64)
+    n_min = float(n.min())
+    thr = {
+        s: int(np.floor(np.sqrt(n_min / float(c)) * 2147483647))
+        for s, c in zip(cnt["lang"], n)
+    }
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["lang"].to_numpy(zero_copy_only=False)
+        lim = np.array([thr[s] for s in src], dtype=np.int64)
+        keep = ((ids + 1) * 2654435761) % 2147483647 < lim
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["temperature_sample"] = q_temperature_sample  # defined below the dict

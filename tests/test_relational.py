@@ -153,3 +153,31 @@ def test_join_left_keeps_orderless_customers():
     assert len(got) == n_cust
     assert (got["n_orders"] == 0).sum() == n_orderless
     assert (got.loc[got["n_orders"] == 0, "totalprice_cents"] == 0).all()
+
+
+def test_temperature_sample_balances_domains(sf_dir):
+    """T=2 domain sampling: the smallest domain keeps 100%; kept shares are
+    closer to uniform than the input shares (the mix rule's purpose)."""
+    import numpy as np
+
+    from elasticsearch_data_import_handler_ray.pipelines.relational import (
+        q_temperature_sample,
+    )
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    src = table(sf_dir, "documents", columns=["doc_id", "lang"]).to_pandas()
+    out = q_temperature_sample(sf_dir).to_pandas()
+    n_in = src.groupby("lang").size()
+    n_out = out.groupby("lang").size().reindex(n_in.index).fillna(0)
+    # deterministic: re-running yields the identical selection
+    again = q_temperature_sample(sf_dir).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    # smallest domain keeps everything (its threshold is the full modulus)
+    smallest = n_in.idxmin()
+    assert n_out[smallest] == n_in[smallest]
+    # balance improves: output share spread strictly tighter than input
+    p_in = (n_in / n_in.sum()).to_numpy()
+    p_out = (n_out / n_out.sum()).to_numpy()
+    assert p_out.max() - p_out.min() < p_in.max() - p_in.min()
+    # every kept row is a real row
+    assert set(out["doc_id"]) <= set(src["doc_id"])
