@@ -506,3 +506,63 @@ def test_query_string_agg(engine, oracle):
     # no match → empty shapes
     assert engine.query_string_agg("zzneverseen", agg="count") == 0
     assert engine.query_string_agg("zzneverseen", "doc_len", agg="stats") is None
+
+
+def test_parser_fuzz_never_crashes_uncleanly():
+    """Property: parse() on arbitrary input either returns a Group or raises
+    ValueError — never any other exception (the CLI surfaces it raw)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = 'abc ()+-!&|^~"*?:[]{}/\\. TO123'
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def run(q):
+        try:
+            g = qs.parse(q)
+        except ValueError:
+            return
+        assert isinstance(g, qs.Group) and g.clauses
+
+    run()
+
+
+def test_parser_fuzz_roundtrip_wellformed(engine, oracle):
+    """Property: random WELL-FORMED boolean trees over real vocabulary
+    evaluate identically on the engine and the naive oracle."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    hot, mid, rare, other = _vocab_terms(oracle)
+    terms = st.sampled_from([hot, mid, rare, other, "unknownzzz"])
+
+    def clause(depth):
+        if depth <= 0:
+            return terms
+        sub = clause(depth - 1)
+        return st.one_of(
+            terms,
+            st.tuples(sub, st.sampled_from([" AND ", " OR ", " "]), sub).map(
+                lambda t: f"({t[0]}{t[1]}{t[2]})"
+            ),
+            sub.map(lambda c: f"+{c}"),
+            st.tuples(sub, sub).map(lambda t: f"({t[0]} -{t[1]})"),
+            sub.map(lambda c: f"{c}^2"),
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(clause(3))
+    def run(q):
+        try:
+            got = engine.query_string(q, k=10)
+        except ValueError:
+            # purely-negative subqueries are legitimately rejected; the
+            # oracle compiler rejects them identically
+            with pytest.raises(ValueError):
+                _oracle_compile(oracle, q)
+            return
+        want = query_string_oracle(oracle, _oracle_compile(oracle, q), k=10)
+        assert got == want, q
+
+    run()
