@@ -2419,7 +2419,32 @@ class QueryEngine:
                 for v, cnt in zip(*p):
                     out2[v] = out2.get(v, 0) + int(cnt)
             return sorted(out2.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
-        raise ValueError(f"unknown agg {agg!r} (count|stats|histogram|facets)")
+        if agg == "percentiles":
+            # exact discrete quantiles (the percentiles() combine: merged
+            # per-value count histograms, value at 1-based rank ceil(p/100·n))
+            ps = interval if isinstance(interval, (list, tuple)) else (25, 50, 75, 95, 99)
+            per = ray.get(
+                [a.qs_agg.remote(compiled, self.avgdl, self.k1, self.b, field,
+                                 None, "numeric")
+                 for a in self._actors]
+            )
+            hist: dict[float, int] = {}
+            for p in per:
+                if p is None:
+                    continue
+                for v, cnt in zip(*p):
+                    hist[float(v)] = hist.get(float(v), 0) + int(cnt)
+            if not hist:
+                return {}
+            vals = np.array(sorted(hist))
+            counts = np.array([hist[v] for v in vals], dtype=np.int64)
+            cum = np.cumsum(counts)
+            n2 = int(cum[-1])
+            return {
+                float(p): float(vals[np.searchsorted(cum, max(1, int(np.ceil(p / 100.0 * n2))))])
+                for p in ps
+            }
+        raise ValueError(f"unknown agg {agg!r} (count|stats|histogram|facets|percentiles)")
 
     def search_synonyms(
         self,

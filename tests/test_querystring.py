@@ -566,3 +566,17 @@ def test_parser_fuzz_roundtrip_wellformed(engine, oracle):
         assert got == want, q
 
     run()
+
+
+def test_query_string_agg_percentiles(engine, oracle):
+    """Exact discrete quantiles under a query_string match set — recomputed
+    from the oracle match set with the same ceil-rank definition."""
+    hot, mid, _, _ = _vocab_terms(oracle)
+    q = f"{hot} AND {mid}"
+    ids = np.array(sorted(d for d, _ in engine.query_string(q, k=0)), dtype=np.uint64)
+    dls = np.sort(oracle.doc_lens[np.searchsorted(oracle.all_docs, ids)].astype(float))
+    got = engine.query_string_agg(q, "doc_len", agg="percentiles",
+                                  interval=[50, 90, 99])
+    for p in (50, 90, 99):
+        rank = max(1, int(np.ceil(p / 100.0 * len(dls))))
+        assert got[float(p)] == dls[rank - 1], p
