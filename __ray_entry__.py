@@ -2072,7 +2072,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang
             FROM documents d JOIN thr USING (lang)
-            WHERE ((d.doc_id + 1) * 2654435761) % 2147483647 < thr.lim
+            -- id reduced mod p BEFORE the multiply: product < 5.7e18, no
+            -- wrap in UBIGINT or int64 — identical to the engine's numpy
+            -- uint64 arithmetic at any doc_id scale
+            WHERE ((CAST(d.doc_id AS UBIGINT) + 1) % 2147483647)
+                  * 2654435761 % 2147483647 < CAST(thr.lim AS UBIGINT)
         """,
         "sample_hash": "SELECT event_id, user_id FROM events WHERE event_id % 20 = 0",
         "percolate": r"""

@@ -19,6 +19,8 @@ Supported grammar (the practical ES subset):
   a b             two clauses joined by the default operator (or|and)
   a AND b         both required            (also &&)
   a OR b          either                   (also ||)
+  a AND b OR c    NO precedence — Lucene left-to-right occurrence rules:
+                  '+a +b c' (use parens for '(a AND b) OR c')
   NOT a / -a / !a excluded (must_not)
   +a              required even when siblings are optional
   (a OR b) AND c  grouping
@@ -85,9 +87,14 @@ def _lex(q: str) -> list[_Tok]:
             while j < n and (q[j].isdigit() or q[j] in ".eE+-"):
                 j += 1
             try:
-                toks.append(_Tok("boost", num=float(q[i + 1 : j])))
+                boost = float(q[i + 1 : j])
             except ValueError:
                 raise ValueError(f"bad boost at position {i}: {q[i:j]!r}")
+            if boost < 0:
+                # ES rejects negative boosts; silently accepting one would
+                # flip clause score signs and invert top-k order (ADVICE r4)
+                raise ValueError(f"negative boost at position {i}: {q[i:j]!r}")
+            toks.append(_Tok("boost", num=boost))
             i = j
         elif c == "~":
             j = i + 1
@@ -194,35 +201,41 @@ class _Parser:
         self.i += 1
         return t
 
-    # expr := seq (OR seq)*
+    # Lucene's classic QueryParser has NO operator precedence: clauses are
+    # collected left-to-right into ONE flat boolean, and AND/OR merely adjust
+    # the occurrence flags of the two adjacent clauses (QueryParserBase
+    # addClause semantics).  'a AND b OR c' is therefore '+a +b c' — NOT
+    # '(a AND b) OR c' — so docs containing only 'c' do not match.  Fixed in
+    # round 4 per ADVICE (the old parser gave AND higher precedence).
     def parse_expr(self) -> Group:
-        alts = [self.parse_seq()]
-        while (t := self.peek()) is not None and t.kind == "op" and t.text == "OR":
-            self.next()
-            alts.append(self.parse_seq())
-        if len(alts) == 1:
-            return alts[0]
-        return Group(clauses=[("should", a) for a in alts])
-
-    # seq := clause ((AND|NOT|ε) clause)*
-    def parse_seq(self) -> Group:
         g = Group()
-        force_must = False  # set when the previous separator was an explicit AND
-        while (t := self.peek()) is not None and not (
-            t.kind == "rparen" or (t.kind == "op" and t.text == "OR")
-        ):
-            if t.kind == "op" and t.text == "AND":
+        conj: str | None = None  # operator seen since the previous clause
+        while (t := self.peek()) is not None and t.kind != "rparen":
+            if t.kind == "op" and t.text in ("AND", "OR"):
                 self.next()
-                # explicit AND promotes BOTH neighbours to must
-                if g.clauses and g.clauses[-1][0] == "should":
-                    g.clauses[-1] = ("must", g.clauses[-1][1])
-                force_must = True
+                conj = t.text
                 continue
-            occur, node = self.parse_clause()
-            if occur == "default":
-                occur = "must" if force_must else self.default_occur
+            mods, node = self.parse_clause()
+            if g.clauses and g.clauses[-1][0] != "must_not":
+                # AND promotes the preceding clause to must (both modes);
+                # OR demotes it to should only in default-AND mode (Lucene:
+                # 'a OR b' under AND must not parse as '+a b')
+                if conj == "AND":
+                    g.clauses[-1] = ("must", g.clauses[-1][1])
+                elif conj == "OR" and self.default_occur == "must":
+                    g.clauses[-1] = ("should", g.clauses[-1][1])
+            if mods == "default":
+                if self.default_occur == "should":  # default_operator=or
+                    occur = "must" if conj == "AND" else "should"
+                else:  # default_operator=and
+                    occur = "should" if conj == "OR" else "must"
+            elif mods == "must" and self.default_occur == "must" and conj == "OR":
+                # Lucene AND-mode quirk: '+' after OR is ignored
+                occur = "should"
+            else:
+                occur = mods
             g.clauses.append((occur, node))
-            force_must = False
+            conj = None
         if not g.clauses:
             raise ValueError("empty query")
         return g

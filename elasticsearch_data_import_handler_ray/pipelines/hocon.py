@@ -4,14 +4,25 @@ used, with no third-party dependency:
 
 * ``key = value`` and ``key: value`` (`=`/`:` interchangeable)
 * nested objects ``a { b = 1 }`` and dotted keys ``a.b = 1``
+* an optional braced root ``{ a = 1 }`` (legal Typesafe Config; plain JSON
+  documents therefore parse too)
 * arrays ``[1, 2, 3]`` (newlines allowed as separators)
 * unquoted strings, quoted strings, ints/floats/bools/null
 * ``#`` and ``//`` comments; trailing commas; optional commas at newlines
 * later duplicate keys OVERRIDE earlier ones (objects merge per HOCON)
+* substitutions ``${a.b}`` and optional ``${?a.b}`` — resolved against the
+  same document after the whole file is parsed (so forward references work),
+  falling back to ``os.environ`` when the path is not in the document (the
+  Typesafe environment-variable pattern). Value concatenation with
+  substitutions (``url = ${host}":"${port}``, ``dir = ${base}/data``)
+  renders every part to a string, preserving inter-token whitespace.
+  A missing ``${?x}`` removes the key (empty string inside a concatenation);
+  a missing ``${x}`` and substitution cycles raise ``HoconError``.
 
-Deliberately out of scope (raise cleanly): includes, substitutions
-(``${a.b}``), multi-line strings, ``+=``. Those were environment plumbing
-in the reference; a pipeline spec needs none of them.
+Deliberately out of scope (raise cleanly): includes, ``+=``, multi-line
+strings, and self-referential overrides (``path = ${path}":x"`` — a cycle
+here). Those were environment plumbing in the reference; a pipeline spec
+needs none of them.
 
 Usage: ``load_config(text)`` → plain dict, feed to PipelineSpec.from_dict.
 The CLI ``pipeline`` verb auto-detects ``.conf`` files.
@@ -20,7 +31,9 @@ The CLI ``pipeline`` verb auto-detects ``.conf`` files.
 from __future__ import annotations
 
 import json
+import os
 import re
+from dataclasses import dataclass
 
 
 class HoconError(ValueError):
@@ -32,16 +45,21 @@ _TOKEN = re.compile(
     (?P<ws>[^\S\n]+)
   | (?P<comment>\#[^\n]*|//[^\n]*)
   | (?P<nl>\n)
+  | (?P<subst>\$\{\??[^}\s]+\})
   | (?P<punct>[{}\[\],]|[=:])
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<unquoted>[^\s{}\[\],=:#"]+)
+  | (?P<unquoted>(?:[^\s{}\[\],=:\#"$]|\$(?!\{))+)
     """,
     re.VERBOSE,
 )
 
 
-def _tokenize(text: str) -> list[tuple[str, str]]:
-    out, i = [], 0
+def _tokenize(text: str) -> tuple[list[tuple[str, str]], list[bool]]:
+    """→ (tokens, gaps): gaps[i] is True when whitespace/comment separated
+    token i from token i-1 (needed to render value concatenation)."""
+    out: list[tuple[str, str]] = []
+    gaps: list[bool] = []
+    i, gap = 0, False
     while i < len(text):
         m = _TOKEN.match(text, i)
         if m is None:
@@ -49,10 +67,14 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         i = m.end()
         kind = m.lastgroup
         if kind in ("ws", "comment"):
+            gap = True
             continue
         out.append((kind, m.group()))
+        gaps.append(gap)
+        gap = False
     out.append(("eof", ""))
-    return out
+    gaps.append(True)
+    return out, gaps
 
 
 _UNQUOTED = {"true": True, "false": False, "null": None}
@@ -69,14 +91,33 @@ def _scalar(tok: str):
         return float(tok)
     except ValueError:
         pass
-    if "${" in tok:
-        raise HoconError(f"substitutions are not supported: {tok!r}")
     return tok
 
 
+@dataclass
+class _Subst:
+    path: str
+    optional: bool
+
+
+@dataclass
+class _Concat:
+    parts: list  # str | _Subst, rendered left-to-right after resolution
+
+
+_MISSING = object()
+
+
+def _parse_subst(tok: str) -> _Subst:
+    body = tok[2:-1]
+    optional = body.startswith("?")
+    return _Subst(body[1:] if optional else body, optional)
+
+
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]]):
+    def __init__(self, toks: list[tuple[str, str]], gaps: list[bool]):
         self.toks = toks
+        self.gaps = gaps
         self.i = 0
 
     def peek(self):
@@ -103,17 +144,38 @@ class _Parser:
             return self.parse_object()
         if tok == "[":
             return self.parse_array()
-        if kind == "string":
-            self.next()
-            return json.loads(tok)
-        if kind == "unquoted":
-            # unquoted strings may span several tokens on one line
-            # ("value with spaces") — concatenate until a separator
-            parts = [self.next()[1]]
-            while self.peek()[0] == "unquoted":
-                parts.append(self.next()[1])
-            return _scalar(" ".join(parts)) if len(parts) > 1 else _scalar(parts[0])
-        raise HoconError(f"expected a value, got {tok!r}")
+        if kind not in ("string", "unquoted", "subst"):
+            raise HoconError(f"expected a value, got {tok!r}")
+        # a value is a same-line concatenation of string/unquoted/subst parts
+        parts: list = []
+        saw_subst = False
+        while True:
+            kind, tok = self.peek()
+            if kind == "string":
+                self.next()
+                parts.append(("str", json.loads(tok)))
+            elif kind == "unquoted":
+                self.next()
+                parts.append(("unq", tok))
+            elif kind == "subst":
+                self.next()
+                saw_subst = True
+                parts.append(("sub", _parse_subst(tok)))
+            else:
+                break
+            # inter-part whitespace is preserved in a string concatenation
+            if self.peek()[0] in ("string", "unquoted", "subst") and self.gaps[self.i]:
+                parts.append(("gap", " "))
+        while parts and parts[-1][0] == "gap":
+            parts.pop()
+        if not saw_subst:
+            text = "".join(p for _, p in parts if not isinstance(p, _Subst))
+            if len(parts) == 1 and parts[0][0] == "str":
+                return parts[0][1]  # a lone quoted string is never coerced
+            return _scalar(text)
+        if len(parts) == 1:
+            return parts[0][1]  # a lone ${path} keeps the target's type
+        return _Concat([p for _, p in parts])
 
     def parse_array(self):
         assert self.next() == ("punct", "[")
@@ -128,7 +190,18 @@ class _Parser:
             out.append(self.parse_value())
 
     def parse_object(self, *, top: bool = False):
-        if not top:
+        if top:
+            self.skip_sep()
+            if self.peek() == ("punct", "{"):
+                # braced root — legal Typesafe Config (and every JSON object)
+                out = self.parse_object()
+                self.skip_sep()
+                if self.peek()[0] != "eof":
+                    raise HoconError(
+                        f"trailing content after root object: {self.peek()[1]!r}"
+                    )
+                return out
+        else:
             assert self.next() == ("punct", "{")
         out: dict = {}
         while True:
@@ -184,15 +257,106 @@ def _merge(dst: dict, src: dict) -> None:
             dst[k] = v
 
 
+def _render(v) -> str:
+    """A resolved non-string part of a concatenation, rendered HOCON-style."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, (dict, list)):
+        raise HoconError("cannot concatenate an object/array into a string")
+    return str(v)
+
+
+def _resolve_tree(root: dict) -> dict:
+    """Resolve every _Subst/_Concat in place against ``root`` (then
+    ``os.environ``), with cycle detection on the substitution paths."""
+    resolving: set[str] = set()
+
+    def lookup(path: str):
+        node = root
+        for p in path.split("."):
+            if not isinstance(node, dict) or p not in node:
+                env = os.environ.get(path)
+                if env is not None:
+                    return env
+                raise KeyError(path)
+            node = node[p]
+        return node
+
+    def get(path: str):
+        if path in resolving:
+            raise HoconError(f"substitution cycle at ${{{path}}}")
+        node = lookup(path)
+        if isinstance(node, (_Subst, _Concat)):
+            resolving.add(path)
+            try:
+                node = resolve_value(node)
+            finally:
+                resolving.discard(path)
+        return node
+
+    def resolve_value(v):
+        if isinstance(v, _Subst):
+            try:
+                return get(v.path)
+            except KeyError:
+                if v.optional:
+                    return _MISSING
+                raise HoconError(f"unresolved substitution ${{{v.path}}}")
+        if isinstance(v, _Concat):
+            out = []
+            for part in v.parts:
+                if isinstance(part, _Subst):
+                    r = resolve_value(part)
+                    if r is _MISSING:
+                        continue  # ${?x} inside a concatenation → empty
+                    out.append(r if isinstance(r, str) else _render(r))
+                else:
+                    out.append(part)
+            return "".join(out)
+        return v
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k in list(node):
+                v = node[k]
+                if isinstance(v, (_Subst, _Concat)):
+                    r = resolve_value(v)
+                    if r is _MISSING:
+                        del node[k]  # missing ${?x} removes the key
+                    else:
+                        node[k] = r
+                        walk(r)
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            i = 0
+            while i < len(node):
+                v = node[i]
+                if isinstance(v, (_Subst, _Concat)):
+                    r = resolve_value(v)
+                    if r is _MISSING:
+                        del node[i]  # missing ${?x} drops the element
+                        continue
+                    node[i] = r
+                    walk(r)
+                else:
+                    walk(v)
+                i += 1
+
+    walk(root)
+    return root
+
+
 def load_config(text: str) -> dict:
     """Parse a HOCON-subset document (or plain JSON — it is a superset)."""
     if "include " in text or "include\t" in text:
         raise HoconError("'include' is not supported — inline the file")
-    # substitutions tokenize as punctuation soup — refuse them up front,
-    # except inside quoted strings (where ${...} is literal text)
-    if re.search(r"\$\{", re.sub(r'"(?:[^"\\]|\\.)*"', "", text)):
-        raise HoconError("substitutions (${...}) are not supported")
-    return _Parser(_tokenize(text)).parse_object(top=True)
+    toks, gaps = _tokenize(text)
+    return _resolve_tree(_Parser(toks, gaps).parse_object(top=True))
 
 
 def load_config_file(path: str) -> dict:

@@ -1094,7 +1094,9 @@ def q_temperature_sample(sf_dir: str):
     shuffle carries |domains| rows), then the rates broadcast into a
     streamed hash-predicate filter — deterministic and reproducible, no RNG.
     The threshold is floor(sqrt(n_min/n_g)·(2³¹−1)) compared against the
-    Knuth multiplicative hash ((id+1)·2654435761) mod (2³¹−1) — the
+    Knuth multiplicative hash (((id+1) mod p)·2654435761) mod p, p=2³¹−1,
+    in uint64 (the pre-multiply reduction keeps the product < 5.7e18 so the
+    arithmetic never wraps at any id scale, engine and oracle alike) — the
     multiplier must exceed the modulus so SMALL ids wrap and spread (48271
     alone leaves ids < 44k unmixed and under every threshold); sqrt and
     division are
@@ -1110,10 +1112,15 @@ def q_temperature_sample(sf_dir: str):
     }
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # uint64 with the id reduced mod p BEFORE the multiply: the product
+        # is then < p·2654435761 ≈ 5.7e18 (no wrap in uint64 OR int64), so
+        # numpy and DuckDB compute identical arithmetic at ANY doc_id scale
+        # (the old int64 (id+1)*m wrapped silently for id ≳ 3.47e9 — ADVICE r4)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         src = t["lang"].to_numpy(zero_copy_only=False)
-        lim = np.array([thr[s] for s in src], dtype=np.int64)
-        keep = ((ids + 1) * 2654435761) % 2147483647 < lim
+        lim = np.array([thr[s] for s in src], dtype=np.uint64)
+        p = np.uint64(2147483647)
+        keep = ((ids + np.uint64(1)) % p) * np.uint64(2654435761) % p < lim
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -637,6 +637,15 @@ def exact_dedup(
     def h(t: pa.Table) -> pa.Table:
         import duckdb
 
+        # DuckDB maps NULL text to md5=NULL, which would silently merge every
+        # null-text row into ONE "duplicate" cluster; the contract (like the
+        # pre-vectorization Python path) is to fail loudly instead (ADVICE r4)
+        n_null = t[text_col].null_count
+        if n_null:
+            raise ValueError(
+                f"exact_dedup: {n_null} null value(s) in {text_col!r} — nulls "
+                "cannot be content-hashed; filter or fill them upstream"
+            )
         con = getattr(h, "_con", None)
         if con is None:
             con = h._con = duckdb.connect()

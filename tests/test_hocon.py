@@ -66,12 +66,65 @@ def test_json_is_a_valid_subset():
 
 
 def test_unsupported_features_raise():
-    with pytest.raises(HoconError, match="substitutions"):
-        load_config("a = ${ref.path}")
+    with pytest.raises(HoconError, match="unresolved substitution"):
+        load_config("a = ${no.such.path}")
     with pytest.raises(HoconError, match="include"):
         load_config('include "other.conf"\na = 1')
     with pytest.raises(HoconError):
         load_config("a = [1, 2")  # unterminated
+
+
+def test_braced_root():
+    # legal Typesafe Config — and therefore every plain JSON object document
+    assert load_config("{ a = 1 }") == {"a": 1}
+    assert load_config('{"a": {"b": [1, 2]}, "c": "x"}') == {
+        "a": {"b": [1, 2]}, "c": "x",
+    }
+    assert load_config("\n# comment\n{ a { b = 2 } }\n") == {"a": {"b": 2}}
+    with pytest.raises(HoconError, match="trailing content"):
+        load_config("{ a = 1 } b = 2")
+
+
+def test_substitutions_basic():
+    cfg = load_config("base = /data\nout = ${base}\nn = ${k}\nk = 3")
+    assert cfg == {"base": "/data", "out": "/data", "n": 3, "k": 3}
+
+
+def test_substitutions_concat():
+    cfg = load_config(
+        'host = db1\nport = 5432\nurl = "jdbc:"${host}":"${port}\n'
+        "dir = ${host}/data\ngreet = hello ${host} world"
+    )
+    assert cfg["url"] == "jdbc:db1:5432"
+    assert cfg["dir"] == "db1/data"
+    assert cfg["greet"] == "hello db1 world"
+
+
+def test_substitutions_optional_and_env(monkeypatch):
+    cfg = load_config("a = ${?missing.key}\nb = 1")
+    assert cfg == {"b": 1}  # missing ${?x} removes the key
+    cfg = load_config('pre = x\nv = ${pre}${?missing.key}"y"')
+    assert cfg["v"] == "xy"  # missing ${?x} is empty inside a concat
+    monkeypatch.setenv("EDIH_TEST_SUB", "from_env")
+    assert load_config("a = ${EDIH_TEST_SUB}")["a"] == "from_env"
+
+
+def test_substitutions_forward_ref_object_and_array():
+    cfg = load_config("a = ${later.x}\nlater { x = [1, ${later.y}] }\nlater.y = 7")
+    assert cfg["later"] == {"x": [1, 7], "y": 7}
+    assert cfg["a"] == [1, 7]
+
+
+def test_substitution_cycle_raises():
+    with pytest.raises(HoconError, match="cycle"):
+        load_config("a = ${b}\nb = ${a}")
+    with pytest.raises(HoconError, match="cycle"):
+        load_config('p = ${p}":x"')  # self-referential override: out of scope
+
+
+def test_substitution_literal_in_quotes():
+    # ${...} inside a quoted string is literal text, never a substitution
+    assert load_config('a = "${not.a.sub}"') == {"a": "${not.a.sub}"}
 
 
 def test_hocon_spec_end_to_end(tmp_path):

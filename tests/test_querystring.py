@@ -46,11 +46,44 @@ def test_parse_and_promotes_both_sides():
     assert _flat(g)[2] == ("should", "Leaf", "gamma")
 
 
-def test_parse_or_nests():
+def test_parse_no_precedence_flat_lucene():
+    # Lucene classic parser: NO precedence, left-to-right occurrence rules
     g = qs.parse("a OR b AND c")
-    assert [occ for occ, _ in g.clauses] == ["should", "should"]
-    rhs = g.clauses[1][1]
-    assert _flat(rhs) == [("must", "Leaf", "b"), ("must", "Leaf", "c")]
+    assert _flat(g) == [
+        ("should", "Leaf", "a"), ("must", "Leaf", "b"), ("must", "Leaf", "c"),
+    ]
+    g = qs.parse("a AND b OR c")  # the ADVICE case: '+a +b c'
+    assert _flat(g) == [
+        ("must", "Leaf", "a"), ("must", "Leaf", "b"), ("should", "Leaf", "c"),
+    ]
+
+
+def test_parse_and_mode_or_demotes_previous():
+    # default AND: 'a OR b' must parse as 'a b' (both optional), not '+a b'
+    g = qs.parse("a OR b", default_operator="and")
+    assert _flat(g) == [("should", "Leaf", "a"), ("should", "Leaf", "b")]
+    # prohibited previous clause is never demoted: '-a OR b' keeps -a
+    g = qs.parse("-a OR b c", default_operator="and")
+    assert _flat(g) == [
+        ("must_not", "Leaf", "a"), ("should", "Leaf", "b"), ("must", "Leaf", "c"),
+    ]
+
+
+def test_parse_or_mode_plus_survives_or():
+    # default OR keeps explicit '+' after OR ('+a OR b' → '+a b' in Lucene)
+    g = qs.parse("+a OR b")
+    assert _flat(g) == [("must", "Leaf", "a"), ("should", "Leaf", "b")]
+    # ...but AND mode ignores '+' after OR (Lucene AND-operator quirk)
+    g = qs.parse("a OR +b", default_operator="and")
+    assert _flat(g) == [("should", "Leaf", "a"), ("should", "Leaf", "b")]
+
+
+def test_parse_negative_boost_rejected():
+    with pytest.raises(ValueError, match="negative boost"):
+        qs.parse("term^-2")
+    # exponent notation still accepted
+    g = qs.parse("term^2e1")
+    assert g.clauses[0][1].boost == 20.0
 
 
 def test_parse_occur_markers():
