@@ -1088,6 +1088,62 @@ def _sql_multi(sf_dir: str):
     return sql_query(_SQL_MULTI, views)
 
 
+# Distributed prepStatements (round 4): the SAME config surface as
+# _SQL_MULTI but compiled by pipelines/sqlplan.py onto native Ray Data
+# operators — pruned scans → Dataset.join → per-batch DuckDB partial
+# aggregation → groupby().aggregate combine → finalize — so the statement
+# scales past sql_query's bounded-view contract.  Oracles are the IDENTICAL
+# statements on one engine: equality proves the whole plan (pushdown, join,
+# combiner split, HAVING/finalize rewrite) is value-exact.
+_SQL_DIST_JOIN = """
+    SELECT c.c_mktsegment AS seg,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents,
+           max(o.o_orderkey)::BIGINT AS last_key
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus <> 'F' AND c.c_acctbal > 0
+    GROUP BY c.c_mktsegment
+    HAVING count(*) > 5
+    ORDER BY seg
+"""
+
+_SQL_DIST_GLOBAL = """
+    SELECT count(*)::BIGINT AS n_cust,
+           count(o.o_orderkey)::BIGINT AS n_with_orders,
+           min(c.c_custkey)::BIGINT AS lo,
+           max(c.c_custkey)::BIGINT AS hi
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+"""
+
+_SQL_DIST_DISTINCT = """
+    SELECT DISTINCT o_orderstatus AS st, o_orderpriority AS pr
+    FROM orders ORDER BY st, pr
+"""
+
+
+def _make_sql_dist(sql: str, tables: tuple[str, ...]):
+    """queries() entry running ``sql`` through the DISTRIBUTED planner (no
+    silent fallback — a statement regressing out of the subset must fail)."""
+
+    def f(sf_dir: str):
+        import ray.data
+
+        from elasticsearch_data_import_handler_ray.pipelines.sqlplan import plan_sql
+
+        views = {
+            t: ray.data.read_parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in tables
+        }
+        return plan_sql(sql, views)
+
+    return f
+
+
+_sql_dist_join_agg = _make_sql_dist(_SQL_DIST_JOIN, ("orders", "customer"))
+_sql_dist_global = _make_sql_dist(_SQL_DIST_GLOBAL, ("customer", "orders"))
+_sql_dist_distinct = _make_sql_dist(_SQL_DIST_DISTINCT, ("orders",))
+
+
 def _sql_db_source(sf_dir: str):
     """SQL-database source (sources.jdbc parity): the documents table is
     loaded into a throwaway sqlite file ONCE per process, re-read through
@@ -1750,6 +1806,8 @@ _DRIVER_WINDOW: list[str] = [
     "term_df_stop_stem",
     "sql_expr",
     "sql_multi_prep",
+    "sql_dist_join_agg",
+    "sql_dist_global",
     "sql_db_source",
     # rows-only full-text entries (driver still checks rows+schema)
     "query_string_search",
@@ -1763,9 +1821,7 @@ _DRIVER_WINDOW: list[str] = [
     "collapse_search",
     "suggest_terms",
     "mlt_search",
-    "fuzzy_wildcard_search",
     "regexp_search",
-    "msm_search",
     "filtered_search",
     "paged_search",
     "top_hits_search",
@@ -1834,6 +1890,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multifield_search": _multifield_search,
             "sql_expr": _sql_expr,
             "sql_multi_prep": _sql_multi,
+            "sql_dist_join_agg": _sql_dist_join_agg,
+            "sql_dist_global": _sql_dist_global,
+            "sql_dist_distinct": _sql_dist_distinct,
             "sql_db_source": _sql_db_source,
             "nested_search": _nested_search,
             "multimodal_decode": _multimodal,
@@ -2274,6 +2333,9 @@ def oracle_sql() -> dict[str, str]:
         "term_df_salted": _TERM_DF_SQL,
         "sql_expr": _SQL_EXPR.format(src="lineitem"),
         "sql_multi_prep": _SQL_MULTI,
+        "sql_dist_join_agg": _SQL_DIST_JOIN,
+        "sql_dist_global": _SQL_DIST_GLOBAL,
+        "sql_dist_distinct": _SQL_DIST_DISTINCT,
         "sql_db_source": """
             SELECT lang, SUM(n_chars)::BIGINT AS sum_chars,
                    count(*)::BIGINT AS n_docs

@@ -302,9 +302,12 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
 
     for p in spec.preps:
         if p.sql:
-            # cross-view prepStatement: every registered name the SQL
-            # references becomes a bounded DuckDB view (sqlexpr.sql_query)
-            from .sqlexpr import sql_query
+            # cross-view prepStatement: compiled onto distributed Dataset
+            # operators when the statement is in sqlplan's subset; otherwise
+            # every referenced name becomes a bounded DuckDB view
+            # (sqlexpr.sql_query fallback — the reference's single-engine
+            # shape, driver-side by contract).
+            from .sqlplan import distributed_sql_query
 
             import re as _re
 
@@ -315,7 +318,10 @@ def run_pipeline(spec: PipelineSpec) -> dict[str, dict]:
                     f"prep {p.name!r}: sql_multi references no registered source"
                 )
             cat.register(
-                p.name, sql_query(p.sql, views, max_rows_per_view=p.max_rows_per_view)
+                p.name,
+                distributed_sql_query(
+                    p.sql, views, max_rows_per_view=p.max_rows_per_view
+                ),
             )
             continue
         ds = cat[p.source]

@@ -1,0 +1,186 @@
+"""Distributed SQL planner (pipelines/sqlplan.py) vs DuckDB on one engine.
+
+Every accepted statement must be value-exact against DuckDB running the
+IDENTICAL SQL over the whole tables — that is the planner's contract (the
+per-batch stages are DuckDB itself; the tests prove the distributed split
+— pushdown, join, partial/combine/finalize — changes nothing).
+"""
+
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+import ray.data
+
+from elasticsearch_data_import_handler_ray.pipelines.sqlplan import (
+    PlanError,
+    distributed_sql_query,
+    parse,
+    plan_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def views(sf_dir):
+    names = [os.path.basename(p)[:-8] for p in glob.glob(sf_dir + "/*.parquet")]
+    return {
+        n: ray.data.read_parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for p in glob.glob(sf_dir + "/*.parquet"):
+        n = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+def check(sql, views, oracle):
+    got = plan_sql(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    assert list(got.columns) == list(want.columns) or set(got.columns) == set(
+        want.columns
+    )
+    got = got[want.columns.tolist()]
+    cols = want.columns.tolist()
+    g = got.sort_values(cols).reset_index(drop=True)
+    w = want.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return g
+
+
+def test_projection_where_order(views, oracle):
+    check(
+        "SELECT upper(n_name) AS name, n_nationkey + 100 AS k "
+        "FROM nation WHERE n_regionkey > 1 ORDER BY k",
+        views,
+        oracle,
+    )
+
+
+def test_join_groupby_having(views, oracle):
+    g = check(
+        """SELECT c.c_mktsegment AS seg, count(*)::BIGINT AS n_orders,
+                  sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents,
+                  max(o.o_orderkey)::BIGINT AS last_key
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_orderstatus <> 'F' AND c.c_acctbal > 0
+           GROUP BY c.c_mktsegment
+           HAVING count(*) > 5
+           ORDER BY seg""",
+        views,
+        oracle,
+    )
+    assert len(g) > 0
+
+
+def test_left_join_global_agg(views, oracle):
+    g = check(
+        """SELECT count(*)::BIGINT AS n, count(o.o_orderkey)::BIGINT AS n_with,
+                  min(c.c_custkey)::BIGINT AS lo, max(c.c_custkey)::BIGINT AS hi
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""",
+        views,
+        oracle,
+    )
+    assert len(g) == 1
+
+
+def test_three_way_join_unqualified(views, oracle):
+    check(
+        """SELECT r_name AS region, count(*)::BIGINT AS n
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r_name ORDER BY region""",
+        views,
+        oracle,
+    )
+
+
+def test_distinct(views, oracle):
+    check(
+        "SELECT DISTINCT o_orderstatus AS st, o_orderpriority AS pr FROM orders",
+        views,
+        oracle,
+    )
+
+
+def test_avg_and_expression_group_key(views, oracle):
+    check(
+        """SELECT c_nationkey % 3 AS b, avg(c_nationkey) AS a,
+                  sum(CAST(c_custkey AS BIGINT))::BIGINT AS s
+           FROM customer GROUP BY c_nationkey % 3""",
+        views,
+        oracle,
+    )
+
+
+def test_left_join_where_on_right_not_pushed(views, oracle):
+    # WHERE on the null-padded side of a LEFT join must run post-join:
+    # pushing it below the join would re-introduce null-extended rows.
+    check(
+        """SELECT c.c_custkey AS k, count(o.o_orderkey)::BIGINT AS n
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           WHERE o.o_totalprice > 50000
+           GROUP BY c.c_custkey""",
+        views,
+        oracle,
+    )
+
+
+def test_limit(views):
+    got = plan_sql(
+        "SELECT o_orderkey AS k FROM orders ORDER BY k LIMIT 7", views
+    ).to_pandas()
+    assert list(got["k"]) == sorted(got["k"]) and len(got) == 7
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS r FROM orders", "OVER"),
+        ("SELECT (SELECT max(n_nationkey) FROM nation) AS m FROM region", "subquer"),
+        ("SELECT count(DISTINCT o_custkey) AS n FROM orders", "DISTINCT"),
+        ("SELECT a.n_name AS x FROM nation a, region b", "cross"),
+        ("SELECT a.n_name AS x FROM nation a RIGHT JOIN region b ON a.n_regionkey = b.r_regionkey", "RIGHT"),
+        ("SELECT n.n_name AS x FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey", "equality"),
+        ("SELECT n_name AS x FROM nowhere", "unknown view"),
+        ("SELECT n_name AS x FROM nation UNION SELECT r_name FROM region", "UNION"),
+        ("SELECT n_nationkey + 1 FROM nation", "AS alias"),
+        ("SELECT sum(n_nationkey) AS s FROM nation ORDER BY s + 1", "ORDER BY"),
+    ],
+)
+def test_plan_errors(views, sql, msg):
+    with pytest.raises(PlanError, match=msg):
+        plan_sql(sql, views)
+
+
+def test_ambiguous_unqualified_column(views):
+    # n_nationkey exists in both sides after self-join aliasing
+    with pytest.raises(PlanError, match="ambiguous"):
+        plan_sql(
+            "SELECT n_nationkey AS k FROM nation a "
+            "JOIN nation b ON a.n_nationkey = b.n_nationkey",
+            views,
+        )
+
+
+def test_fallback_runs_unsupported_sql(views, oracle):
+    sql = (
+        "SELECT o_orderstatus AS st, count(DISTINCT o_custkey)::BIGINT AS n "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    got = distributed_sql_query(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    g = got.sort_values("st").reset_index(drop=True)
+    w = want.sort_values("st").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_parse_rejects_non_select():
+    with pytest.raises(PlanError):
+        parse("DELETE FROM nation", {"nation"})
