@@ -99,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="function_score field_value_factor re-ranking")
     q.add_argument("--export", default=None, metavar="DIR",
                    help="write ALL matching docs as partitioned parquet to DIR")
+    q.add_argument("--highlight", nargs="?", const=100, type=int, default=None,
+                   metavar="FRAGMENT_SIZE",
+                   help="print ES-style <em>-tagged text fragments per hit "
+                        "(plain highlighter over stored _source; needs "
+                        "store_cols at build time; default 100 chars)")
     q.add_argument("--stats", default=None, metavar="FIELD",
                    help="print stats aggregation of FIELD over ALL matches")
     q.add_argument("--percentiles", default=None, metavar="FIELD",
@@ -381,10 +386,35 @@ def main(argv: list[str] | None = None) -> int:
                         k=args.k,
                         method=args.method,
                     )
+                hls = None
+                if args.highlight is not None and results:
+                    if args.query_string:
+                        hls = [
+                            {
+                                d: fs
+                                for d, _, fs in eng.query_string_highlight_fragments(
+                                    t, k=args.k, fragment_size=args.highlight
+                                )
+                            }
+                            for t in args.text
+                        ]
+                    else:
+                        hls = [
+                            eng.highlight_fragments(
+                                t, [d for d, _ in res], fragment_size=args.highlight
+                            )
+                            for t, res in zip(args.text, results)
+                        ]
             finally:
                 eng.close()
-            for t, res in zip(args.text, results):
-                print(json.dumps({"query": t, "hits": [{"doc_id": d, "score": s} for d, s in res]}))
+            for i, (t, res) in enumerate(zip(args.text, results)):
+                hits = []
+                for d, s in res:
+                    h = {"doc_id": d, "score": s}
+                    if hls is not None:
+                        h["highlight"] = hls[i].get(d, [])
+                    hits.append(h)
+                print(json.dumps({"query": t, "hits": hits}))
         elif args.cmd == "delete":
             from .index.tombstones import add_deletions
 

@@ -1942,6 +1942,105 @@ class QueryEngine:
                 out.setdefault(d, {})[t] = ps
         return out
 
+    def _stored_texts(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id → stored source text (requires store_cols at build time)."""
+        content = self.man.config.content_col
+        rows = self.resolve(list(doc_ids))
+        if len(rows) and content not in rows.columns:
+            raise ValueError(
+                f"fragment highlighting needs store_cols=({content!r},) at "
+                "build time (ES: _source must be enabled)"
+            )
+        return {
+            int(d): str(t)
+            for d, t in zip(rows["doc_id"], rows[content])
+            if t is not None
+        }
+
+    def highlight_fragments(
+        self,
+        text: str,
+        doc_ids: list[int],
+        *,
+        fragment_size: int = 100,
+        number_of_fragments: int = 5,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> dict[int, list[str]]:
+        """ES plain-highlighter: marked-up text fragments per hit doc.
+
+        Unlike ``highlight`` (positional-sidecar token indices), this
+        re-analyzes each hit's STORED text with character offsets
+        (index/highlight.py) and returns ``pre_tag``matched``post_tag``
+        fragments of ~``fragment_size`` chars — the ES response shape.
+        Needs ``store_cols=(content_col,)`` but NOT a positional index
+        (exactly ES: the plain highlighter works on any stored field).
+        Bounded work: only the requested hit docs are touched."""
+        from .highlight import highlight_text
+
+        terms = set(self.analyze(text))
+        if not terms or not doc_ids:
+            return {}
+        texts = self._stored_texts(doc_ids)
+        return {
+            d: frags
+            for d, t in texts.items()
+            if (
+                frags := highlight_text(
+                    t, terms, self.analyzer,
+                    fragment_size=fragment_size,
+                    number_of_fragments=number_of_fragments,
+                    pre_tag=pre_tag, post_tag=post_tag,
+                )
+            )
+        }
+
+    def query_string_highlight_fragments(
+        self,
+        q: str,
+        *,
+        k: int = 10,
+        default_operator: str = "or",
+        max_expansions: int = 50,
+        minimum_should_match: int | None = None,
+        fragment_size: int = 100,
+        number_of_fragments: int = 5,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> list[tuple[int, float, list[str]]]:
+        """query_string top-k with ES-style marked-up fragments per hit
+        (the POSITIVE terms of the compiled query, expansions included —
+        what the user's match actually was)."""
+        from .highlight import highlight_text
+
+        hits = self.query_string(
+            q, k=k, default_operator=default_operator,
+            max_expansions=max_expansions,
+            minimum_should_match=minimum_should_match,
+        )
+        if not hits:
+            return []
+        compiled = self._compile_query_string(q, default_operator, max_expansions)
+        terms = set(_qs_positive_terms(compiled))
+        if not terms:
+            return [(d, s, []) for d, s in hits]
+        texts = self._stored_texts([d for d, _ in hits])
+        return [
+            (
+                d,
+                s,
+                highlight_text(
+                    texts[d], terms, self.analyzer,
+                    fragment_size=fragment_size,
+                    number_of_fragments=number_of_fragments,
+                    pre_tag=pre_tag, post_tag=post_tag,
+                )
+                if d in texts
+                else [],
+            )
+            for d, s in hits
+        ]
+
     def resolve(self, doc_ids: list[int]):
         """doc_id → identity columns (repo/path/commit/…, sha256, doc_len)
         from the build's docmap — how a top-k result becomes user-facing rows.
