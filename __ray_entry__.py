@@ -862,15 +862,26 @@ def _top_hits_search(sf_dir: str):
 
 
 def _function_score_search(sf_dir: str):
-    """ES function_score field_value_factor: BM25 · (w · log1p(n_chars))
-    re-ranking over all matches (rows-only; exact recompute identity pinned
-    in tests/test_docvalues.py)."""
+    """ES function_score: field_value_factor re-rank (full Lucene modifier
+    set, log family base-10) AND decay functions (gauss/exp/linear on a
+    numeric doc-value) — BM25 · multiplier over all matches (rows-only;
+    exact recompute identities pinned in tests/test_docvalues.py)."""
     eng = _dv_engine(sf_dir)
     rows = []
     try:
-        for qi, (modifier, weight) in enumerate([("log1p", 0.5), ("sqrt", 2.0)]):
+        for qi, (modifier, weight) in enumerate(
+            [("log1p", 0.5), ("sqrt", 2.0), ("ln2p", 1.0), ("reciprocal", 3.0)]
+        ):
             res = eng.search_boosted(
                 "hash join query", "n_chars", modifier=modifier, weight=weight, k=10
+            )
+            for rank, (doc_id, score) in enumerate(res, 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+        for qi, fn in enumerate(("gauss", "exp", "linear"), start=4):
+            res = eng.search_decay(
+                "hash join query", "n_chars", fn=fn, origin=400.0, scale=150.0,
+                offset=25.0, decay=0.4, k=10,
             )
             for rank, (doc_id, score) in enumerate(res, 1):
                 rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),

@@ -96,7 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--top-hits", default=None, metavar="FIELD:N",
                    help="per-FIELD-value match counts with top-N hits each")
     q.add_argument("--boost", default=None, metavar="FIELD:MODIFIER:WEIGHT",
-                   help="function_score field_value_factor re-ranking")
+                   help="function_score field_value_factor re-ranking "
+                        "(modifiers: none log log1p log2p ln ln1p ln2p "
+                        "square sqrt reciprocal — log family base-10 as ES)")
+    q.add_argument("--decay", default=None,
+                   metavar="FIELD:FN:ORIGIN:SCALE[:OFFSET[:DECAY]]",
+                   help="function_score decay re-ranking (fn: gauss exp "
+                        "linear; value at SCALE from ORIGIN scores DECAY, "
+                        "default 0.5)")
     q.add_argument("--export", default=None, metavar="DIR",
                    help="write ALL matching docs as partitioned parquet to DIR")
     q.add_argument("--highlight", nargs="?", const=100, type=int, default=None,
@@ -320,6 +327,21 @@ def main(argv: list[str] | None = None) -> int:
                     results = [
                         eng.search_boosted(t, field, modifier=modifier,
                                            weight=float(weight), k=args.k, mode=args.mode)
+                        for t in args.text
+                    ]
+                elif args.decay:
+                    parts = args.decay.split(":")
+                    if len(parts) < 4:
+                        raise SystemExit(
+                            "--decay needs FIELD:FN:ORIGIN:SCALE[:OFFSET[:DECAY]]"
+                        )
+                    field, fn, origin, scale = parts[:4]
+                    offset = float(parts[4]) if len(parts) > 4 else 0.0
+                    dc = float(parts[5]) if len(parts) > 5 else 0.5
+                    results = [
+                        eng.search_decay(t, field, fn=fn, origin=float(origin),
+                                         scale=float(scale), offset=offset,
+                                         decay=dc, k=args.k, mode=args.mode)
                         for t in args.text
                     ]
                 elif args.export:

@@ -38,6 +38,77 @@ from ..functions import bm25
 from ..functions.analysis import get_analyzer
 from ..functions.codec import PostingBlocks, decode_posting
 from ..state.manifest import Manifest
+
+# ---------------------------------------------------------------------------
+# ES function_score kernels (shared by shard scoring and driver-side tests)
+# ---------------------------------------------------------------------------
+
+FVF_MODIFIERS = (
+    "none", "log", "log1p", "log2p", "ln", "ln1p", "ln2p",
+    "square", "sqrt", "reciprocal",
+)
+
+DECAY_FNS = ("gauss", "exp", "linear")
+
+
+def fvf_apply(vals: np.ndarray, modifier: str, factor: float = 1.0) -> np.ndarray:
+    """ES field_value_factor: ``modifier(factor · doc_value)``.
+
+    The log-family is base-10 exactly as Lucene's FieldValueFactorFunction
+    (``log1p`` is log10(1+x), NOT numpy's natural log1p; the natural logs
+    are the ``ln*`` modifiers)."""
+    v = np.asarray(vals, dtype=np.float64) * factor
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if modifier == "none":
+            return v
+        if modifier == "log":
+            return np.log10(v)
+        if modifier == "log1p":
+            return np.log10(v + 1.0)
+        if modifier == "log2p":
+            return np.log10(v + 2.0)
+        if modifier == "ln":
+            return np.log(v)
+        if modifier == "ln1p":
+            return np.log1p(v)
+        if modifier == "ln2p":
+            return np.log(v + 2.0)
+        if modifier == "square":
+            return v * v
+        if modifier == "sqrt":
+            return np.sqrt(v)
+        if modifier == "reciprocal":
+            return 1.0 / v
+    raise ValueError(f"modifier must be one of {FVF_MODIFIERS}")
+
+
+def decay_apply(
+    vals: np.ndarray, fn: str, origin: float, scale: float,
+    offset: float = 0.0, decay: float = 0.5,
+) -> np.ndarray:
+    """ES decay functions (Lucene semantics): distance = max(0,
+    |value − origin| − offset); a value at distance ``scale`` scores exactly
+    ``decay``; inside ``offset`` of the origin the multiplier is 1."""
+    import math
+
+    if scale <= 0:
+        raise ValueError("decay scale must be > 0")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if fn not in DECAY_FNS:
+        raise ValueError(f"decay fn must be one of {DECAY_FNS}")
+    d = np.maximum(
+        np.abs(np.asarray(vals, dtype=np.float64) - float(origin)) - float(offset),
+        0.0,
+    )
+    if fn == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        return np.exp(-(d * d) / (2.0 * sigma2))
+    if fn == "exp":
+        return np.exp(math.log(decay) / scale * d)
+    # linear
+    s = scale / (1.0 - decay)
+    return np.maximum((s - d) / s, 0.0)
 from .segment import SegmentReader
 
 def _heap_push(heap: list, k: int, score: float, doc_id: int) -> None:
@@ -1177,28 +1248,37 @@ class QueryShard:
             top["s"].tolist(),
         )
 
-    _BOOST_MODIFIERS = ("none", "log1p", "sqrt")
-
     def boosted_topk(
         self, terms: list[str], mode: str, k: int, field: str, modifier: str,
         weight: float, idfs: dict, avgdl: float, k1: float, b: float,
+        factor: float = 1.0,
     ) -> list[tuple]:
         """ES function_score field_value_factor partial: local top-k by
-        BM25 · (weight · modifier(doc_value)) — re-ranking needs every
-        match's boosted score, so the cut happens after the multiply."""
+        BM25 · (weight · modifier(factor · doc_value)) — re-ranking needs
+        every match's boosted score, so the cut happens after the multiply."""
+        if modifier not in FVF_MODIFIERS:
+            raise ValueError(f"modifier must be one of {FVF_MODIFIERS}")
         ids, scores = self._score_all_matches(terms, mode, idfs, avgdl, k1, b)
         if len(ids) == 0:
             return []
         vals = self._values_of(field, ids).astype(np.float64)
-        if modifier == "log1p":
-            f = np.log1p(vals)
-        elif modifier == "sqrt":
-            f = np.sqrt(vals)
-        elif modifier == "none":
-            f = vals
-        else:
-            raise ValueError(f"modifier must be one of {self._BOOST_MODIFIERS}")
-        final = scores * (weight * f)
+        final = scores * (weight * fvf_apply(vals, modifier, factor))
+        top = bm25.topk_indices(final, ids, k)
+        return [(float(final[i]), int(ids[i])) for i in top]
+
+    def decay_topk(
+        self, terms: list[str], mode: str, k: int, field: str, fn: str,
+        origin: float, scale: float, offset: float, decay: float,
+        weight: float, idfs: dict, avgdl: float, k1: float, b: float,
+    ) -> list[tuple]:
+        """ES function_score decay partial (gauss/exp/linear on a numeric
+        doc-value): local top-k by BM25 · (weight · decay(doc_value)) —
+        same every-match re-rank shape as boosted_topk."""
+        ids, scores = self._score_all_matches(terms, mode, idfs, avgdl, k1, b)
+        if len(ids) == 0:
+            return []
+        vals = self._values_of(field, ids).astype(np.float64)
+        final = scores * (weight * decay_apply(vals, fn, origin, scale, offset, decay))
         top = bm25.topk_indices(final, ids, k)
         return [(float(final[i]), int(ids[i])) for i in top]
 
@@ -3195,14 +3275,17 @@ class QueryEngine:
         *,
         modifier: str = "log1p",
         weight: float = 1.0,
+        factor: float = 1.0,
         k: int = 10,
         mode: str = "or",
     ) -> list[tuple[int, float]]:
         """ES function_score with field_value_factor (boost_mode=multiply):
-        final score = BM25 · (weight · modifier(doc_value)). Re-ranking is
-        value-dependent, so each shard boosts ALL its matches locally and
-        returns its boosted top-k; the driver merges — only shards×k rows
-        move. Modifiers: none | log1p | sqrt."""
+        final score = BM25 · (weight · modifier(factor · doc_value)).
+        Re-ranking is value-dependent, so each shard boosts ALL its matches
+        locally and returns its boosted top-k; the driver merges — only
+        shards×k rows move. The full ES modifier set (log-family base-10 as
+        in Lucene): none | log | log1p | log2p | ln | ln1p | ln2p | square |
+        sqrt | reciprocal."""
         terms, idfs = self._query_idfs(text, mode)
         if not terms or k <= 0:
             return []
@@ -3211,6 +3294,50 @@ class QueryEngine:
             [
                 a.boosted_topk.remote(
                     terms, mode, k, field, modifier, float(weight),
+                    idfs, self.avgdl, self.k1, self.b, factor=float(factor),
+                )
+                for a in self._actors
+            ]
+        )
+        cand = [c for p in per for c in p]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        topi = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in topi]
+
+    def search_decay(
+        self,
+        text: str,
+        field: str,
+        *,
+        fn: str = "gauss",
+        origin: float = 0.0,
+        scale: float = 1.0,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        weight: float = 1.0,
+        k: int = 10,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES function_score decay (gauss | exp | linear over a numeric
+        doc-value, boost_mode=multiply): final score = BM25 · (weight ·
+        decay_fn(doc_value)), where a value exactly ``scale`` away from
+        ``origin`` (beyond ``offset``) gets multiplier ``decay`` — ES's
+        freshness/recency-boost shape. Same shard-local re-rank + driver
+        merge as search_boosted (shards×k rows move, match sets don't)."""
+        # validate driver-side for a clean error instead of a RayTaskError
+        decay_apply(np.zeros(1), fn, origin, scale, offset, decay)
+        terms, idfs = self._query_idfs(text, mode)
+        if not terms or k <= 0:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.decay_topk.remote(
+                    terms, mode, k, field, fn, float(origin), float(scale),
+                    float(offset), float(decay), float(weight),
                     idfs, self.avgdl, self.k1, self.b,
                 )
                 for a in self._actors

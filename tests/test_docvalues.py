@@ -220,24 +220,96 @@ def test_top_hits_by_bucket(dv_engine, ws_oracle, docs):
     assert dv_engine.top_hits("zzzneverseen", "lang") == []
 
 
-@pytest.mark.parametrize("modifier", ["none", "log1p", "sqrt"])
+@pytest.mark.parametrize(
+    "modifier",
+    ["none", "log", "log1p", "log2p", "ln", "ln1p", "ln2p", "square", "sqrt",
+     "reciprocal"],
+)
 def test_function_score_field_value_factor(dv_engine, ws_oracle, docs, modifier):
-    """function_score re-rank: BM25 · (weight · modifier(n_chars)) over ALL
-    matches == driver-side recompute from the full oracle ranking."""
+    """function_score re-rank: BM25 · (weight · modifier(factor · n_chars))
+    over ALL matches == driver-side recompute from the full oracle ranking.
+    The log family is base-10 exactly as Lucene's FieldValueFactorFunction
+    (ES log1p == log10(1+x), NOT numpy log1p)."""
     text = "hash join query"
-    weight = 0.5
+    weight, factor = 0.5, 2.0
     full = ws_oracle.search(text, k=ws_oracle.N, mode="or")
     nc = dict(zip(docs["doc_id"].astype(np.uint64), docs["n_chars"].astype(float)))
-    mod = {"none": lambda v: v, "log1p": np.log1p, "sqrt": np.sqrt}[modifier]
-    boosted = [(d, s * (weight * float(mod(nc[d])))) for d, s in full]
+    mod = {
+        "none": lambda v: v,
+        "log": np.log10,
+        "log1p": lambda v: np.log10(v + 1.0),
+        "log2p": lambda v: np.log10(v + 2.0),
+        "ln": np.log,
+        "ln1p": np.log1p,
+        "ln2p": lambda v: np.log(v + 2.0),
+        "square": lambda v: v * v,
+        "sqrt": np.sqrt,
+        "reciprocal": lambda v: 1.0 / v,
+    }[modifier]
+    boosted = [(d, s * (weight * float(mod(factor * nc[d])))) for d, s in full]
     boosted.sort(key=lambda ds: (-ds[1], ds[0]))
-    got = dv_engine.search_boosted(text, "n_chars", modifier=modifier, weight=weight, k=10)
+    got = dv_engine.search_boosted(
+        text, "n_chars", modifier=modifier, weight=weight, factor=factor, k=10
+    )
     assert got == boosted[:10], modifier
 
 
 def test_function_score_bad_modifier(dv_engine):
     with pytest.raises(Exception):
         dv_engine.search_boosted("hash join", "n_chars", modifier="exp", k=5)
+
+
+@pytest.mark.parametrize("fn", ["gauss", "exp", "linear"])
+def test_function_score_decay(dv_engine, ws_oracle, docs, fn):
+    """Decay re-rank: BM25 · decay_fn(n_chars) over ALL matches == the
+    driver-side recompute (ES semantics: value at distance scale beyond
+    offset scores exactly decay)."""
+    from elasticsearch_data_import_handler_ray.index.query import decay_apply
+
+    text = "hash join query"
+    origin, scale, offset, decay = 400.0, 150.0, 25.0, 0.4
+    full = ws_oracle.search(text, k=ws_oracle.N, mode="or")
+    nc = dict(zip(docs["doc_id"].astype(np.uint64), docs["n_chars"].astype(float)))
+
+    # recompute through the same kernel (math.exp vs SIMD np.exp differ by
+    # 1 ULP); the decay SEMANTICS are pinned independently by
+    # test_decay_scores_exact_at_scale.
+    def mult(v: float) -> float:
+        return float(
+            decay_apply(np.array([v]), fn, origin, scale, offset, decay)[0]
+        )
+
+    boosted = [(d, s * mult(nc[d])) for d, s in full]
+    boosted.sort(key=lambda ds: (-ds[1], ds[0]))
+    got = dv_engine.search_decay(
+        text, "n_chars", fn=fn, origin=origin, scale=scale, offset=offset,
+        decay=decay, k=10,
+    )
+    assert got == boosted[:10], fn
+
+
+def test_decay_scores_exact_at_scale():
+    """The defining ES property, checked directly on the kernel: multiplier
+    is 1 inside offset and exactly `decay` at offset+scale."""
+    from elasticsearch_data_import_handler_ray.index.query import decay_apply
+
+    for fn in ("gauss", "exp", "linear"):
+        m = decay_apply(
+            np.array([100.0, 110.0, 160.0]), fn, origin=100.0, scale=50.0,
+            offset=10.0, decay=0.33,
+        )
+        assert m[0] == pytest.approx(1.0)
+        assert m[1] == pytest.approx(1.0)   # inside offset
+        assert m[2] == pytest.approx(0.33)  # at offset + scale
+
+
+def test_decay_param_validation(dv_engine):
+    with pytest.raises(ValueError, match="scale"):
+        dv_engine.search_decay("hash", "n_chars", scale=0.0)
+    with pytest.raises(ValueError, match="decay"):
+        dv_engine.search_decay("hash", "n_chars", scale=10.0, decay=1.5)
+    with pytest.raises(ValueError, match="fn"):
+        dv_engine.search_decay("hash", "n_chars", fn="cosine", scale=10.0)
 
 
 def test_percentiles_under_query(dv_engine, docs):
