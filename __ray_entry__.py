@@ -1099,6 +1099,122 @@ def _sql_multi(sf_dir: str):
     return sql_query(_SQL_MULTI, views)
 
 
+# Geo / IP field types (round 4, SURVEY gap "geo/ip absent"): coordinates
+# and IPv4 addresses are derived DETERMINISTICALLY from doc_id (documented
+# arithmetic, mirrored 1:1 in the oracle SQL) so the typed-field operators
+# run on the standard tables with no external data.
+def _geo_dataset(sf_dir: str):
+    import ray.data
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = ((ids * 7919) % 18000) / 100.0 - 90.0
+        lon = ((ids * 104729) % 36000) / 100.0 - 180.0
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        import pyarrow.compute as pc
+
+        octs = [
+            pc.cast(pa.array((h >> np.uint64(s)) & np.uint64(255)), pa.string())
+            for s in (24, 16, 8, 0)
+        ]
+        ip = pc.binary_join_element_wise(*octs, ".")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lat": pa.array(lat, type=pa.float64()),
+                "lon": pa.array(lon, type=pa.float64()),
+                "ip": ip,
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _geo_distance_search(sf_dir: str):
+    """ES geo_distance query: docs within 2000 km of (10, 20), distance
+    floored to whole meters — FULL SQL oracle (same haversine, mean radius
+    6371 km, same derived coordinates)."""
+    from elasticsearch_data_import_handler_ray.stages.geoip import geo_distance
+
+    out = geo_distance(
+        _geo_dataset(sf_dir).select_columns(["doc_id", "lat", "lon"]),
+        "lat", "lon", origin=(10.0, 20.0), radius_m=2_000_000.0,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dist_m": pa.array(
+                    np.floor(t["distance_m"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _geo_knn_search(sf_dir: str):
+    """ES sort-by-_geo_distance: the 25 docs nearest (48.85, 2.35), per-batch
+    partial top-k before the k-row sort cut — FULL SQL oracle."""
+    from elasticsearch_data_import_handler_ray.stages.geoip import geo_knn
+
+    out = geo_knn(
+        _geo_dataset(sf_dir).select_columns(["doc_id", "lat", "lon"]),
+        "lat", "lon", origin=(48.85, 2.35), k=25,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dist_m": pa.array(
+                    np.floor(t["distance_m"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _geotile_grid(sf_dir: str):
+    """ES geotile_grid aggregation at zoom 5: doc counts per slippy tile,
+    partial counts per batch then ONE |tiles|-row groupby — FULL SQL oracle
+    (identical Mercator arithmetic)."""
+    from elasticsearch_data_import_handler_ray.stages.geoip import geotile_grid
+
+    return geotile_grid(
+        _geo_dataset(sf_dir).select_columns(["doc_id", "lat", "lon"]),
+        "lat", "lon", zoom=5,
+    )
+
+
+def _ip_range_agg(sf_dir: str):
+    """ES ip_range aggregation: doc counts per named CIDR bucket over the
+    derived IPv4 column (vectorized string parse → uint32 mask compare) —
+    FULL SQL oracle (same integer arithmetic on the derivation)."""
+    from elasticsearch_data_import_handler_ray.stages.geoip import ip_range_agg
+
+    return ip_range_agg(
+        _geo_dataset(sf_dir).select_columns(["doc_id", "ip"]),
+        "ip",
+        {
+            "low_half": "0.0.0.0/1",
+            "quarter2": "64.0.0.0/2",
+            "net_10": "10.0.0.0/8",
+            "high_192": "192.0.0.0/4",
+        },
+    )
+
+
 # Distributed prepStatements (round 4): the SAME config surface as
 # _SQL_MULTI but compiled by pipelines/sqlplan.py onto native Ray Data
 # operators — pruned scans → Dataset.join → per-batch DuckDB partial
@@ -1904,6 +2020,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sql_dist_join_agg": _sql_dist_join_agg,
             "sql_dist_global": _sql_dist_global,
             "sql_dist_distinct": _sql_dist_distinct,
+            "geo_distance_search": _geo_distance_search,
+            "geo_knn_search": _geo_knn_search,
+            "geotile_grid": _geotile_grid,
+            "ip_range_agg": _ip_range_agg,
             "sql_db_source": _sql_db_source,
             "nested_search": _nested_search,
             "multimodal_decode": _multimodal,
@@ -2347,6 +2467,76 @@ def oracle_sql() -> dict[str, str]:
         "sql_dist_join_agg": _SQL_DIST_JOIN,
         "sql_dist_global": _SQL_DIST_GLOBAL,
         "sql_dist_distinct": _SQL_DIST_DISTINCT,
+        # geo/ip: the derivation CTE is the same arithmetic _geo_dataset runs
+        # distributed; the formulas mirror stages/geoip.py operation-for-
+        # operation (same association order) so float results agree.
+        "geo_distance_search": """
+            WITH g AS (
+                SELECT doc_id,
+                       ((doc_id * 7919) % 18000) / 100.0 - 90.0  AS lat,
+                       ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       sin((radians(10.0) - radians(lat)) / 2) AS sa,
+                       sin((radians(20.0) - radians(lon)) / 2) AS sb,
+                       cos(radians(lat)) AS c1
+                FROM g
+            ), d AS (
+                SELECT doc_id,
+                       2.0 * 6371000.0 * asin(sqrt(sa * sa + (c1 * cos(radians(10.0))) * (sb * sb))) AS dist
+                FROM t
+            )
+            SELECT doc_id, CAST(floor(dist) AS BIGINT) AS dist_m
+            FROM d WHERE dist <= 2000000.0
+        """,
+        "geo_knn_search": """
+            WITH g AS (
+                SELECT doc_id,
+                       ((doc_id * 7919) % 18000) / 100.0 - 90.0  AS lat,
+                       ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       sin((radians(48.85) - radians(lat)) / 2) AS sa,
+                       sin((radians(2.35) - radians(lon)) / 2) AS sb,
+                       cos(radians(lat)) AS c1
+                FROM g
+            ), d AS (
+                SELECT doc_id,
+                       2.0 * 6371000.0 * asin(sqrt(sa * sa + (c1 * cos(radians(48.85))) * (sb * sb))) AS dist
+                FROM t
+            )
+            SELECT doc_id, CAST(floor(dist) AS BIGINT) AS dist_m
+            FROM d ORDER BY dist, doc_id LIMIT 25
+        """,
+        "geotile_grid": """
+            WITH g AS (
+                SELECT doc_id,
+                       least(greatest(((doc_id * 7919) % 18000) / 100.0 - 90.0,
+                                      -85.05112878), 85.05112878) AS lat,
+                       ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+                FROM documents
+            ), t AS (
+                SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 32.0), 0), 31) AS BIGINT) AS tile_x,
+                       CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32.0), 0), 31) AS BIGINT) AS tile_y
+                FROM g
+            )
+            SELECT tile_x, tile_y, count(*)::BIGINT AS n
+            FROM t GROUP BY tile_x, tile_y
+        """,
+        "ip_range_agg": """
+            WITH g AS (
+                SELECT (doc_id * 2654435761) % 4294967296 AS ipnum FROM documents
+            )
+            SELECT 'low_half' AS range, count(*)::BIGINT AS n FROM g WHERE ipnum < 2147483648
+            UNION ALL
+            SELECT 'quarter2', count(*)::BIGINT FROM g WHERE ipnum >= 1073741824 AND ipnum < 2147483648
+            UNION ALL
+            SELECT 'net_10', count(*)::BIGINT FROM g WHERE ipnum >= 167772160 AND ipnum < 184549376
+            UNION ALL
+            SELECT 'high_192', count(*)::BIGINT FROM g WHERE ipnum >= 3221225472 AND ipnum < 3489660928
+        """,
         "sql_db_source": """
             SELECT lang, SUM(n_chars)::BIGINT AS sum_chars,
                    count(*)::BIGINT AS n_docs

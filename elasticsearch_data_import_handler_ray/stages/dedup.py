@@ -220,6 +220,19 @@ def _band_explode(t: pa.Table, *, bands: int, num_hashes: int, num_buckets: int)
     )
 
 
+# All-pairs inside one collision group is quadratic; a pathological corpus
+# (one giant band_hash group — e.g. millions of empty-ish docs sharing a
+# degenerate signature) would stall a single task for hours.  Groups beyond
+# this size emit STAR pairs (min-id representative × rest) instead: linear
+# volume, and connectivity within the group is preserved THROUGH the
+# representative, so cluster-style dedup (connected components / keep-first)
+# sees the same clusters whenever the group really is one near-dup family.
+# Per-pair verification may miss a would-have-passed pair between two
+# non-representative members — the standard LSH defensive trade, and it is
+# logged loudly so a real corpus hitting it is visible.
+_LSH_MAX_ALLPAIRS_GROUP = 2048
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """One call per hash BUCKET: emit candidate id pairs for every exact
     (band, band_hash) collision inside the bucket. Id pairs only — no
@@ -235,6 +248,18 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     for _, sub in dup.groupby(["band", "band_hash"], sort=False):
         ids = np.sort(sub["doc_id"].to_numpy())
         m = len(ids)
+        if m > _LSH_MAX_ALLPAIRS_GROUP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH collision group of %d docs exceeds all-pairs cap %d; "
+                "emitting %d star pairs via representative doc %d instead "
+                "of %d all-pairs",
+                m, _LSH_MAX_ALLPAIRS_GROUP, m - 1, ids[0], m * (m - 1) // 2,
+            )
+            out_a.append(np.full(m - 1, ids[0], dtype=ids.dtype))
+            out_b.append(ids[1:])
+            continue
         # all i<j pairs of this collision group, vectorized
         ii, jj = np.triu_indices(m, k=1)
         out_a.append(ids[ii])

@@ -67,3 +67,31 @@ def test_exact_dedup_still_groups_non_null():
         {"doc_id": 3, "n_dups": 2},
         {"doc_id": 9, "n_dups": 1},
     ]
+
+
+def test_lsh_oversize_group_star_pairs():
+    """VERDICT r3 wrong#3: a giant collision group must not go quadratic —
+    beyond the cap, star pairs keep volume linear while preserving
+    connectivity through the representative."""
+    import numpy as np
+    import pandas as pd
+
+    from elasticsearch_data_import_handler_ray.stages import dedup
+
+    m = dedup._LSH_MAX_ALLPAIRS_GROUP + 5
+    g = pd.DataFrame(
+        {
+            "band": np.zeros(m, dtype=np.int64),
+            "band_hash": np.zeros(m, dtype=np.uint64),
+            "doc_id": np.arange(m, dtype=np.int64),
+        }
+    )
+    out = dedup._bucket_pairs(g)
+    assert len(out) == m - 1                      # linear, not m*(m-1)/2
+    assert (out["doc_a"] == 0).all()              # one representative
+    assert set(out["doc_b"]) == set(range(1, m))  # everyone connected
+
+    # below the cap: unchanged all-pairs behavior
+    small = g.head(5)
+    out_small = dedup._bucket_pairs(small)
+    assert len(out_small) == 10
