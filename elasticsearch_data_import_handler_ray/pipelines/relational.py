@@ -451,11 +451,24 @@ def q_dedup_first(sf_dir: str):
         _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id", "event_type"], num_buckets=shuffle_fanout(ds))
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        return g.drop_duplicates(["user_id", "event_type"], keep="first").drop(columns="_bucket")
+    # per-bucket DuckDB row_number on the zero-copy Arrow group (no pandas
+    # copy in the shuffle stage); buckets hold whole dedup-key groups.
+    import functools
 
-    return bucketed.groupby("_bucket").map_groups(first, batch_format="pandas")
+    from .sqlplan import _run_sql_batch
+
+    first_sql = """
+        SELECT user_id, event_type, event_id, ts FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS __rn
+            FROM t
+        ) WHERE __rn = 1
+    """
+    return bucketed.groupby("_bucket").map_groups(
+        functools.partial(_run_sql_batch, query=first_sql, normalize=False),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------- A15/A16: sort + top-k
@@ -721,24 +734,37 @@ def q_session_window(sf_dir: str):
         _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=["user_id"], num_buckets=shuffle_fanout(ev))
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        new_user = g["user_id"].ne(g["user_id"].shift())
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        new_session = (new_user | gap).cumsum()
-        agg = g.groupby(new_session, sort=False).agg(
-            user_id=("user_id", "first"),
-            n=("event_id", "size"),
-            start_ts=("ts", "min"),
-            end_ts=("ts", "max"),
-        )
-        # session id = 1-based index within each user, in time order
-        agg["session_id"] = agg.groupby("user_id", sort=False).cumcount() + 1
-        return agg[["user_id", "session_id", "n", "start_ts", "end_ts"]].astype(
-            {"n": "int64", "session_id": "int64"}
-        )
+    # per-bucket DuckDB sessionization on the zero-copy Arrow group: session
+    # break = lag-gap > 30 min (or first event), session id = running sum of
+    # breaks per user — same vectorized window algebra, no pandas copy.
+    import functools
 
-    return bucketed.groupby("_bucket").map_groups(sessions, batch_format="pandas")
+    from .sqlplan import _run_sql_batch
+
+    sessions_sql = """
+        WITH marks AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marks
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               count(*)::BIGINT AS n,
+               min(ts) AS start_ts,
+               max(ts) AS end_ts
+        FROM numbered GROUP BY user_id, session_id
+    """
+    return bucketed.groupby("_bucket").map_groups(
+        functools.partial(_run_sql_batch, query=sessions_sql, normalize=False),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------- window rank functions
@@ -761,27 +787,29 @@ def q_window_rank(sf_dir: str):
         fn_kwargs=dict(key_cols=["l_orderkey"], num_buckets=shuffle_fanout(ds)),
     )
 
-    def ranks(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["l_orderkey", "l_extendedprice", "l_linenumber"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        grp = g.groupby("l_orderkey", sort=False)
-        rn = grp.cumcount() + 1
-        qty = g["l_quantity"].astype("int64")
-        rnk = qty.groupby(g["l_orderkey"], sort=False).rank(method="min", ascending=False)
-        drnk = qty.groupby(g["l_orderkey"], sort=False).rank(method="dense", ascending=False)
-        return pd.DataFrame(
-            {
-                "l_orderkey": g["l_orderkey"].astype("int64"),
-                "l_linenumber": g["l_linenumber"].astype("int64"),
-                "rn": rn.astype("int64"),
-                "rnk": rnk.astype("int64"),
-                "drnk": drnk.astype("int64"),
-            }
-        )
+    # per-bucket DuckDB window SQL on the zero-copy Arrow group (VERDICT r3:
+    # the pandas group fn was an Arrow→pandas copy inside a shuffle stage);
+    # sound because buckets partition whole l_orderkey groups.
+    import functools
 
-    return bucketed.groupby("_bucket").map_groups(ranks, batch_format="pandas")
+    from .sqlplan import _run_sql_batch
+
+    ranks_sql = """
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn,
+               CAST(rank() OVER qw AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER qw AS BIGINT) AS drnk
+        FROM t
+        WINDOW qw AS (PARTITION BY l_orderkey
+                      ORDER BY CAST(l_quantity AS BIGINT) DESC)
+    """
+    return bucketed.groupby("_bucket").map_groups(
+        functools.partial(_run_sql_batch, query=ranks_sql, normalize=False),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------- window lag/lead
@@ -796,20 +824,27 @@ def q_window_lag(sf_dir: str):
         fn_kwargs=dict(key_cols=["user_id"], num_buckets=shuffle_fanout(ev)),
     )
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        sec = g["ts"].astype("int64") // 1_000_000  # floor(epoch seconds)
-        gap = sec.diff()
-        gap[g["user_id"].ne(g["user_id"].shift())] = -1
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].astype("int64"),
-                "user_id": g["user_id"].astype("int64"),
-                "gap_s": gap.astype("int64"),
-            }
-        )
+    # per-bucket DuckDB LAG on the zero-copy Arrow group (no pandas copy in
+    # the shuffle stage); floor-epoch-seconds via integer µs division keeps
+    # the documented date_diff('second', …) boundary semantics.
+    import functools
 
-    return bucketed.groupby("_bucket").map_groups(lag, batch_format="pandas")
+    from .sqlplan import _run_sql_batch
+
+    lag_sql = """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               COALESCE(
+                   epoch_us(ts) // 1000000
+                   - lag(epoch_us(ts) // 1000000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                   -1) AS gap_s
+        FROM t
+    """
+    return bucketed.groupby("_bucket").map_groups(
+        functools.partial(_run_sql_batch, query=lag_sql, normalize=False),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------- GROUP BY ROLLUP
