@@ -190,6 +190,8 @@ def run_bench() -> dict:
         "dedup_minhash",
         "ann_bruteforce",
         "token_count",
+        "sql_dist_join_agg",
+        "geo_knn_search",
     ]
     allq = entrymod.queries()
     for name in picks:
