@@ -1119,6 +1119,20 @@ class QueryShard:
                 keep &= vals <= fl["lte"]
             if "lt" in fl:
                 keep &= vals < fl["lt"]
+            if "geo_distance" in fl:
+                # ES bool.filter.geo_distance: fl["field"] is the latitude
+                # doc-value, the clause names the longitude field + origin +
+                # radius; vectorized haversine over this actor's doc-values.
+                from ..stages.geoip import haversine_m
+
+                g = fl["geo_distance"]
+                _, lons = self._doc_values[g["lon_field"]]
+                olat, olon = g["origin"]
+                d = haversine_m(
+                    vals.astype(np.float64), lons.astype(np.float64),
+                    float(olat), float(olon),
+                )
+                keep &= d <= float(g["radius_m"])
         return dv_ids[keep]
 
     def agg_under_query(
@@ -2936,10 +2950,17 @@ class QueryEngine:
         doc-values pass every clause — scores are UNCHANGED (same idf/N as
         the unfiltered query; a filter never affects relevance, exactly like
         ES filter vs must). Clauses: {"field": f, "eq": v} | {"field": f,
-        "in": [...]} | {"field": f, "gte"/"gt"/"lte"/"lt": x} (combinable)."""
+        "in": [...]} | {"field": f, "gte"/"gt"/"lte"/"lt": x} (combinable) |
+        {"field": lat_f, "geo_distance": {"lon_field": lon_f, "origin":
+        (lat, lon), "radius_m": r}} (ES bool.filter.geo_distance over
+        lat/lon doc-values)."""
         if isinstance(filters, dict):
             filters = [filters]
-        self._ensure_doc_values(sorted({f["field"] for f in filters}))
+        needed = {f["field"] for f in filters}
+        needed |= {
+            f["geo_distance"]["lon_field"] for f in filters if "geo_distance" in f
+        }
+        self._ensure_doc_values(sorted(needed))
         return self.search_many(
             [{"text": text, "mode": mode, "filters": filters}], k=k, method=method
         )[0]

@@ -136,3 +136,68 @@ def test_ip_cidr_filter_and_range_agg():
     ).to_pandas().set_index("range")["n"]
     assert agg["ten"] == 100 and agg["private_c"] == 50
     assert agg["none"] == 0 and agg["all"] == 150
+
+
+@pytest.fixture(scope="module")
+def geo_index(sf_dir, tmp_path_factory):
+    """documents + doc_id-derived lat/lon indexed with lat/lon doc-values."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.index.build import build_index
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    root = tmp_path_factory.mktemp("geoidx")
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    docs = docs.append_column(
+        "lat", pa.array(((ids * 7919) % 18000) / 100.0 - 90.0)
+    ).append_column("lon", pa.array(((ids * 104729) % 36000) / 100.0 - 180.0))
+    src = str(root / "docs.parquet")
+    pq.write_table(docs, src)
+    idx = str(root / "idx")
+    build_index(
+        src, idx, mode="full",
+        config=IndexConfig(analyzer="whitespace", num_segments=4,
+                           doc_id_col="doc_id", content_col="text",
+                           store_cols=("lat", "lon")),
+    )
+    eng = QueryEngine(idx)
+    yield eng, docs.to_pandas()
+    eng.close()
+
+
+def test_geo_distance_filter_context(geo_index):
+    """ES bool.filter.geo_distance: BM25 top-k restricted to docs within the
+    radius, scores UNCHANGED (filter context) — vs brute-force recompute."""
+    eng, docs = geo_index
+    origin, radius = (10.0, 20.0), 4_000_000.0
+    d = haversine_m(docs["lat"].to_numpy(), docs["lon"].to_numpy(),
+                    origin[0], origin[1])
+    inside = set(docs["doc_id"][d <= radius].astype(np.uint64))
+    full = eng.search("hash join", k=10**6)
+    want = [(doc, s) for doc, s in full if doc in inside][:10]
+    got = eng.search_filtered(
+        "hash join",
+        {"field": "lat", "geo_distance": {"lon_field": "lon",
+                                          "origin": origin,
+                                          "radius_m": radius}},
+        k=10,
+    )
+    assert got == want
+    # composes with plain doc-value clauses
+    got2 = eng.search_filtered(
+        "hash join",
+        [{"field": "lat", "geo_distance": {"lon_field": "lon",
+                                           "origin": origin,
+                                           "radius_m": radius}},
+         {"field": "lat", "gte": 0.0}],
+        k=10,
+    )
+    inside2 = {d_ for d_ in inside} & set(
+        docs["doc_id"][docs["lat"] >= 0.0].astype(np.uint64)
+    )
+    want2 = [(doc, s) for doc, s in full if doc in inside2][:10]
+    assert got2 == want2
