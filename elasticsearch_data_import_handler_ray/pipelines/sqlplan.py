@@ -117,6 +117,30 @@ def _text(toks: list[Tok]) -> str:
     return " ".join(t.text for t in toks)
 
 
+def _split_conjuncts(toks: list[Tok]) -> list[list[Tok]]:
+    """Split a predicate at depth-0 ANDs — except the AND that belongs to a
+    pending depth-0 BETWEEN, which stays inside its conjunct."""
+    out: list[list[Tok]] = [[]]
+    depth = 0
+    between = 0
+    for t in toks:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if depth == 0 and t.isword("between"):
+            between += 1
+        if depth == 0 and t.isword("and"):
+            if between:
+                between -= 1
+                out[-1].append(t)
+                continue
+            out.append([])
+            continue
+        out[-1].append(t)
+    return out
+
+
 def _split_toplevel(toks: list[Tok], sep: str) -> list[list[Tok]]:
     """Split a token list at depth-0 occurrences of a punctuation/word sep."""
     out: list[list[Tok]] = [[]]
@@ -377,6 +401,8 @@ def _mangle_tokens(
             used[a].add(c)
             toks[i] = Tok("id", _mangle(a, c))
         elif t.kind == "id" and t.text.lower() not in _KEYWORDS:
+            if i > 0 and toks[i - 1].isword("as"):
+                continue  # output alias (or CAST target type), not a column
             nxt = toks[i + 1].text if i + 1 < len(toks) else ""
             if nxt == "(":
                 continue  # function call
@@ -558,7 +584,7 @@ def plan_sql(
     pushed: dict[str, list[str]] = {a: [] for a in aliases}
     residual: list[str] = []
     if st.where:
-        for conj in _split_toplevel(st.where, "and"):
+        for conj in _split_conjuncts(st.where):
             if not conj:
                 raise PlanError("empty WHERE conjunct")
             owners = {

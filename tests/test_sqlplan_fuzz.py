@@ -1,0 +1,125 @@
+"""Property fuzz for the distributed SQL planner: every statement the
+planner ACCEPTS must be value-exact against DuckDB running the identical
+SQL on one engine — across randomly composed projections, filters, joins,
+group-bys, having, order and limit. Small in-memory tables keep each
+example sub-second; determinism comes from integer-only aggregates."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_data_import_handler_ray.pipelines.sqlplan import PlanError, parse, plan_sql
+
+_N1, _N2 = 120, 40
+
+
+def _tables():
+    rng = np.random.default_rng(11)
+    t1 = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 20, _N1), type=pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, _N1), type=pa.int64()),
+            "s": pa.array(
+                [f"{'abcde'[i % 5]}word{i % 7}" for i in range(_N1)],
+                type=pa.string(),
+            ),
+        }
+    )
+    t2 = pa.table(
+        {
+            "k2": pa.array(rng.integers(0, 20, _N2), type=pa.int64()),
+            "w": pa.array(rng.integers(0, 100, _N2), type=pa.int64()),
+        }
+    )
+    return t1, t2
+
+
+@pytest.fixture(scope="module")
+def fuzz_env():
+    t1, t2 = _tables()
+    views = {"t1": ray.data.from_arrow(t1), "t2": ray.data.from_arrow(t2)}
+    con = duckdb.connect()
+    con.register("t1", t1)
+    con.register("t2", t2)
+    return views, con
+
+
+_SCALARS = ["v", "v + 1", "v * 2", "abs(v - 3)", "length(s)",
+            "CASE WHEN v > 5 THEN 1 ELSE 0 END", "k % 4"]
+_PREDS = ["v > 0", "v % 2 = 0", "s LIKE 'a%'", "k < 15", "abs(v) > 10",
+          "v BETWEEN -20 AND 30", "k IN (1, 2, 3, 7)"]
+_AGGS = ["sum(v)", "count(*)", "min(v)", "max(v)", "avg(v)",
+         "sum(abs(v))", "count(s)"]
+
+
+@st.composite
+def statements(draw):
+    joined = draw(st.booleans())
+    grouped = draw(st.booleans())
+    q = lambda e: e  # t1 columns stay unqualified (single-owner resolution)
+    if joined:
+        frm = "FROM t1 JOIN t2 ON t1.k = t2.k2"
+    else:
+        frm = "FROM t1"
+    where = ""
+    preds = draw(st.lists(st.sampled_from(_PREDS), max_size=2, unique=True))
+    if joined and draw(st.booleans()):
+        preds = preds + ["w > 25"]
+    if preds:
+        where = " WHERE " + " AND ".join(preds)
+    if grouped:
+        key = draw(st.sampled_from(["s", "k % 3"]))
+        aggs = draw(
+            st.lists(st.sampled_from(_AGGS), min_size=1, max_size=3, unique=True)
+        )
+        items = [f"{key} AS g"] + [
+            f"{a} AS a{i}" for i, a in enumerate(aggs)
+        ]
+        sql = f"SELECT {', '.join(items)} {frm}{where} GROUP BY {key}"
+        if draw(st.booleans()):
+            sql += " HAVING count(*) > 1"
+        if draw(st.booleans()):
+            sql += " ORDER BY g"
+    else:
+        exprs = draw(
+            st.lists(st.sampled_from(_SCALARS), min_size=1, max_size=3, unique=True)
+        )
+        items = ["k AS k"] + [f"{q(e)} AS c{i}" for i, e in enumerate(exprs)]
+        sql = f"SELECT {', '.join(items)} {frm}{where}"
+        if draw(st.booleans()):
+            # order by EVERY output column: rows tied at the LIMIT cut are
+            # then byte-identical, so either engine's (valid) choice of ties
+            # compares equal — ORDER BY k alone is legitimately
+            # nondeterministic under LIMIT when k repeats.
+            names = ["k"] + [f"c{i}" for i in range(len(exprs))]
+            sql += f" ORDER BY {', '.join(names)} LIMIT 17"
+    return sql
+
+
+@settings(max_examples=25, deadline=None)
+@given(statements())
+def test_planner_matches_duckdb(fuzz_env, sql):
+    views, con = fuzz_env
+    got = plan_sql(sql, views).to_pandas()
+    want = con.execute(sql).df()
+    assert sorted(got.columns) == sorted(want.columns), sql
+    got = got[want.columns.tolist()]
+    cols = want.columns.tolist()
+    g = got.sort_values(cols).reset_index(drop=True)
+    w = want.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_parser_never_crashes_uncleanly(text):
+    """Garbage in → PlanError out (never an unhandled exception type)."""
+    try:
+        parse(text, {"t1", "t2"})
+    except PlanError:
+        pass
