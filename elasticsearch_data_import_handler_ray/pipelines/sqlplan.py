@@ -432,7 +432,9 @@ def _item_output_name(item: list[Tok]) -> tuple[list[Tok], str]:
         return item[:-2], item[-1].text.strip('"')
     if len(item) == 1 and item[0].kind in ("id", "qual", "qid"):
         name = item[0].text.strip('"')
-        if "__" in name:
+        if item[0].kind == "qual":
+            name = name.split(".", 1)[1]
+        elif "__" in name:
             name = name.split("__", 1)[1]
         return item, name
     # DuckDB would auto-name; require explicit AS so downstream names are
@@ -522,6 +524,28 @@ def _per_batch(ds: ray.data.Dataset, query: str, *, normalize: bool = False,
     )
 
 
+def _split_union_all(toks: list[Tok]) -> list[list[Tok]]:
+    """Split at depth-0 UNION ALL; plain UNION (set semantics) is rejected."""
+    out: list[list[Tok]] = [[]]
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if depth == 0 and t.isword("union"):
+            if i + 1 < len(toks) and toks[i + 1].isword("all"):
+                out.append([])
+                i += 2
+                continue
+            raise PlanError("UNION (distinct) is not distributable; use UNION ALL")
+        out[-1].append(t)
+        i += 1
+    return out
+
+
 def plan_sql(
     query: str,
     views: dict[str, "ray.data.Dataset"],
@@ -533,6 +557,32 @@ def plan_sql(
     Raises PlanError when the statement falls outside the supported subset
     (see module docstring); values are DuckDB-exact for everything accepted.
     """
+    # UNION ALL of compatible SELECTs → plan each side, Dataset.union (row
+    # concat, no exchange). Column names must line up; sides must not carry
+    # their own ORDER BY/LIMIT (a global one would misparse anyway).
+    union_parts = _split_union_all(_tokenize(query.strip().rstrip(";")))
+    if len(union_parts) > 1:
+        names: list[str] | None = None
+        planned = []
+        for part in union_parts:
+            st_part = parse(_text(part), set(views))
+            if st_part.order or st_part.limit is not None:
+                raise PlanError(
+                    "ORDER BY/LIMIT under UNION ALL is not distributable"
+                )
+            part_names = [_item_output_name(it)[1] for it in st_part.select]
+            if names is None:
+                names = part_names
+            elif part_names != names:
+                raise PlanError(
+                    f"UNION ALL sides have different columns: {names} vs {part_names}"
+                )
+            planned.append(plan_sql(_text(part), views, concurrency=concurrency))
+        out = planned[0]
+        for nxt in planned[1:]:
+            out = out.union(nxt)
+        return out
+
     st = parse(query, set(views))
     aliases: dict[str, str] = st._aliases  # type: ignore[attr-defined]
     pending: list[tuple] = st._pending_joins  # type: ignore[attr-defined]

@@ -184,3 +184,33 @@ def test_fallback_runs_unsupported_sql(views, oracle):
 def test_parse_rejects_non_select():
     with pytest.raises(PlanError):
         parse("DELETE FROM nation", {"nation"})
+
+
+def test_union_all(views, oracle):
+    check(
+        """SELECT n_name AS name, n_nationkey AS k FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT n_name AS name, n_nationkey AS k FROM nation WHERE n_regionkey > 2
+           UNION ALL
+           SELECT r_name AS name, r_regionkey AS k FROM region""",
+        views,
+        oracle,
+    )
+
+
+def test_union_all_mismatched_columns(views):
+    with pytest.raises(PlanError, match="different columns"):
+        plan_sql(
+            "SELECT n_name AS a FROM nation UNION ALL SELECT r_name AS b FROM region",
+            views,
+        )
+
+
+def test_union_distinct_falls_back(views, oracle):
+    sql = ("SELECT n_regionkey AS k FROM nation UNION "
+           "SELECT r_regionkey AS k FROM region")
+    with pytest.raises(PlanError, match="UNION ALL"):
+        plan_sql(sql, views)
+    got = distributed_sql_query(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    assert sorted(got["k"]) == sorted(want["k"])
