@@ -45,6 +45,10 @@ def _index_cfg(kind: str):
         return IndexConfig(analyzer="code", **base)
     if kind == "pos":
         return IndexConfig(analyzer="code", positions=True, **base)
+    if kind == "pos_ws":
+        # whitespace + positions: phrase adjacency AND the BM25 phrase score
+        # stay SQL-expressible (round-5 FULL-SQL phrase_search oracle)
+        return IndexConfig(analyzer="whitespace", positions=True, **base)
     if kind == "stored_text":
         return IndexConfig(analyzer="code", store_cols=("text",), **base)
     if kind == "mlt_ws":
@@ -744,8 +748,10 @@ def _count_search(sf_dir: str):
 
 def _regexp_search(sf_dir: str):
     """ES regexp term queries: anchored dictionary expansion scored as an OR
-    query (rows-only; rank+score identity vs the full-vocab regex oracle is
-    pinned in tests/test_index.py)."""
+    query. FULL SQL (round 5): the expansion is the sorted capped
+    regexp_full_match slice of the vocabulary (both sides RE2), the score a
+    list_reduce left-fold of per-term contributions in ascending-term order;
+    also pinned vs the full-vocab regex oracle in tests/test_index.py."""
     eng = _dv_engine(sf_dir)
     rows = []
     try:
@@ -1492,12 +1498,15 @@ def _percolate_qs(sf_dir: str):
 
 
 def _phrase_search(sf_dir: str):
-    """Positional index + exact phrase top-k (mode='phrase'); rows-only —
-    oracle-checked (rank+score identity vs a naive sliding-window scorer) in
-    tests/test_positions.py."""
+    """Positional index + exact phrase top-k (mode='phrase'). FULL SQL
+    (round 5): over the whitespace positional index the adjacency check is a
+    token-position predicate (token i at p+i) and the score is the engine's
+    BM25 over the phrase's unique terms — both in the BM25-in-SQL oracle.
+    Rank+score identity vs the naive sliding-window scorer is additionally
+    pinned (code analyzer) in tests/test_positions.py."""
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
-    eng = QueryEngine(_shared_index(sf_dir, "pos"))
+    eng = QueryEngine(_shared_index(sf_dir, "pos_ws"))
     phrases = ["hash scan join", "table scan", "batch batch batch", "sort merge", "group query row"]
     try:
         results = eng.search_many([{"text": p, "mode": "phrase"} for p in phrases], k=10)
@@ -2332,6 +2341,70 @@ def _bm25_oracles() -> dict[str, str]:
         UNION ALL
         {_bm25_topk_select('q2', 2,
             f"({c2['filter']}::INT + {c2['query']}::INT + {c2['scan']}::INT) >= 2", 10)}
+    """
+
+    # phrase_search: adjacency predicate + BM25 over the phrase's UNIQUE
+    # terms in ascending order (_score_phrase, index/query.py:429-479); a
+    # doc passing ph necessarily contains every term, so the static sum is
+    # the engine's exact candidate score.
+    phrases = [
+        "hash scan join", "table scan", "batch batch batch", "sort merge",
+        "group query row",
+    ]
+    w = _bm25_with({
+        f"q{i}": {"terms": sorted(set(p.split())), "phrase": p.split()}
+        for i, p in enumerate(phrases)
+    })
+    out["phrase_search"] = f"""
+        {w}
+        {" UNION ALL ".join(_bm25_topk_select(f'q{i}', i, 'ph', 10) for i in range(len(phrases)))}
+    """
+
+    # regexp_search: expansion = sorted first-50 vocabulary terms fully
+    # matching the RE2 pattern (expand_regexp's capped-union contract); the
+    # per-doc score folds contributions in ascending-term order via
+    # list(... ORDER BY term) + list_reduce (left fold == the engine's
+    # scores[pos] += accumulation, since 0.0 + c1 == c1 bit-exactly).
+    pats = ["has[hk]", "(quer|vector).*", "jo.n"]
+    exp_ctes = ",\n        ".join(
+        f"exp_q{i} AS (SELECT term, df FROM vocab WHERE regexp_full_match(term, {_sqlq(p)}) ORDER BY term LIMIT 50)"
+        for i, p in enumerate(pats)
+    )
+    sc_ctes = ",\n        ".join(
+        f"""sc_q{i} AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list(ln(1 + (N - df + 0.5) / (df + 0.5))
+                            * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+                            ORDER BY term),
+                       (a, b) -> a + b) AS score
+            FROM pt JOIN exp_q{i} USING (term), st
+            GROUP BY doc_id
+        )"""
+        for i in range(len(pats))
+    )
+    finals = " UNION ALL ".join(
+        f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY sc_q{i}.score DESC, doc_id) AS "rank",
+                   doc_id, ROUND(sc_q{i}.score, 6) AS score
+            FROM sc_q{i} ORDER BY sc_q{i}.score DESC, doc_id LIMIT 10)"""
+        for i in range(len(pats))
+    )
+    out["regexp_search"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+        ),
+        st AS (SELECT count(*) AS N, sum(len(toks)) / count(*) AS avgdl FROM d),
+        pt AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term
+        ),
+        vocab AS (SELECT term, count(*)::DOUBLE AS df FROM pt GROUP BY term),
+        {exp_ctes},
+        {sc_ctes}
+        {finals}
     """
     return out
 
