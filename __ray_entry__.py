@@ -450,16 +450,19 @@ def _term_df_stop_stem(sf_dir: str):
 def _upsert_search(sf_dir: str):
     """Id-mapped upsert (the reference's es.mapping.id re-import): build the
     documents index, re-import every 25th doc with changed text in an
-    incremental run, query; the later version must win (rows-only here —
-    exact rank/score/byte-level oracles are pinned in tests/test_upsert.py)."""
+    incremental run, query; the later version must win. FULL SQL (round 5): the engine's
+    N/avgdl/df are tombstone-corrected, so the oracle is BM25-in-SQL over
+    the UPDATED corpus (sentinel df + both top-k value-checked); exact
+    rank/score/byte-level oracles also pinned in tests/test_upsert.py."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from elasticsearch_data_import_handler_ray.index.build import build_index
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
-    # mutates (incremental upsert run) → private copy of the shared build
-    index_dir = _private_index_copy(sf_dir, "code")
+    # mutates (incremental upsert run) → private copy of the shared ws build
+    # (whitespace: the post-upsert live corpus stays SQL-expressible)
+    index_dir = _private_index_copy(sf_dir, "dv")
     src = os.path.join(sf_dir, "documents.parquet")
     t = pq.read_table(src)
     ids_np = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -885,8 +888,9 @@ def _reindex_search(sf_dir: str):
 
 def _top_hits_search(sf_dir: str):
     """ES terms agg + top_hits sub-agg: per-lang match counts with the top-2
-    matching docs by BM25 (rows-only; exact per-bucket oracle identity is
-    pinned in tests/test_docvalues.py)."""
+    matching docs by BM25. FULL SQL (round 5): bucket cut (count desc, value
+    asc) + per-bucket window rank over BM25-in-SQL; also pinned in
+    tests/test_docvalues.py."""
     eng = _dv_engine(sf_dir)
     rows = []
     try:
@@ -902,8 +906,9 @@ def _top_hits_search(sf_dir: str):
 def _function_score_search(sf_dir: str):
     """ES function_score: field_value_factor re-rank (full Lucene modifier
     set, log family base-10) AND decay functions (gauss/exp/linear on a
-    numeric doc-value) — BM25 · multiplier over all matches (rows-only;
-    exact recompute identities pinned in tests/test_docvalues.py)."""
+    numeric doc-value) — BM25 · multiplier over all matches. FULL SQL
+    (round 5): fvf_apply/decay_apply mirrored operation-for-operation on the
+    n_chars doc-value; also pinned in tests/test_docvalues.py."""
     eng = _dv_engine(sf_dir)
     rows = []
     try:
@@ -1566,12 +1571,11 @@ def _phrase_prefix_search(sf_dir: str):
 
 def _suggest_terms(sf_dir: str):
     """ES term suggester (did-you-mean): misspelled tokens → dictionary
-    corrections ranked by (edit distance asc, df desc, term asc). Rows-only —
-    exact identity vs a full-vocabulary scalar-DP oracle is pinned in
-    tests/test_index.py::test_suggest_matches_naive_oracle."""
-    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-
-    eng = QueryEngine(_shared_index(sf_dir, "code"))
+    corrections ranked by (edit distance asc, df desc, term asc). FULL SQL
+    (round 5): DuckDB levenshtein over the ws vocabulary with the same rank
+    key and 'missing'-mode gate; also pinned vs the full-vocabulary
+    scalar-DP oracle in tests/test_index.py."""
+    eng = _dv_engine(sf_dir)
     rows = []
     try:
         for text in ["tabel scah", "queyr", "batsh grop"]:
@@ -1588,9 +1592,10 @@ def _suggest_terms(sf_dir: str):
 
 def _alias_search(sf_dir: str):
     """ES index-alias search: two indexes over disjoint halves of the
-    documents table, searched as ONE with blended global stats. Rows-only —
-    tests/test_alias.py pins rank+score BIT-identity vs an index built over
-    the union corpus."""
+    documents table, searched as ONE with blended global stats. FULL SQL
+    (round 5): blending is bit-identical to the union corpus (pinned in
+    tests/test_alias.py), so the oracle is BM25-in-SQL over the whole
+    documents table."""
     import pyarrow.parquet as pq
 
     from elasticsearch_data_import_handler_ray.index.alias import MultiIndexEngine
@@ -1610,7 +1615,8 @@ def _alias_search(sf_dir: str):
             build_index(
                 p, os.path.join(root, f"idx_{name}"), mode="full",
                 config=IndexConfig(
-                    analyzer="code", num_segments=2, doc_id_col="doc_id", content_col="text"
+                    analyzer="whitespace", num_segments=2, doc_id_col="doc_id",
+                    content_col="text",
                 ),
             )
         _INDEX_CACHE[key] = root
@@ -1814,7 +1820,8 @@ def _bool_search(sf_dir: str):
 
 def _collapse_search(sf_dir: str):
     """ES field collapsing: top-k with one best hit per distinct `source`
-    value. Rows-only — exact pandas-oracle identity pinned in
+    value. FULL SQL (round 5): best-per-value is a window rank over the
+    BM25-in-SQL scores; also pinned vs the exact pandas oracle in
     tests/test_docvalues.py."""
     eng = _dv_engine(sf_dir)
     rows = []
@@ -1830,12 +1837,13 @@ def _collapse_search(sf_dir: str):
 
 def _synonym_search(sf_dir: str):
     """Query-time synonyms (Lucene SynonymQuery: tf summed before tf-norm,
-    idf from the max member df). Rows-only — bit-identity vs the merged-
-    postings oracle pinned in tests/test_index.py."""
+    idf from the max member df). FULL SQL (round 5): per-group summed-tf
+    contributions in ascending group order; also bit-pinned vs the merged-
+    postings oracle in tests/test_index.py."""
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
     syns = [["scan", "seek"], ["group", "cluster"], ["fast", "quick"]]
-    eng = QueryEngine(_shared_index(sf_dir, "code"))
+    eng = _dv_engine(sf_dir)
     rows = []
     try:
         for qi, text in enumerate(["table scan fast", "group by hash", "fast row"]):
@@ -2182,7 +2190,7 @@ def _sqlq(t: str) -> str:
     return "'" + t.replace("'", "''") + "'"
 
 
-def _bm25_with(cases: dict[str, dict]) -> str:
+def _bm25_with(cases: dict[str, dict], d_sql: str | None = None) -> str:
     """WITH prelude shared by the BM25 oracles: per case ``tag`` emits
     ``sc_<tag>`` with (doc_id, lang, n_chars, source, score, m_<i> per-term
     match flags sorted by term, optional ``ph`` phrase-adjacency flag).
@@ -2191,9 +2199,14 @@ def _bm25_with(cases: dict[str, dict]) -> str:
     ``flag_terms`` (extra match-only terms, e.g. must_not — flagged, never
     scored), ``phrase`` (ordered token list incl. duplicates — ``ph`` is true
     iff token i sits at position p+i for some p, the engine's slop=0
-    composite-key adjacency)."""
+    composite-key adjacency).
+
+    ``d_sql`` overrides the corpus CTE (must yield doc_id, lang, n_chars,
+    source, toks) — used by upsert_search to score the UPDATED corpus (the
+    engine's N/avgdl/df are tombstone-corrected to exactly that view)."""
     parts = [
-        f"d AS (\n        SELECT doc_id, lang, n_chars, source, {_ORACLE_TOKS} AS toks\n        FROM documents\n    )",
+        d_sql
+        or f"d AS (\n        SELECT doc_id, lang, n_chars, source, {_ORACLE_TOKS} AS toks\n        FROM documents\n    )",
         "st AS (\n        SELECT count(*) AS N, sum(len(toks)) / count(*) AS avgdl FROM d\n    )",
     ]
     for tag, c in cases.items():
@@ -2405,6 +2418,197 @@ def _bm25_oracles() -> dict[str, str]:
         {exp_ctes},
         {sc_ctes}
         {finals}
+    """
+
+    # collapse_search: one best hit (score desc, doc_id asc) per source
+    # value, then the ordinary top-k cut — collapsing never rescores.
+    texts = [["scan", "table"], ["hash", "join", "row"], ["group", "query"]]
+    w = _bm25_with({f"q{i}": {"terms": ts} for i, ts in enumerate(texts)})
+    coll = " UNION ALL ".join(
+        f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id) AS "rank",
+                   doc_id, source AS value, ROUND(b.score, 6) AS score
+            FROM (
+                SELECT doc_id, source, score,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY sc_q{i}.score DESC, doc_id) AS rn
+                FROM sc_q{i} WHERE {" OR ".join(f"m_{j}" for j in range(len(ts)))}
+            ) b WHERE rn = 1
+            ORDER BY b.score DESC, b.doc_id LIMIT 10)"""
+        for i, ts in enumerate(texts)
+    )
+    out["collapse_search"] = f"{w}\n        {coll}"
+
+    # top_hits_search: top-5 lang buckets by (count desc, value asc), each
+    # with its match count and top-2 hits by (score desc, doc_id asc)
+    w = _bm25_with({"q0": {"terms": ["hash", "join", "query"]}})
+    out["top_hits_search"] = f"""
+        {w},
+        m AS (SELECT doc_id, lang, score FROM sc_q0 WHERE m_0 OR m_1 OR m_2),
+        cnt AS (SELECT lang, count(*)::BIGINT AS n FROM m GROUP BY lang),
+        top5 AS (SELECT lang, n FROM cnt ORDER BY n DESC, lang LIMIT 5),
+        hits AS (
+            SELECT lang, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY score DESC, doc_id) AS hr
+            FROM m
+        )
+        SELECT t.lang, t.n, h.hr AS "rank", h.doc_id, ROUND(h.score, 6) AS score
+        FROM top5 t JOIN hits h USING (lang) WHERE h.hr <= 2
+    """
+
+    # function_score_search: BM25 * (weight * modifier(value)) — fvf
+    # modifiers (fvf_apply, index/query.py:54) and decay fns (decay_apply,
+    # :85) mirrored operation-for-operation on the n_chars doc-value
+    w = _bm25_with({"q0": {"terms": ["hash", "join", "query"]}})
+    v = "n_chars::DOUBLE"
+    dexpr = f"greatest(abs({v} - 400.0) - 25.0, 0.0)"
+    mults = [
+        f"(0.5 * log10({v} + 1.0))",                                   # log1p, w=0.5
+        f"(2.0 * sqrt({v}))",                                          # sqrt,  w=2.0
+        f"(1.0 * ln({v} + 2.0))",                                      # ln2p,  w=1.0
+        f"(3.0 * (1.0 / {v}))",                                        # recip, w=3.0
+        f"(1.0 * exp(-({dexpr} * {dexpr}) / (2.0 * (-(150.0 * 150.0) / (2.0 * ln(0.4))))))",  # gauss
+        f"(1.0 * exp(ln(0.4) / 150.0 * {dexpr}))",                     # exp
+        f"(1.0 * greatest((150.0 / (1.0 - 0.4) - {dexpr}) / (150.0 / (1.0 - 0.4)), 0.0))",    # linear
+    ]
+    fs = " UNION ALL ".join(
+        f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY f.fscore DESC, f.doc_id) AS "rank",
+                   doc_id, ROUND(f.fscore, 6) AS score
+            FROM (SELECT doc_id, sc_q0.score * {m_} AS fscore
+                  FROM sc_q0 WHERE m_0 OR m_1 OR m_2) f
+            ORDER BY f.fscore DESC, f.doc_id LIMIT 10)"""
+        for i, m_ in enumerate(mults)
+    )
+    out["function_score_search"] = f"{w}\n        {fs}"
+
+    # suggest_terms: per misspelled token the <=2-edit vocabulary slice
+    # ranked (distance asc, df desc, term asc) top-5 — DuckDB levenshtein is
+    # the same plain DP as _levenshtein_distances; the 'missing' gate (no
+    # options for tokens present in the vocab) is the correlated count check
+    toks = ["tabel", "scah", "queyr", "batsh", "grop"]
+    sug = " UNION ALL ".join(
+        f"""SELECT * FROM (
+            SELECT {_sqlq(t)} AS token,
+                   ROW_NUMBER() OVER (ORDER BY levenshtein(term, {_sqlq(t)}), df DESC, term) AS "rank",
+                   term AS text, levenshtein(term, {_sqlq(t)})::BIGINT AS distance,
+                   df::BIGINT AS freq
+            FROM vocab
+            WHERE levenshtein(term, {_sqlq(t)}) <= 2 AND term <> {_sqlq(t)}
+              AND (SELECT count(*) FROM vocab WHERE term = {_sqlq(t)}) = 0
+            ORDER BY levenshtein(term, {_sqlq(t)}), df DESC, term LIMIT 5)"""
+        for t in toks
+    )
+    out["suggest_terms"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+        ),
+        vocab AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            GROUP BY term
+        )
+        {sug}
+    """
+
+    # alias_search: blended multi-index global stats are bit-identical to
+    # the union corpus (pinned in tests/test_alias.py), so the oracle is
+    # plain BM25-in-SQL over the whole documents table
+    alias_terms = [
+        ["hash", "join", "table"], ["filter", "scan"],
+        ["by", "group", "sort"], ["batch", "query", "row"],
+    ]
+    w = _bm25_with({f"q{i}": {"terms": sorted(ts)} for i, ts in enumerate(alias_terms)})
+    out["alias_search"] = f"""
+        {w}
+        {" UNION ALL ".join(
+            _bm25_topk_select(f'q{i}', i, ' OR '.join(f'm_{j}' for j in range(len(ts))), 10)
+            for i, ts in enumerate(alias_terms))}
+    """
+
+    # synonym_search: Lucene SynonymQuery — group tf summed BEFORE the
+    # nonlinear tf-norm, group idf = idf(N, max member df), accumulation in
+    # ascending GROUP order (_score_synonyms, index/query.py:262-305)
+    syn_cases = {
+        # query "table scan fast": groups (fast,quick) < (scan,seek) < (table,)
+        "q0": [["fast", "quick"], ["scan", "seek"], ["table"]],
+        # query "group by hash": (by,) < (cluster,group) < (hash,)
+        "q1": [["by"], ["cluster", "group"], ["hash"]],
+        # query "fast row": (fast,quick) < (row,)
+        "q2": [["fast", "quick"], ["row"]],
+    }
+    syn_parts = [
+        f"d AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)",
+        "st AS (SELECT count(*) AS N, sum(len(toks)) / count(*) AS avgdl FROM d)",
+    ]
+    syn_finals = []
+    for qi, (tag, groups) in enumerate(syn_cases.items()):
+        members = sorted({m for g in groups for m in g})
+        tf_cols = ",\n               ".join(
+            f"len(list_filter(toks, x -> x = {_sqlq(m)}))::DOUBLE AS tf_{i}"
+            for i, m in enumerate(members)
+        )
+        syn_parts.append(
+            f"tf_{tag} AS (SELECT doc_id, len(toks)::DOUBLE AS dl,\n               {tf_cols}\n        FROM d)"
+        )
+        df_cols = ", ".join(
+            f"(SELECT count(*) FROM tf_{tag} WHERE tf_{i} > 0) AS df_{i}"
+            for i in range(len(members))
+        )
+        syn_parts.append(f"df_{tag} AS (SELECT {df_cols})")
+        midx = {m: i for i, m in enumerate(members)}
+        contribs, match = [], []
+        for g in groups:  # already in ascending group order
+            gtf = " + ".join(f"tf_{midx[m]}" for m in g)
+            gdf = (f"greatest({', '.join(f'df_{midx[m]}' for m in g)})"
+                   if len(g) > 1 else f"df_{midx[g[0]]}")
+            contribs.append(
+                f"ln(1 + (N - {gdf} + 0.5) / ({gdf} + 0.5)) * "
+                f"((({gtf}) * (1.2 + 1.0)) / (({gtf}) + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))"
+            )
+            match.append(f"({gtf}) > 0")
+        syn_parts.append(
+            f"sc_{tag} AS (SELECT doc_id, {' + '.join(contribs)} AS score\n"
+            f"        FROM tf_{tag}, st, df_{tag} WHERE {' OR '.join(match)})"
+        )
+        syn_finals.append(
+            f"""SELECT * FROM (
+            SELECT {qi} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY sc_{tag}.score DESC, doc_id) AS "rank",
+                   doc_id, ROUND(sc_{tag}.score, 6) AS score
+            FROM sc_{tag} ORDER BY sc_{tag}.score DESC, doc_id LIMIT 10)"""
+        )
+    out["synonym_search"] = (
+        "WITH " + ",\n    ".join(syn_parts) + "\n        " + " UNION ALL ".join(syn_finals)
+    )
+
+    # upsert_search: the incremental re-import tombstones old versions and
+    # the engine's N/avgdl/df are tombstone-corrected (index/query.py:1797,
+    # :1416), so the oracle is plain BM25-in-SQL over the UPDATED corpus
+    upsert_d = f"""d AS (
+        SELECT doc_id, lang, n_chars, source,
+               list_filter(string_split_regex(lower(
+                   CASE WHEN doc_id % 25 = 0
+                        THEN text || ' upserted sentinel revision'
+                        ELSE text END), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )"""
+    w = _bm25_with({
+        "q0": {"terms": ["revision", "sentinel", "upserted"]},
+        "q1": {"terms": ["hash", "join", "query"]},
+    }, d_sql=upsert_d)
+    out["upsert_search"] = f"""
+        {w}
+        SELECT 'df' AS kind, -1 AS query_idx, 0 AS "rank",
+               (SELECT df_1 FROM df_q0)::BIGINT AS doc_id, 0.0 AS score
+        UNION ALL
+        SELECT 'hit' AS kind, query_idx, "rank", doc_id, score FROM (
+        {_bm25_topk_select('q0', 0, 'm_0 AND m_1 AND m_2', 10)}
+        UNION ALL
+        {_bm25_topk_select('q1', 1, 'm_0 OR m_1 OR m_2', 10)})
     """
     return out
 
