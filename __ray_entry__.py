@@ -1555,7 +1555,7 @@ def _phrase_prefix_search(sf_dir: str):
     tests/test_positions.py."""
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
-    eng = QueryEngine(_shared_index(sf_dir, "pos"))
+    eng = QueryEngine(_shared_index(sf_dir, "pos_ws"))
     rows = []
     try:
         for qi, text in enumerate(["table sc", "hash jo", "group b"]):
@@ -1648,7 +1648,7 @@ def _hybrid_search(sf_dir: str):
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     emb = pq.read_table(emb_path)
-    eng = QueryEngine(_shared_index(sf_dir, "code"))
+    eng = _dv_engine(sf_dir)
     rows = []
     try:
         for qi, (text, vid) in enumerate([("table scan", 3), ("hash join", 11)]):
@@ -1863,7 +1863,7 @@ def _rescore_search(sf_dir: str):
     oracles pinned in tests/test_positions.py."""
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
-    eng = QueryEngine(_shared_index(sf_dir, "pos"))
+    eng = QueryEngine(_shared_index(sf_dir, "pos_ws"))
     rows = []
     try:
         for qi, (text, rtext) in enumerate(
@@ -2609,6 +2609,190 @@ def _bm25_oracles() -> dict[str, str]:
         {_bm25_topk_select('q0', 0, 'm_0 AND m_1 AND m_2', 10)}
         UNION ALL
         {_bm25_topk_select('q1', 1, 'm_0 OR m_1 OR m_2', 10)})
+    """
+
+    # rescore_search: primary BM25 top-window(40) re-scored by a phrase
+    # query over only that window; ES rule: non-matching docs keep qw*q,
+    # matching combine total = qw*q + rw*r (qw=1.0 is bit-neutral)
+    w = _bm25_with({
+        "p0": {"terms": ["hash", "join", "scan", "table"]},
+        "r0": {"terms": ["scan", "table"], "phrase": ["table", "scan"]},
+        "p1": {"terms": ["by", "group", "row", "sort"]},
+        "r1": {"terms": ["merge", "sort"], "phrase": ["sort", "merge"]},
+    })
+    resc = []
+    for i in range(2):
+        resc.append(f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS "rank",
+                   doc_id, ROUND(c, 6) AS score
+            FROM (
+                SELECT p.doc_id,
+                       CASE WHEN r.ph THEN p.score + 2.0 * r.score
+                            ELSE p.score END AS c
+                FROM (SELECT doc_id, score FROM sc_p{i}
+                      WHERE m_0 OR m_1 OR m_2 OR m_3
+                      ORDER BY sc_p{i}.score DESC, doc_id LIMIT 40) p
+                JOIN sc_r{i} r USING (doc_id))
+            ORDER BY c DESC, doc_id LIMIT 10)""")
+    out["rescore_search"] = f"{w}\n        {' UNION ALL '.join(resc)}"
+
+    # phrase_prefix_search: last token expands to the first-50 lexicographic
+    # vocab terms with that prefix (expand_prefix's capped-union contract);
+    # each expansion scores as an exact phrase with its own TOP-10 cut, the
+    # doc keeps its best expansion score, then the global (-score, doc_id)
+    # top-10 (search_phrase_prefix, index/query.py:1984-2018). Two-term
+    # sums are order-free (float addition is commutative).
+    pp_cases = [("table", "sc"), ("hash", "jo"), ("group", "b")]
+    pp_ctes, pp_finals = [], []
+    for i, (base, pfx) in enumerate(pp_cases):
+        pp_ctes.append(
+            f"exp{i} AS (SELECT term, df FROM vocab WHERE starts_with(term, {_sqlq(pfx)}) ORDER BY term LIMIT 50)"
+        )
+        contrib_b = (
+            f"ln(1 + (N - (SELECT count(*) FROM d WHERE list_contains(toks, {_sqlq(base)})) + 0.5) / "
+            f"((SELECT count(*) FROM d WHERE list_contains(toks, {_sqlq(base)})) + 0.5)) * "
+            f"((tf_b * (1.2 + 1.0)) / (tf_b + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))"
+        )
+        contrib_e = (
+            f"ln(1 + (N - df + 0.5) / (df + 0.5)) * "
+            f"((tf_e * (1.2 + 1.0)) / (tf_e + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))"
+        )
+        pp_ctes.append(f"""cand{i} AS (
+            SELECT doc_id, eterm, {contrib_b} + {contrib_e} AS score
+            FROM (
+                SELECT dd.doc_id, e.term AS eterm, e.df,
+                       len(list_filter(range(1, len(dd.toks)),
+                           p -> dd.toks[p] = {_sqlq(base)} AND dd.toks[p+1] = e.term)) > 0 AS ph,
+                       len(list_filter(dd.toks, x -> x = {_sqlq(base)}))::DOUBLE AS tf_b,
+                       len(list_filter(dd.toks, x -> x = e.term))::DOUBLE AS tf_e,
+                       len(dd.toks)::DOUBLE AS dl
+                FROM d dd, exp{i} e
+            ), st WHERE ph
+        )""")
+        pp_ctes.append(f"""best{i} AS (
+            SELECT doc_id, max(score) AS score FROM (
+                SELECT doc_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY eterm
+                           ORDER BY score DESC, doc_id) AS rn
+                FROM cand{i}
+            ) WHERE rn <= 10 GROUP BY doc_id
+        )""")
+        pp_finals.append(f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY best{i}.score DESC, doc_id) AS "rank",
+                   doc_id, ROUND(best{i}.score, 6) AS score
+            FROM best{i} ORDER BY best{i}.score DESC, doc_id LIMIT 10)""")
+    pp_cte_sql = ",\n        ".join(pp_ctes)
+    out["phrase_prefix_search"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+        ),
+        st AS (SELECT count(*) AS N, sum(len(toks)) / count(*) AS avgdl FROM d),
+        vocab AS (
+            SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY term
+        ),
+        {pp_cte_sql}
+        {" UNION ALL ".join(pp_finals)}
+    """
+
+    # hybrid_search: RRF fusion of the BM25-in-SQL top-30 lexical ranking
+    # and the cosine top-30 vector ranking (same list_cosine_similarity
+    # ordering the green ann_bruteforce oracle uses); rrf = sum of
+    # 1.0/(60 + rank), lex-then-vec order, ties by ascending id
+    w = _bm25_with({
+        "q0": {"terms": ["scan", "table"]},
+        "q1": {"terms": ["hash", "join"]},
+    })
+    hyb = []
+    for i, vid in enumerate((3, 11)):
+        hyb.append(f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY r.rrf DESC, r.doc_id) AS "rank",
+                   r.doc_id, ROUND(r.rrf, 6) AS rrf
+            FROM (
+                SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                       CASE WHEN l.r IS NOT NULL AND v.r IS NOT NULL
+                                THEN 1.0 / (60 + l.r) + 1.0 / (60 + v.r)
+                            WHEN l.r IS NOT NULL THEN 1.0 / (60 + l.r)
+                            ELSE 1.0 / (60 + v.r) END AS rrf
+                FROM (
+                    SELECT doc_id,
+                           ROW_NUMBER() OVER (ORDER BY sc_q{i}.score DESC, doc_id) AS r
+                    FROM sc_q{i} WHERE m_0 OR m_1
+                    ORDER BY sc_q{i}.score DESC, doc_id LIMIT 30) l
+                FULL OUTER JOIN (
+                    SELECT vec_id AS doc_id, rn AS r FROM (
+                        SELECT e.vec_id,
+                               ROW_NUMBER() OVER (ORDER BY
+                                   list_cosine_similarity(q.qe, e.embedding) DESC,
+                                   e.vec_id) AS rn
+                        FROM (SELECT embedding AS qe FROM embeddings
+                              WHERE vec_id = {vid}) q, embeddings e
+                    ) WHERE rn <= 30) v
+                ON l.doc_id = v.doc_id) r
+            ORDER BY r.rrf DESC, r.doc_id LIMIT 10)""")
+    out["hybrid_search"] = f"{w}\n        {' UNION ALL '.join(hyb)}"
+
+    # mlt_search: ES more_like_this — term selection tf*idf top-10 from the
+    # like-doc (ties: -score, term), minimum_should_match = max(1,
+    # int(0.3*|selected|)), the like doc excluded; scoring is the regexp-
+    # style ascending-term list_reduce fold over the selected set
+    mlt_cases = [("0", "doc_id = 0", "AND doc_id <> 0"),
+                 ("7", "doc_id = 7", "AND doc_id <> 7"),
+                 ("lit", None, "")]
+    mlt_ctes, mlt_finals = [], []
+    for qi, (tag, like_where, excl) in enumerate(mlt_cases):
+        if like_where:
+            mlt_ctes.append(
+                f"ltf_{tag} AS (SELECT term, count(*) AS tf FROM "
+                f"(SELECT unnest(toks) AS term FROM d WHERE {like_where}) GROUP BY term)"
+            )
+        else:
+            mlt_ctes.append(
+                "ltf_lit AS (SELECT unnest(['hash','join','query','merge','sort','vector']) AS term, 1 AS tf)"
+            )
+        mlt_ctes.append(f"""sel_{tag} AS (
+            SELECT term FROM (
+                SELECT term, tf * ln(1 + (N - df + 0.5) / (df + 0.5)) AS s
+                FROM ltf_{tag} JOIN vocab USING (term), st
+                ORDER BY s DESC, term LIMIT 10))""")
+        mlt_ctes.append(
+            f"msm_{tag} AS (SELECT greatest(1, CAST(floor((SELECT count(*) FROM sel_{tag}) * 0.3) AS BIGINT)) AS m)"
+        )
+        mlt_ctes.append(f"""msc_{tag} AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list(ln(1 + (N - df + 0.5) / (df + 0.5))
+                            * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+                            ORDER BY term),
+                       (a, b) -> a + b) AS score,
+                   count(*) AS matched
+            FROM pt JOIN sel_{tag} USING (term) JOIN vocab USING (term), st
+            GROUP BY doc_id
+        )""")
+        mlt_finals.append(f"""SELECT * FROM (
+            SELECT {qi} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY msc_{tag}.score DESC, doc_id) AS "rank",
+                   doc_id, ROUND(msc_{tag}.score, 6) AS score
+            FROM msc_{tag}, msm_{tag}
+            WHERE matched >= m {excl}
+            ORDER BY msc_{tag}.score DESC, doc_id LIMIT 10)""")
+    mlt_cte_sql = ",\n        ".join(mlt_ctes)
+    out["mlt_search"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+        ),
+        st AS (SELECT count(*) AS N, sum(len(toks)) / count(*) AS avgdl FROM d),
+        pt AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term
+        ),
+        vocab AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+        {mlt_cte_sql}
+        {" UNION ALL ".join(mlt_finals)}
     """
     return out
 
