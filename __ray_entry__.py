@@ -1531,7 +1531,7 @@ def _phrase_slop_search(sf_dir: str):
     brute-force assignment oracle pinned in tests/test_positions.py."""
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
-    eng = QueryEngine(_shared_index(sf_dir, "pos"))
+    eng = QueryEngine(_shared_index(sf_dir, "pos_ws"))
     # (text, slop): includes transposed pairs that only match with slop ≥ 2
     qs = [("hash scan join", 1), ("scan table", 2), ("join hash", 2),
           ("sort merge", 0), ("group row", 3)]
@@ -1897,7 +1897,7 @@ def _multifield_search(sf_dir: str):
             os.path.join(sf_dir, "documents.parquet"),
             index_dir,
             fields={"text": 1.0, "source": 2.0},
-            config=IndexConfig(analyzer="code", num_segments=4, doc_id_col="doc_id"),
+            config=IndexConfig(analyzer="whitespace", num_segments=4, doc_id_col="doc_id"),
         )
         _INDEX_CACHE[key] = index_dir
     eng = MultiFieldEngine(index_dir)
@@ -2779,6 +2779,133 @@ def _bm25_oracles() -> dict[str, str]:
             FROM msc_{tag}, msm_{tag}
             WHERE matched >= m {excl}
             ORDER BY msc_{tag}.score DESC, doc_id LIMIT 10)""")
+    # phrase_slop_search: ES sloppy phrase for ALL-DISTINCT tokens — match
+    # iff some anchor window [w, w+slop] in ADJUSTED-position space (p - slot)
+    # covers every slot (the _sloppy_candidates_vectorized rule, exact for
+    # distinct tokens since injectivity is automatic); survivors score as the
+    # ordinary BM25 sum over the phrase's unique terms.
+    slop_cases = [("hash scan join", 1), ("scan table", 2), ("join hash", 2),
+                  ("sort merge", 0), ("group row", 3)]
+    w = _bm25_with({
+        f"q{i}": {"terms": sorted(set(p.split()))} for i, (p, _) in enumerate(slop_cases)
+    })
+    slop_ctes, slop_finals = [], []
+    for i, (p, slop) in enumerate(slop_cases):
+        toks_p = p.split()
+        arms = " UNION ALL ".join(
+            f"SELECT doc_id, {slot} AS slot, "
+            f"unnest(list_transform(list_filter(range(1, len(toks) + 1), "
+            f"q -> toks[q] = {_sqlq(t)}), q -> q - {slot})) AS a FROM d"
+            for slot, t in enumerate(toks_p)
+        )
+        slop_ctes.append(f"ap{i} AS ({arms})")
+        slop_ctes.append(f"""mt{i} AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT an.doc_id
+                FROM (SELECT DISTINCT doc_id, a FROM ap{i}) an
+                JOIN ap{i} x ON x.doc_id = an.doc_id
+                           AND x.a BETWEEN an.a AND an.a + {slop}
+                GROUP BY an.doc_id, an.a
+                HAVING count(DISTINCT x.slot) = {len(toks_p)}))""")
+        slop_finals.append(f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS "rank",
+                   s.doc_id, ROUND(s.score, 6) AS score
+            FROM sc_q{i} s JOIN mt{i} USING (doc_id)
+            ORDER BY s.score DESC, s.doc_id LIMIT 10)""")
+    slop_cte_sql = ",\n        ".join(slop_ctes)
+    out["phrase_slop_search"] = (
+        f"{w},\n        {slop_cte_sql}\n        " + " UNION ALL ".join(slop_finals)
+    )
+
+    # multifield_search: score(doc) = sum_f w_f * BM25_f with per-field
+    # N/df/dl/avgdl, accumulated field-major (sorted fields: source then
+    # text) and term-ascending within a field (MultiFieldShard.search_batch,
+    # index/multifield.py:144); query_string leaves sum in clause order with
+    # each leaf internally field-major (._qs_eval:183-208).
+    mf_terms = sorted(["hash", "join", "merge", "query", "scan", "sort",
+                       "src3", "vector"])
+    ti = {t: i for i, t in enumerate(mf_terms)}
+    mf_tf = ",\n               ".join(
+        f"len(list_filter(stoks, x -> x = {_sqlq(t)}))::DOUBLE AS s_{i},\n"
+        f"               len(list_filter(ttoks, x -> x = {_sqlq(t)}))::DOUBLE AS t_{i}"
+        for i, t in enumerate(mf_terms)
+    )
+    mf_df = ", ".join(
+        f"(SELECT count(*) FROM tf WHERE s_{i} > 0) AS dfs_{i}, "
+        f"(SELECT count(*) FROM tf WHERE t_{i} > 0) AS dft_{i}"
+        for i in range(len(mf_terms))
+    )
+
+    def _cs(t):  # source-field contribution, weight 2.0
+        i = ti[t]
+        return (f"(2.0 * (ln(1 + (N - dfs_{i} + 0.5) / (dfs_{i} + 0.5)) * "
+                f"((s_{i} * (1.2 + 1.0)) / (s_{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl_s / avgdl_s))))))")
+
+    def _ct(t):  # text-field contribution, weight 1.0
+        i = ti[t]
+        return (f"(1.0 * (ln(1 + (N - dft_{i} + 0.5) / (dft_{i} + 0.5)) * "
+                f"((t_{i} * (1.2 + 1.0)) / (t_{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl_t / avgdl_t))))))")
+
+    def _many(ts):  # search_batch order: (source, t asc...) then (text, t asc...)
+        ts = sorted(ts)
+        return " + ".join([_cs(t) for t in ts] + [_ct(t) for t in ts])
+
+    def _leaf(t, fields="st"):  # one query_string leaf, field-major inside
+        return "(" + " + ".join(
+            ([_cs(t)] if "s" in fields else []) + ([_ct(t)] if "t" in fields else [])
+        ) + ")"
+
+    def _any(t):
+        return f"(s_{ti[t]} > 0 OR t_{ti[t]} > 0)"
+
+    mf_cases = [
+        # search_many: or / or / and (cross-field AND: every term in >=1 field)
+        (_many(["hash", "join", "query"]),
+         f"({_any('hash')} OR {_any('join')} OR {_any('query')})"),
+        (_many(["scan", "src3", "vector"]),
+         f"({_any('scan')} OR {_any('src3')} OR {_any('vector')})"),
+        (_many(["merge", "sort"]), f"({_any('merge')} AND {_any('sort')})"),
+        # query_string: leaves sum in clause order
+        (f"{_leaf('hash')} + {_leaf('join')}",
+         f"({_any('hash')} AND {_any('join')})"),
+        (f"{_leaf('scan')} + {_leaf('query')}",
+         f"(({_any('scan')} OR {_any('query')}) AND NOT {_any('src3')})"),
+        (f"{_leaf('src3', 's')} + {_leaf('hash')}",
+         f"(s_{ti['src3']} > 0 AND {_any('hash')})"),
+    ]
+    mf_finals = " UNION ALL ".join(
+        f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY f.fscore DESC, f.doc_id) AS "rank",
+                   doc_id, ROUND(f.fscore, 6) AS score
+            FROM (SELECT doc_id, {expr} AS fscore FROM tf, st, df
+                  WHERE {where}) f
+            ORDER BY f.fscore DESC, f.doc_id LIMIT 10)"""
+        for i, (expr, where) in enumerate(mf_cases)
+    )
+    out["multifield_search"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(source), '\\s+'), x -> x <> '') AS stoks,
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ttoks
+            FROM documents
+        ),
+        st AS (
+            SELECT count(*) AS N,
+                   sum(len(stoks)) / count(*) AS avgdl_s,
+                   sum(len(ttoks)) / count(*) AS avgdl_t
+            FROM d
+        ),
+        tf AS (
+            SELECT doc_id, len(stoks)::DOUBLE AS dl_s, len(ttoks)::DOUBLE AS dl_t,
+               {mf_tf}
+            FROM d
+        ),
+        df AS (SELECT {mf_df})
+        {mf_finals}
+    """
+
     mlt_cte_sql = ",\n        ".join(mlt_ctes)
     out["mlt_search"] = f"""
         WITH d AS (
