@@ -1289,6 +1289,22 @@ _SQL_DIST_DISTINCT = """
     FROM orders ORDER BY st, pr
 """
 
+# r5 sqlplan growth: COUNT(DISTINCT) (per-argument dedup exchange unioned
+# into the combine groupby), IN (SELECT ...) (broadcast semi-join), and an
+# ORDER BY expression (computed over the output columns, dropped after the
+# sort) — all in one statement, all planned distributed (plan_sql, no
+# fallback).
+_SQL_DIST_CD = """
+    SELECT c.c_mktsegment AS seg,
+           count(DISTINCT o.o_custkey)::BIGINT AS buyers,
+           count(DISTINCT o.o_orderpriority)::BIGINT AS prios,
+           count(*)::BIGINT AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    GROUP BY c.c_mktsegment
+    ORDER BY upper(seg) DESC
+"""
+
 
 def _make_sql_dist(sql: str, tables: tuple[str, ...]):
     """queries() entry running ``sql`` through the DISTRIBUTED planner (no
@@ -1311,6 +1327,7 @@ def _make_sql_dist(sql: str, tables: tuple[str, ...]):
 _sql_dist_join_agg = _make_sql_dist(_SQL_DIST_JOIN, ("orders", "customer"))
 _sql_dist_global = _make_sql_dist(_SQL_DIST_GLOBAL, ("customer", "orders"))
 _sql_dist_distinct = _make_sql_dist(_SQL_DIST_DISTINCT, ("orders",))
+_sql_dist_count_distinct = _make_sql_dist(_SQL_DIST_CD, ("orders", "customer"))
 
 
 def _sql_db_source(sf_dir: str):
@@ -1948,9 +1965,19 @@ def _multimodal(sf_dir: str):
 # queries() in dict-insertion order (verified round 3: CORRECTNESS_r03.json
 # keys == list(queries())[:50]).  This window therefore leads with the
 # north-star full-text/index surface — FULL-SQL-oracled search entries first
-# (hash-verified rows in CORRECTNESS_r{N}.json), then the key rows-only
-# search entries — and leaves the relational fillers (all green since r1)
-# for the tail.  tools/check_oracles.py still runs the whole registry.
+# (hash-verified rows in CORRECTNESS_r{N}.json), then the full-text entries
+# upgraded to match-set/BM25-in-SQL oracles in r5 — and leaves the
+# relational fillers (all green since r1) for the tail.
+# tools/check_oracles.py still runs the whole registry.
+#
+# ROTATION POLICY (VERDICT r4 #10): the driver records only the first 50
+# entries, so each round 2-3 tail slots rotate through registry entries
+# that have a FULL SQL oracle but have never earned a driver-green row
+# (candidates: the relational/window/stage fillers listed by
+# `[k for k in queries() if k not in oracle-window]`). r5 rotation:
+# `sql_expr` → `sql_dist_count_distinct` (new r5 planner surface) and
+# `export_search` → `intersect` (first never-windowed filler). Rotated-out
+# entries stay in the local 124-entry gate; nothing loses coverage.
 _DRIVER_WINDOW: list[str] = [
     # named north-star entries (VERDICT r3 #1)
     "bm25_topk",
@@ -1975,16 +2002,19 @@ _DRIVER_WINDOW: list[str] = [
     "cardinality_search",
     "date_histogram_search",
     "significant_terms_search",
-    "export_search",
+    "intersect",
     "reindex_search",
     "term_df_whitespace",
     "term_df_stop_stem",
-    "sql_expr",
+    "sql_dist_count_distinct",
     "sql_multi_prep",
     "sql_dist_join_agg",
     "sql_dist_global",
     "sql_db_source",
-    # rows-only full-text entries (driver still checks rows+schema)
+    # full-text entries upgraded from rows-only to FULL-SQL oracles in r5
+    # (anchor-window phrase cover, BM25-in-SQL ranking, matchset algebra);
+    # query_string_search stays rows-only (full Lucene tree with per-leaf
+    # boosts is out of practical SQL reach — its matchset twin is above)
     "query_string_search",
     "phrase_slop_search",
     "phrase_prefix_search",
@@ -2069,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sql_dist_join_agg": _sql_dist_join_agg,
             "sql_dist_global": _sql_dist_global,
             "sql_dist_distinct": _sql_dist_distinct,
+            "sql_dist_count_distinct": _sql_dist_count_distinct,
             "geo_distance_search": _geo_distance_search,
             "geo_knn_search": _geo_knn_search,
             "geotile_grid": _geotile_grid,
@@ -3286,6 +3317,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_dist_join_agg": _SQL_DIST_JOIN,
         "sql_dist_global": _SQL_DIST_GLOBAL,
         "sql_dist_distinct": _SQL_DIST_DISTINCT,
+        "sql_dist_count_distinct": _SQL_DIST_CD,
         # geo/ip: the derivation CTE is the same arithmetic _geo_dataset runs
         # distributed; the formulas mirror stages/geoip.py operation-for-
         # operation (same association order) so float results agree.

@@ -26,8 +26,16 @@ this planner accepts produces bit-identical values to running the same SQL
 on one engine (integer aggregates are combined exactly; float aggregation
 order is the usual distributed-sum caveat).
 
-Anything outside the subset (window fns, subqueries, non-equi joins,
-count(distinct), UNION, cross joins) raises ``PlanError``;
+COUNT(DISTINCT x) plans as its own two-level exchange (per-batch DISTINCT
+combiner → groupby(keys, x) dedup → per-key count → left-join back onto the
+group anchor); `col IN (SELECT ...)` plans as a distributed semi-join
+(subquery planned recursively, deduped by one groupby, inner-joined on the
+probe column); ORDER BY accepts expressions over the output columns
+(computed into a temp column before the sort, dropped after).
+
+Anything outside the subset (window fns, correlated/other subqueries,
+non-equi joins, SUM/AVG DISTINCT, UNION distinct, cross joins) raises
+``PlanError``;
 ``distributed_sql_query`` then falls back to the bounded driver-side
 ``sqlexpr.sql_query`` so the config surface never shrinks — it only scales
 further when the statement allows.
@@ -181,8 +189,13 @@ class _Stmt:
     where: list[Tok] | None = None
     group: list[list[Tok]] = field(default_factory=list)
     having: list[Tok] | None = None
-    order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
+    # ORDER BY items: a plain output-column name, or an expression (token
+    # list) evaluated over the OUTPUT columns (SQL alias-resolution rules,
+    # restricted to the projected table — base columns are gone by then)
+    order: list[tuple["str | list[Tok]", bool]] = field(default_factory=list)
     limit: int | None = None
+    # WHERE conjuncts of shape `col IN (SELECT ...)`: (col token, sub-SQL)
+    semis: list[tuple[Tok, str]] = field(default_factory=list)
 
 
 _CLAUSE_WORDS = ("from", "where", "group", "having", "order", "limit",
@@ -308,6 +321,36 @@ def _reject_unsupported(toks: list[Tok]) -> None:
             raise PlanError("EXISTS subqueries are not distributable")
 
 
+def _extract_semis(where: list[Tok]) -> tuple[list[Tok] | None, list[tuple[Tok, str]]]:
+    """Pull `col IN (SELECT ...)` conjuncts out of a WHERE predicate.
+
+    Returns (residual where tokens or None, [(col token, subquery SQL)]).
+    Only the positive, uncorrelated, single-column-argument shape is taken;
+    anything else (NOT IN, expression IN, nested in an OR) stays in the
+    residual and then trips ``_reject_unsupported`` → driver-side fallback.
+    """
+    semis: list[tuple[Tok, str]] = []
+    remaining: list[list[Tok]] = []
+    for conj in _split_conjuncts(where):
+        if (
+            len(conj) >= 5
+            and conj[0].kind in ("id", "qual", "qid")
+            and conj[1].isword("in")
+            and conj[2].text == "("
+            and conj[3].isword("select")
+            and conj[-1].text == ")"
+        ):
+            semis.append((conj[0], _text(conj[3:-1])))
+        else:
+            remaining.append(conj)
+    rem: list[Tok] = []
+    for c in remaining:
+        if rem:
+            rem.append(Tok("id", "AND"))
+        rem.extend(c)
+    return (rem or None), semis
+
+
 def parse(sql: str, view_names: set[str]) -> _Stmt:
     toks = _tokenize(sql.strip().rstrip(";"))
     clauses = _split_clauses(toks)
@@ -319,6 +362,11 @@ def parse(sql: str, view_names: set[str]) -> _Stmt:
         raise PlanError("empty select list")
     if "from" not in clauses:
         raise PlanError("SELECT without FROM is not distributable")
+    semis: list[tuple[Tok, str]] = []
+    if clauses.get("where"):
+        clauses["where"], semis = _extract_semis(clauses["where"])
+        if clauses["where"] is None:
+            del clauses["where"]
     for name in ("select", "where", "having"):
         if name in clauses:
             _reject_unsupported(clauses[name])
@@ -345,6 +393,7 @@ def parse(sql: str, view_names: set[str]) -> _Stmt:
     st._aliases = aliases  # type: ignore[attr-defined]
     st._pending_joins = pending  # type: ignore[attr-defined]
     st.where = clauses.get("where")
+    st.semis = semis
     if "group" in clauses:
         st.group = _split_toplevel(clauses["group"], ",")
     st.having = clauses.get("having")
@@ -357,12 +406,20 @@ def parse(sql: str, view_names: set[str]) -> _Stmt:
                 desc, item = True, item[:-1]
             elif item[-1].isword("asc"):
                 item = item[:-1]
-            if len(item) != 1 or item[0].kind not in ("id", "qual", "qid"):
-                raise PlanError(
-                    "ORDER BY supports plain output-column names only "
-                    "(alias the expression in the SELECT list)"
-                )
-            st.order.append((item[0].text.strip('"'), desc))
+            if len(item) == 1 and item[0].kind in ("id", "qual", "qid"):
+                st.order.append((item[0].text.strip('"'), desc))
+            else:
+                # expression item: computed into a temp column over the
+                # OUTPUT table right before the sort, dropped after
+                _reject_unsupported(item)
+                for t in item:
+                    if t.kind == "id" and t.text.lower() in _AGG_FUNCS:
+                        raise PlanError(
+                            "ORDER BY expressions may not contain aggregates; "
+                            "alias the aggregate in the SELECT list and order "
+                            "by the alias"
+                        )
+                st.order.append((list(item), desc))
     if "limit" in clauses:
         lim = clauses["limit"]
         if len(lim) != 1 or lim[0].kind != "num" or "." in lim[0].text:
@@ -462,12 +519,23 @@ def _find_aggs(item: list[Tok]) -> list[tuple[int, int, str, str]]:
             if depth != 0:
                 raise PlanError("unbalanced parens in aggregate")
             inner = item[i + 2 : j]
+            func = t.text.lower()
             if inner and inner[0].isword("distinct"):
-                raise PlanError("aggregate DISTINCT is not distributable")
+                # COUNT(DISTINCT x) gets its own two-level plan (dedup
+                # shuffle on (keys, x), then count). MIN/MAX are unaffected
+                # by DISTINCT, so just strip it. SUM/AVG DISTINCT would need
+                # the same dedup exchange per argument — out of subset.
+                inner = inner[1:]
+                if func == "count":
+                    func = "count_distinct"
+                elif func not in ("min", "max"):
+                    raise PlanError(f"{func.upper()}(DISTINCT) is not distributable")
+                if not inner or _text(inner).strip() == "*":
+                    raise PlanError("DISTINCT aggregate needs an expression argument")
             for t2 in inner:
                 if t2.kind == "id" and t2.text.lower() in _AGG_FUNCS:
                     raise PlanError("nested aggregates are not supported")
-            out.append((i, j + 1, t.text.lower(), _text(inner)))
+            out.append((i, j + 1, func, _text(inner)))
             i = j + 1
         else:
             i += 1
@@ -511,6 +579,66 @@ def _run_sql_batch(batch: pa.Table, *, query: str, normalize: bool) -> pa.Table:
         if changed:
             out = pa.table(cols)
     return out
+
+
+def _duck_type(t: pa.DataType) -> str:
+    """Arrow type → DuckDB type name, mirroring _run_sql_batch's normalize
+    step (decimal scale-0 → BIGINT, other decimals → DOUBLE)."""
+    if pa.types.is_decimal(t):
+        return "BIGINT" if t.scale == 0 else "DOUBLE"
+    simple = {
+        pa.int8(): "TINYINT", pa.int16(): "SMALLINT", pa.int32(): "INTEGER",
+        pa.int64(): "BIGINT", pa.uint8(): "UTINYINT",
+        pa.uint16(): "USMALLINT", pa.uint32(): "UINTEGER",
+        pa.uint64(): "UBIGINT", pa.float32(): "FLOAT",
+        pa.float64(): "DOUBLE", pa.bool_(): "BOOLEAN",
+        pa.string(): "VARCHAR", pa.large_string(): "VARCHAR",
+        pa.date32(): "DATE", pa.time64("us"): "TIME",
+    }
+    if t in simple:
+        return simple[t]
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    raise PlanError(f"cannot spell a typed NULL for arrow type {t}")
+
+
+def _partial_types(views, aliases, used, partial_sql: str) -> dict[str, str]:
+    """Output types of the main partial-aggregate SQL, probed at plan time
+    by running it over a ZERO-ROW prototype of the joined input (schemas
+    come from parquet/arrow metadata — no data is read). The COUNT DISTINCT
+    side unions its partial rows with the main side's, so its typed-NULL
+    columns must match these exactly."""
+    import duckdb
+
+    fields = []
+    for a, v in aliases.items():
+        sch = views[v].schema()
+        tmap = dict(zip(sch.names, sch.types))
+        for c in sorted(used[a]):
+            fields.append(pa.field(_mangle(a, c), tmap[c]))
+    empty = pa.schema(fields).empty_table()
+    con = duckdb.connect()
+    try:
+        con.register("t", empty)
+        out_schema = con.execute(partial_sql).arrow().schema
+    except Exception as e:  # probe failure → bounded fallback, not a crash
+        raise PlanError(f"cannot probe partial-aggregate types: {e}")
+    finally:
+        con.close()
+    return {f.name: _duck_type(f.type) for f in out_schema}
+
+
+def _semi_filter_batch(batch: pa.Table, *, col: str, vref) -> pa.Table:
+    """Membership filter against a broadcast (ray.put) value array."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    values = _ray.get(vref)  # zero-copy read from the object store
+    probe = batch[col]
+    if values.type != probe.type:
+        values = values.cast(probe.type)
+    return batch.filter(pc.is_in(probe, value_set=values))
 
 
 def _per_batch(ds: ray.data.Dataset, query: str, *, normalize: bool = False,
@@ -595,6 +723,15 @@ def plan_sql(
     # mangle every expression context
     for item in st.select:
         _mangle_tokens(item, aliases, schemas, used)
+    semi_cols: list[tuple[str, str]] = []
+    for tok, subsql in st.semis:
+        lst = [tok]
+        _mangle_tokens(lst, aliases, schemas, used)
+        if lst[0].kind != "id" or not _alias_of(lst[0].text, aliases):
+            raise PlanError(
+                f"IN-subquery left side must be a plain column, got {tok.text!r}"
+            )
+        semi_cols.append((lst[0].text, subsql))
     if st.where:
         _mangle_tokens(st.where, aliases, schemas, used)
     for g in st.group:
@@ -682,7 +819,49 @@ def plan_sql(
             concurrency=concurrency,
         )
 
+    # ---- `col IN (SELECT ...)` → broadcast semi-join ---------------------
+    # The subquery is planned recursively (same subset rules) and shrunk by
+    # a per-batch DISTINCT; the residual value set is deduped on the driver
+    # and broadcast once (``ray.put``) to a per-batch membership filter —
+    # the A11 broadcast-semi-join shape. The value set of an IN() predicate
+    # is filter-sized by contract (it is what a user would otherwise write
+    # inline); a hash-shuffle Dataset.join is NOT usable here because its
+    # per-partition pa.Table.join crashes on the empty partitions a
+    # post-aggregate (deduped) side produces. NULLs are dropped from the
+    # value set first — `x IN (...)` is never TRUE for NULL x.
+    for i, (mcol, subsql) in enumerate(semi_cols):
+        sub_st = parse(subsql, set(views))
+        if len(sub_st.select) != 1:
+            raise PlanError("IN subquery must select exactly one column")
+        (sub_name,) = [_item_output_name(it)[1] for it in sub_st.select]
+        sub = plan_sql(subsql, views, concurrency=concurrency)
+        shrunk = _per_batch(
+            sub,
+            f'SELECT DISTINCT "{sub_name}" AS __sj FROM t '
+            f'WHERE "{sub_name}" IS NOT NULL',
+            concurrency=concurrency,
+        )
+        import pyarrow.compute as pc
+
+        parts = [
+            b for b in shrunk.iter_batches(batch_format="pyarrow")
+            if b.num_columns and b.num_rows
+        ]
+        if not parts:
+            out = out.limit(0)  # IN (empty set) matches nothing
+            continue
+        values = pc.unique(pa.concat_tables(parts).column("__sj").combine_chunks())
+        vref = ray.put(values)
+        import functools
+
+        out = out.map_batches(
+            functools.partial(_semi_filter_batch, col=mcol, vref=vref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     # ---- aggregation ------------------------------------------------------
+    joined = out  # post-join, pre-aggregation (COUNT DISTINCT re-reads it)
     agg_spans = [_find_aggs(item) for item in st.select]
     having_spans = _find_aggs(st.having) if st.having else []
     has_aggs = any(agg_spans) or bool(having_spans)
@@ -704,6 +883,7 @@ def plan_sql(
     else:
         # --- canonical partial aggregates -------------------------------
         partials: dict[tuple[str, str], str] = {}  # (func, argtext) -> col
+        dpartials: dict[str, str] = {}             # COUNT(DISTINCT arg) -> col
 
         def partial_col(func: str, arg: str) -> str:
             # avg decomposes into sum+count partials
@@ -711,6 +891,11 @@ def plan_sql(
             if key not in partials:
                 partials[key] = f"__p{len(partials)}"
             return partials[key]
+
+        def dpartial_col(arg: str) -> str:
+            if arg not in dpartials:
+                dpartials[arg] = f"__d{len(dpartials)}"
+            return dpartials[arg]
 
         def substitute(item: list[Tok], spans) -> str:
             """Replace aggregate spans with finalize-side references."""
@@ -725,6 +910,10 @@ def plan_sql(
                 elif func == "count":
                     col = partial_col("count" if arg.strip() == "*" else "countv", arg)
                     parts.append(col)
+                elif func == "count_distinct":
+                    # null-padded by the left join when a group had only
+                    # NULL arguments — SQL says that group counts 0
+                    parts.append(f"COALESCE({dpartial_col(arg)}, 0)")
                 else:
                     parts.append(partial_col(func, arg))
                 pos = e
@@ -765,18 +954,72 @@ def plan_sql(
                 partial_sel.append(f"count({arg}) AS {col}")
             else:
                 partial_sel.append(f"{func}({arg}) AS {col}")
+        # COUNT(DISTINCT) slots ride the main partial as typed NULLs so the
+        # d-side partial rows can UNION in under an identical schema
+        for dcol in dpartials.values():
+            partial_sel.append(f"CAST(NULL AS BIGINT) AS {dcol}")
 
         if key_cols:
             group_clause = " GROUP BY " + ", ".join(key_cols)
         else:
             partial_sel.append("1 AS __g")  # global aggregate: constant key
-            group_clause = ""
-        out = _per_batch(
-            out,
-            "SELECT " + ", ".join(partial_sel) + " FROM t" + group_clause,
-            normalize=True,
-            concurrency=concurrency,
-        )
+            # with regular aggregates the query is already aggregate-shaped
+            # (one row per batch); without them (pure DISTINCT / pure COUNT
+            # DISTINCT), group on the constant to keep it one-row-per-batch
+            group_clause = "" if partials else " GROUP BY __g"
+        partial_sql = "SELECT " + ", ".join(partial_sel) + " FROM t" + group_clause
+        gkeys = key_cols if key_cols else ["__g"]
+        main = _per_batch(out, partial_sql, normalize=True, concurrency=concurrency)
+
+        # --- COUNT(DISTINCT arg): one dedup exchange per argument --------
+        # Per-batch DISTINCT (the combiner) → groupby(keys, value) dedups
+        # globally → per-batch count per key emits partial rows in the SAME
+        # schema as the main partial (keys, typed-NULL regular slots, own
+        # count) → plain union → ONE combine groupby merges everything.
+        # NOT a Dataset.join: Ray's hash-shuffle join crashes on the empty
+        # partitions post-aggregate sides produce, and the union adds no
+        # exchange at all. Each argument re-streams the joined input once
+        # (no mid-pipeline materialization).
+        dsets = []
+        if dpartials:
+            from ray.data.aggregate import Count
+
+            ptypes = _partial_types(views, aliases, used, partial_sql)
+            kproj = ", ".join(key_sql) if key_cols else "1 AS __g"
+
+            def _dside_sql(own_dcol: str) -> str:
+                sel = list(key_cols)
+                for col in partials.values():
+                    sel.append(f"CAST(NULL AS {ptypes[col]}) AS {col}")
+                for dcol2 in dpartials.values():
+                    if dcol2 == own_dcol:
+                        sel.append(f"count(*) AS {dcol2}")
+                    else:
+                        sel.append(f"CAST(NULL AS BIGINT) AS {dcol2}")
+                if not key_cols:
+                    sel.append("__g")
+                return (
+                    "SELECT " + ", ".join(sel) + " FROM t GROUP BY "
+                    + ", ".join(gkeys)
+                )
+
+            for arg, dcol in dpartials.items():
+                d = _per_batch(
+                    joined,
+                    f"SELECT DISTINCT {kproj}, ({arg}) AS __dv FROM t "
+                    f"WHERE ({arg}) IS NOT NULL",
+                    normalize=True,
+                    concurrency=concurrency,
+                )
+                d = d.groupby(gkeys + ["__dv"]).aggregate(Count(alias_name="__one"))
+                d = _per_batch(
+                    d, _dside_sql(dcol), normalize=True, concurrency=concurrency
+                )
+                dsets.append(d)
+
+        out = main
+        for d in dsets:
+            out = out.union(d)
 
         from ray.data.aggregate import Max, Min, Sum
 
@@ -788,7 +1031,8 @@ def plan_sql(
                 combine.append(Min(col, alias_name=col))
             elif func == "max":
                 combine.append(Max(col, alias_name=col))
-        gkeys = key_cols if key_cols else ["__g"]
+        for dcol in dpartials.values():
+            combine.append(Sum(dcol, alias_name=dcol))
         if combine:
             out = out.groupby(gkeys).aggregate(*combine)
         else:
@@ -804,11 +1048,32 @@ def plan_sql(
 
     # ---- order / limit ----------------------------------------------------
     if st.order:
-        out_names = None  # validated lazily by Ray sort
-        out = out.sort(
-            [c for c, _ in st.order], descending=[d for _, d in st.order]
-        )
-        del out_names
+        sort_cols: list[str] = []
+        desc_flags: list[bool] = []
+        exprs: list[str] = []
+        for idx, (item, desc) in enumerate(st.order):
+            if isinstance(item, str):
+                sort_cols.append(item)
+            else:
+                # expression item: evaluated over the output table (same
+                # restriction DuckDB applies after projection — select
+                # aliases resolve, base columns are gone)
+                cname = f"__o{idx}"
+                exprs.append(f"({_text(item)}) AS {cname}")
+                sort_cols.append(cname)
+            desc_flags.append(desc)
+        if exprs:
+            out = _per_batch(
+                out, "SELECT *, " + ", ".join(exprs) + " FROM t",
+                concurrency=concurrency,
+            )
+        out = out.sort(sort_cols, descending=desc_flags)
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        if exprs:
+            out_names = [_item_output_name(item)[1] for item in st.select]
+            out = out.select_columns(out_names)
+        return out
     if st.limit is not None:
         out = out.limit(st.limit)
     return out

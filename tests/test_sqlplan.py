@@ -144,14 +144,16 @@ def test_limit(views):
     [
         ("SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS r FROM orders", "OVER"),
         ("SELECT (SELECT max(n_nationkey) FROM nation) AS m FROM region", "subquer"),
-        ("SELECT count(DISTINCT o_custkey) AS n FROM orders", "DISTINCT"),
+        ("SELECT sum(DISTINCT o_custkey) AS n FROM orders", "DISTINCT"),
+        ("SELECT count(DISTINCT *) AS n FROM orders", "DISTINCT aggregate"),
         ("SELECT a.n_name AS x FROM nation a, region b", "cross"),
         ("SELECT a.n_name AS x FROM nation a RIGHT JOIN region b ON a.n_regionkey = b.r_regionkey", "RIGHT"),
         ("SELECT n.n_name AS x FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey", "equality"),
         ("SELECT n_name AS x FROM nowhere", "unknown view"),
         ("SELECT n_name AS x FROM nation UNION SELECT r_name FROM region", "UNION"),
         ("SELECT n_nationkey + 1 FROM nation", "AS alias"),
-        ("SELECT sum(n_nationkey) AS s FROM nation ORDER BY s + 1", "ORDER BY"),
+        ("SELECT sum(n_nationkey) AS s FROM nation ORDER BY sum(n_nationkey) + 1", "aggregate"),
+        ("SELECT n_name AS x FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)", "subquer"),
     ],
 )
 def test_plan_errors(views, sql, msg):
@@ -171,7 +173,7 @@ def test_ambiguous_unqualified_column(views):
 
 def test_fallback_runs_unsupported_sql(views, oracle):
     sql = (
-        "SELECT o_orderstatus AS st, count(DISTINCT o_custkey)::BIGINT AS n "
+        "SELECT o_orderstatus AS st, sum(DISTINCT o_custkey)::BIGINT AS n "
         "FROM orders GROUP BY o_orderstatus"
     )
     got = distributed_sql_query(sql, views).to_pandas()
@@ -214,3 +216,76 @@ def test_union_distinct_falls_back(views, oracle):
     got = distributed_sql_query(sql, views).to_pandas()
     want = oracle.execute(sql).df()
     assert sorted(got["k"]) == sorted(want["k"])
+
+
+def test_count_distinct_grouped(views, oracle):
+    check(
+        "SELECT o_orderstatus AS st, count(DISTINCT o_custkey) AS n, "
+        "count(*) AS c FROM orders GROUP BY o_orderstatus",
+        views,
+        oracle,
+    )
+
+
+def test_count_distinct_global_mixed(views, oracle):
+    check(
+        "SELECT count(DISTINCT o_custkey) AS n, count(DISTINCT o_orderstatus) "
+        "AS s, sum(o_totalprice) AS tot FROM orders",
+        views,
+        oracle,
+    )
+
+
+def test_count_distinct_only_and_having(views, oracle):
+    check(
+        "SELECT o_orderstatus AS st, count(DISTINCT o_orderpriority) AS n "
+        "FROM orders GROUP BY o_orderstatus "
+        "HAVING count(DISTINCT o_orderpriority) > 1",
+        views,
+        oracle,
+    )
+
+
+def test_min_max_distinct_strips(views, oracle):
+    check(
+        "SELECT min(DISTINCT o_totalprice) AS lo, max(DISTINCT o_totalprice) "
+        "AS hi FROM orders",
+        views,
+        oracle,
+    )
+
+
+def test_in_subquery_semijoin(views, oracle):
+    check(
+        "SELECT n_name AS name, n_nationkey AS k FROM nation "
+        "WHERE n_regionkey IN (SELECT r_regionkey FROM region "
+        "WHERE r_name LIKE 'A%')",
+        views,
+        oracle,
+    )
+
+
+def test_in_subquery_with_agg_outer(views, oracle):
+    check(
+        "SELECT o_orderstatus AS st, count(*) AS c FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 0) GROUP BY o_orderstatus",
+        views,
+        oracle,
+    )
+
+
+def test_order_by_expression(views, oracle):
+    got = plan_sql(
+        "SELECT n_name AS name, n_nationkey AS k FROM nation "
+        "ORDER BY k % 7 DESC, name LIMIT 10",
+        views,
+    ).to_pandas()
+    want = oracle.execute(
+        "SELECT n_name AS name, n_nationkey AS k FROM nation "
+        "ORDER BY k % 7 DESC, name LIMIT 10"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    assert list(got.columns) == ["name", "k"]  # temp sort column dropped

@@ -52,9 +52,12 @@ def fuzz_env():
 _SCALARS = ["v", "v + 1", "v * 2", "abs(v - 3)", "length(s)",
             "CASE WHEN v > 5 THEN 1 ELSE 0 END", "k % 4"]
 _PREDS = ["v > 0", "v % 2 = 0", "s LIKE 'a%'", "k < 15", "abs(v) > 10",
-          "v BETWEEN -20 AND 30", "k IN (1, 2, 3, 7)"]
+          "v BETWEEN -20 AND 30", "k IN (1, 2, 3, 7)",
+          "k IN (SELECT k2 FROM t2 WHERE w > 40)",
+          "k IN (SELECT DISTINCT k2 FROM t2)"]
 _AGGS = ["sum(v)", "count(*)", "min(v)", "max(v)", "avg(v)",
-         "sum(abs(v))", "count(s)"]
+         "sum(abs(v))", "count(s)",
+         "count(DISTINCT s)", "count(DISTINCT v % 3)", "max(DISTINCT v)"]
 
 
 @st.composite
@@ -84,7 +87,9 @@ def statements(draw):
         if draw(st.booleans()):
             sql += " HAVING count(*) > 1"
         if draw(st.booleans()):
-            sql += " ORDER BY g"
+            # expression order items resolve over the OUTPUT columns; the
+            # trailing full column list keeps ties deterministic
+            sql += draw(st.sampled_from([" ORDER BY g", " ORDER BY g || 'x'"]))
     else:
         exprs = draw(
             st.lists(st.sampled_from(_SCALARS), min_size=1, max_size=3, unique=True)
@@ -97,6 +102,10 @@ def statements(draw):
             # compares equal — ORDER BY k alone is legitimately
             # nondeterministic under LIMIT when k repeats.
             names = ["k"] + [f"c{i}" for i in range(len(exprs))]
+            if draw(st.booleans()):
+                # leading expression item (computed over output cols); the
+                # full column list after it keeps ties deterministic
+                names = ["k % 5 DESC"] + names
             sql += f" ORDER BY {', '.join(names)} LIMIT 17"
     return sql
 
