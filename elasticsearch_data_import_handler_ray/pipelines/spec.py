@@ -54,7 +54,7 @@ def _dedup_first_by_id(ds: ray.data.Dataset, id_col: str, num_buckets: int | Non
     if num_buckets is None:
         num_buckets = shuffle_fanout(ds)
     bucketed = ds.map_batches(
-        _add_bucket, batch_format="pandas", fn_kwargs=dict(key_cols=[id_col], num_buckets=num_buckets)
+        _add_bucket, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs=dict(key_cols=[id_col], num_buckets=num_buckets)
     )
 
     def first(g: "pd.DataFrame") -> "pd.DataFrame":
