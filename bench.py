@@ -193,19 +193,27 @@ def run_bench() -> dict:
         "sql_dist_join_agg",
         "geo_knn_search",
     ]
+    # cold AND warm per pipeline (VERDICT r4 wrong #4): the first call pays
+    # per-worker import cost (duckdb etc.) that cold-only numbers twice
+    # misread as operator regressions (join_broadcast r2, dedup_first r4);
+    # "queries" stays the cold number for cross-round comparability,
+    # "queries_warm" is the second, settled call.
+    q_warm: dict[str, float] = {}
     allq = entrymod.queries()
     for name in picks:
-        t0 = time.monotonic()
-        out = allq[name](SF_DIR)
-        if hasattr(out, "materialize"):
-            out.materialize()
-        q_times[name] = round(time.monotonic() - t0, 3)
+        for target in (q_times, q_warm):
+            t0 = time.monotonic()
+            out = allq[name](SF_DIR)
+            if hasattr(out, "materialize"):
+                out.materialize()
+            target[name] = round(time.monotonic() - t0, 3)
 
     result = {
         "metric": "index_build_s",
         "value": round(build_s, 3),
         "unit": "sec",
         "queries": q_times,
+        "queries_warm": q_warm,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_docs": res.n_docs,
