@@ -79,6 +79,17 @@ def test_percolate_no_queries_empty():
     assert out.count() == 0
 
 
+def _lev(a: str, b: str) -> int:
+    """Plain-Python Levenshtein for the naive oracle."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 # ------------------------------------------------- query_string percolation
 def _naive_qs(df, q: str, analyzer="code", default_operator="or"):
     """Per-doc Python evaluation of a query_string tree (matching only)."""
@@ -108,6 +119,20 @@ def _naive_qs(df, q: str, analyzer="code", default_operator="or"):
                     return PhraseOracle._sloppy_doc_match(toks, ph, node.slop)
                 n = len(ph)
                 return any(toks[i:i + n] == ph for i in range(len(toks) - n + 1))
+            if node.kind in ("wildcard", "prefix", "fuzzy", "regexp"):
+                import fnmatch
+                import re
+
+                body = (node.text if node.kind == "regexp"
+                        else qs.split_field(node.text)[1]).lower()
+                if node.kind == "prefix":
+                    return any(t.startswith(body) for t in tset)
+                if node.kind == "wildcard":
+                    return any(fnmatch.fnmatchcase(t, body) for t in tset)
+                if node.kind == "regexp":
+                    rx = re.compile("^(?:%s)$" % body)
+                    return any(rx.match(t) for t in tset)
+                return any(_lev(t, body) <= node.edits for t in tset)
             body = qs.split_field(node.text)[1]
             qt = set(az.analyze_query(body))
             if not qt:
@@ -155,6 +180,13 @@ def test_percolate_query_string_vs_naive():
         {"query_id": "d", "q": '"json parse"~2 AND severity:<2'},
         {"query_id": "e", "q": "_exists_:severity AND crash"},
         {"query_id": "f", "q": "zzneverseen"},
+        # dictionary-dependent leaves (r5): matched per batch against the
+        # batch's own token vocabulary
+        {"query_id": "g", "q": "pa* AND -slow"},
+        {"query_id": "h", "q": "b?ffer AND fast"},
+        {"query_id": "i", "q": "parze~1"},
+        {"query_id": "j", "q": "/cra.h|sl.w/ AND severity:[2 TO *]"},
+        {"query_id": "k", "q": "pan*c OR ju?k"},
     ]
     out = percolate_query_string(ray.data.from_pandas(df), queries)
     got = {(int(r["doc_id"]), r["query_id"]) for r in out.take_all()}
@@ -164,17 +196,18 @@ def test_percolate_query_string_vs_naive():
             want.add((d, q["query_id"]))
     assert got == want
     hit_qids = {qid for _, qid in got}
-    assert {"a", "b", "c", "d", "e"} <= hit_qids  # all interesting cases fire
+    # all interesting cases fire, incl. the four dictionary-leaf kinds
+    assert {"a", "b", "c", "d", "e", "g", "h", "i", "j", "k"} <= hit_qids
     assert "f" not in hit_qids
 
 
-def test_percolate_query_string_rejects_expansions():
+def test_percolate_query_string_rejects_field_prefixed_expansions():
     from elasticsearch_data_import_handler_ray.stages.percolate import (
         percolate_query_string,
     )
 
     df = pd.DataFrame({"doc_id": [1], "text": ["parse json"], "severity": [1]})
-    for bad in ["par*", "fuzz~1", "/pa.*/"]:
-        with pytest.raises(ValueError, match="cannot expand"):
+    for bad in ["severity:pa*", "severity:fuzz~1", "severity:/pa.*/"]:
+        with pytest.raises(ValueError, match="field-prefixed"):
             percolate_query_string(ray.data.from_pandas(df),
                                    [{"query_id": "x", "q": bad}])
