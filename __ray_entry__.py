@@ -223,12 +223,25 @@ def _dedup_exact(sf_dir: str):
 
 
 def _dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs. FULL SQL (r5, VERDICT r3 #10): the
+    registry entry projects to the PAIR SET (doc_a, doc_b) and the oracle
+    recomputes it as exact 5-token-shingle Jaccard >= 0.5 over all pairs
+    (whole-doc-shingle fallback for <5-token docs mirrors
+    stages/dedup.py:_shingle_hashes). Equality holds because the synthetic
+    near-dup distribution leaves no borderline pairs for the banding to
+    miss — verified pairwise-identical at sf0.001 AND sf0.01 (engine is
+    seed-deterministic; at borderline est-j the 16-band×4-row recall bound
+    is 1-(1-j^4)^16 ≈ 0.65, so a borderline pair would show up as a
+    mismatch here, not silently). est_jaccard (a signature-agreement
+    estimate, not SQL-reproducible) stays on the operator and is covered by
+    tests/test_stages.py."""
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(
+    pairs = minhash_dedup_pairs(
         table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
     )
+    return pairs.select(["doc_a", "doc_b"])
 
 
 def _dedup_corpus(sf_dir: str):
@@ -3314,6 +3327,30 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM q, embeddings e WHERE e.vec_id <> q.qid
             ) WHERE rn <= 5
+        """,
+        "dedup_minhash": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                -- 5-token shingles; <5-token docs fall back to ONE
+                -- whole-doc shingle (dedup.py:_shingle_hashes)
+                SELECT doc_id,
+                       CASE WHEN len(l) >= 5 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(l) - 4),
+                               i -> array_to_string(l[i:i+4], ' ')))
+                       ELSE [array_to_string(l, ' ')] END AS s
+                FROM toks WHERE len(l) >= 1
+            )
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE j >= 0.5
         """,
         "ngram_jaccard": r"""
             WITH toks AS (
