@@ -1342,6 +1342,23 @@ _sql_dist_global = _make_sql_dist(_SQL_DIST_GLOBAL, ("customer", "orders"))
 _sql_dist_distinct = _make_sql_dist(_SQL_DIST_DISTINCT, ("orders",))
 _sql_dist_count_distinct = _make_sql_dist(_SQL_DIST_CD, ("orders", "customer"))
 
+# r5: OVER (PARTITION BY ...) windows distribute via ONE bucketed shuffle
+# on the shared partition columns; each bucket evaluates the original
+# window SQL (whole partitions per bucket). Money sum in integer cents so
+# row-order differences cannot flip the value hash.
+_SQL_DIST_WINDOW = """
+    SELECT o_custkey AS cust, o_orderkey AS okey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderpriority, o_orderkey) AS prio_rank,
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey))::BIGINT AS cents
+    FROM orders
+    WHERE o_orderstatus <> 'X'
+"""
+_sql_dist_window = _make_sql_dist(_SQL_DIST_WINDOW, ("orders",))
+
 
 def _sql_db_source(sf_dir: str):
     """SQL-database source (sources.jdbc parity): the documents table is
@@ -2139,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sql_dist_global": _sql_dist_global,
             "sql_dist_distinct": _sql_dist_distinct,
             "sql_dist_count_distinct": _sql_dist_count_distinct,
+            "sql_dist_window": _sql_dist_window,
             "geo_distance_search": _geo_distance_search,
             "geo_knn_search": _geo_knn_search,
             "geotile_grid": _geotile_grid,
@@ -3381,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_dist_global": _SQL_DIST_GLOBAL,
         "sql_dist_distinct": _SQL_DIST_DISTINCT,
         "sql_dist_count_distinct": _SQL_DIST_CD,
+        "sql_dist_window": _SQL_DIST_WINDOW,
         # geo/ip: the derivation CTE is the same arithmetic _geo_dataset runs
         # distributed; the formulas mirror stages/geoip.py operation-for-
         # operation (same association order) so float results agree.

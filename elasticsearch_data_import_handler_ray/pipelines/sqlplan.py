@@ -311,14 +311,72 @@ def _mangle(alias: str, col: str) -> str:
     return f"{alias}__{col}"
 
 
-def _reject_unsupported(toks: list[Tok]) -> None:
+def _reject_unsupported(toks: list[Tok], *, allow_over: bool = False) -> None:
     for t in toks:
-        if t.isword("over"):
-            raise PlanError("window functions (OVER) are not distributable")
+        if t.isword("over") and not allow_over:
+            raise PlanError("window functions (OVER) are not distributable here")
         if t.isword("select"):
             raise PlanError("subqueries are not distributable")
         if t.isword("exists"):
             raise PlanError("EXISTS subqueries are not distributable")
+
+
+def _window_partition_cols(items: list[list[Tok]]) -> list[str] | None:
+    """Shared PARTITION BY column list of every OVER(...) in the select
+    items, or None when no window functions are present.
+
+    The distributable shape: every OVER clause starts with
+    ``PARTITION BY col[, col...]`` over PLAIN columns, and every window in
+    the statement partitions by the IDENTICAL column list — then a bucketed
+    shuffle on those columns co-locates whole partitions and each bucket
+    evaluates the original window SQL exactly (the same bucketed-group
+    pattern the native window operators use). Anything else → PlanError
+    (global windows cannot distribute; the caller falls back)."""
+    shared: list[str] | None = None
+    found = False
+    for item in items:
+        i = 0
+        while i < len(item):
+            if not item[i].isword("over"):
+                i += 1
+                continue
+            found = True
+            if i + 1 >= len(item) or item[i + 1].text != "(":
+                raise PlanError("OVER must be followed by an inline (...) spec")
+            j = i + 2
+            if not (j + 1 < len(item) and item[j].isword("partition")
+                    and item[j + 1].isword("by")):
+                raise PlanError(
+                    "only OVER (PARTITION BY ...) windows are distributable "
+                    "(a global window would need every row on one node)"
+                )
+            j += 2
+            cols: list[str] = []
+            while j < len(item):
+                t = item[j]
+                if t.kind in ("id", "qual") and t.text.lower() not in _KEYWORDS:
+                    cols.append(t.text)
+                    j += 1
+                    if j < len(item) and item[j].text == ",":
+                        j += 1
+                        continue
+                    break
+                raise PlanError(
+                    f"PARTITION BY supports plain columns only, got {t.text!r}"
+                )
+            if shared is None:
+                shared = cols
+            elif cols != shared:
+                raise PlanError(
+                    f"every window must partition by the same columns to "
+                    f"distribute (saw {shared} and {cols})"
+                )
+            i = j
+    if not found:
+        return None
+    if not shared:
+        raise PlanError("OVER (PARTITION BY ...) needs at least one column")
+    return shared
 
 
 def _extract_semis(where: list[Tok]) -> tuple[list[Tok] | None, list[tuple[Tok, str]]]:
@@ -369,7 +427,9 @@ def parse(sql: str, view_names: set[str]) -> _Stmt:
             del clauses["where"]
     for name in ("select", "where", "having"):
         if name in clauses:
-            _reject_unsupported(clauses[name])
+            # OVER is allowed in the select list (validated/compiled by the
+            # bucketed-window path in plan_sql), nowhere else
+            _reject_unsupported(clauses[name], allow_over=(name == "select"))
 
     root, root_alias, raw_joins = _parse_from(clauses["from"])
     if root not in view_names:
@@ -860,6 +920,45 @@ def plan_sql(
             zero_copy_batch=True,
         )
 
+    # ---- window functions: bucketed-group evaluation ----------------------
+    # Every OVER partitions by the same plain columns → ONE bucketed shuffle
+    # on their hash co-locates whole partitions, and each bucket evaluates
+    # the original (mangled) select list in DuckDB — identical values to a
+    # single engine because a window function never looks outside its
+    # partition. The same pattern the native window operators use
+    # (relational.py window_rank/lag); global windows raise → fallback.
+    win_cols = _window_partition_cols(st.select)
+    if win_cols is not None:
+        if st.group or st.having or st.distinct:
+            raise PlanError(
+                "window functions with GROUP BY/HAVING/DISTINCT are not "
+                "distributable"
+            )
+        import functools
+
+        from ..functions.partitioning import shuffle_fanout
+        from .relational import _add_bucket  # lazy import: no cycle
+
+        items_sql = []
+        for item in st.select:
+            expr, name = _item_output_name(item)
+            items_sql.append(f'{_text(expr)} AS "{name}"')
+        out = out.map_batches(
+            _add_bucket,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs=dict(key_cols=win_cols, num_buckets=shuffle_fanout(out)),
+        )
+        out = out.groupby("_bucket").map_groups(
+            functools.partial(
+                _run_sql_batch,
+                query="SELECT " + ", ".join(items_sql) + " FROM t",
+                normalize=False,
+            ),
+            batch_format="pyarrow",
+        )
+        return _order_limit(out, st, concurrency)
+
     # ---- aggregation ------------------------------------------------------
     joined = out  # post-join, pre-aggregation (COUNT DISTINCT re-reads it)
     agg_spans = [_find_aggs(item) for item in st.select]
@@ -1046,7 +1145,14 @@ def plan_sql(
             fin += " WHERE " + having_sql
         out = _per_batch(out, fin, concurrency=concurrency)
 
-    # ---- order / limit ----------------------------------------------------
+    return _order_limit(out, st, concurrency)
+
+
+def _order_limit(out: ray.data.Dataset, st: _Stmt, concurrency) -> ray.data.Dataset:
+    """Shared ORDER BY / LIMIT tail: plain output-column items sort
+    directly; expression items are computed over the OUTPUT table (same
+    restriction DuckDB applies after projection — select aliases resolve,
+    base columns are gone) into temp columns dropped after the sort."""
     if st.order:
         sort_cols: list[str] = []
         desc_flags: list[bool] = []
@@ -1055,9 +1161,6 @@ def plan_sql(
             if isinstance(item, str):
                 sort_cols.append(item)
             else:
-                # expression item: evaluated over the output table (same
-                # restriction DuckDB applies after projection — select
-                # aliases resolve, base columns are gone)
                 cname = f"__o{idx}"
                 exprs.append(f"({_text(item)}) AS {cname}")
                 sort_cols.append(cname)

@@ -289,3 +289,45 @@ def test_order_by_expression(views, oracle):
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
     assert list(got.columns) == ["name", "k"]  # temp sort column dropped
+
+
+def test_window_functions_bucketed(views, oracle):
+    """OVER (PARTITION BY ...) distributes via one bucketed shuffle; the
+    money sum is integer cents so row-order differences cannot flip it."""
+    check(
+        "SELECT o_custkey AS cust, o_orderkey AS okey, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "OVER (PARTITION BY o_custkey) AS cents "
+        "FROM orders",
+        views,
+        oracle,
+    )
+
+
+def test_window_with_where_and_order(views, oracle):
+    got = check(
+        "SELECT o_custkey AS cust, o_orderkey AS okey, "
+        "lag(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS prev_key "
+        "FROM orders WHERE o_totalprice > 50000 "
+        "ORDER BY cust, okey",
+        views,
+        oracle,
+    )
+    assert len(got) > 0
+
+
+def test_window_mixed_partitions_falls_back(views, oracle):
+    sql = (
+        "SELECT o_orderkey AS k, "
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS a, "
+        "rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS b "
+        "FROM orders"
+    )
+    with pytest.raises(PlanError, match="same columns"):
+        plan_sql(sql, views)
+    got = distributed_sql_query(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    assert len(got) == len(want)
