@@ -60,8 +60,27 @@ _AGGS = ["sum(v)", "count(*)", "min(v)", "max(v)", "avg(v)",
          "count(DISTINCT s)", "count(DISTINCT v % 3)", "max(DISTINCT v)"]
 
 
+_WINDOWS = [
+    "row_number() OVER (PARTITION BY k ORDER BY v, s)",
+    "rank() OVER (PARTITION BY k ORDER BY v DESC)",
+    "sum(v) OVER (PARTITION BY k)",
+    "lag(v) OVER (PARTITION BY k ORDER BY v, s)",
+    "count(*) OVER (PARTITION BY k)",
+]
+
+
 @st.composite
 def statements(draw):
+    if draw(st.booleans()) and draw(st.booleans()):
+        # window shape: shared PARTITION BY k, deterministic in-partition
+        # order keys (v, s unique enough per k at this size)
+        wins = draw(st.lists(st.sampled_from(_WINDOWS), min_size=1,
+                             max_size=2, unique=True))
+        items = ["k AS k", "v AS v", "s AS s"] + [
+            f"{w} AS w{i}" for i, w in enumerate(wins)
+        ]
+        where = draw(st.sampled_from(["", " WHERE v > 0", " WHERE k < 12"]))
+        return f"SELECT {', '.join(items)} FROM t1{where}"
     joined = draw(st.booleans())
     grouped = draw(st.booleans())
     q = lambda e: e  # t1 columns stay unqualified (single-owner resolution)
