@@ -57,6 +57,14 @@ def _index_cfg(kind: str):
         return IndexConfig(
             analyzer="whitespace", store_cols=("lang", "n_chars", "source"), **base
         )
+    if kind == "pos_dv":
+        # whitespace + positions + doc-values: the one index whose EVERY
+        # query_string leaf kind (term/phrase/prefix/fuzzy/regexp/range) is
+        # SQL-expressible — the round-5 FULL-SQL query_string_search oracle
+        return IndexConfig(
+            analyzer="whitespace", positions=True,
+            store_cols=("lang", "n_chars", "source"), **base
+        )
     raise KeyError(kind)
 
 
@@ -1053,22 +1061,27 @@ def _paged_search(sf_dir: str):
 
 
 def _fuzzy_wildcard(sf_dir: str):
-    """Fuzzy (edit-distance) + wildcard term queries over the documents index
-    (rows-only; rank identity vs the full-vocab scalar oracle is pinned in
-    tests/test_index.py)."""
-    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
-
-    eng = QueryEngine(_shared_index(sf_dir, "code"))
+    """Fuzzy (edit-distance) + wildcard term queries over the whitespace
+    documents index. FULL SQL (round 5): both are capped dictionary
+    expansions scored as an OR query — the oracle recomputes the expansion
+    from the corpus vocabulary (DuckDB ``levenshtein`` mirrors the shard's
+    Levenshtein DP; the wildcard's ``*``/``?`` → ``.*``/``.`` RE2 translation
+    is expand_wildcard's, index/query.py:919) and folds per-term BM25
+    contributions in ascending-term order. Rank identity of the code-analyzer
+    variant vs the full-vocab scalar oracle stays pinned in
+    tests/test_index.py."""
+    eng = _dv_engine(sf_dir)
     rows = []
     try:
         for qi, res in enumerate(
-            [eng.search_fuzzy("hashh", k=10), eng.search_fuzzy("joiin merge", k=10)]
+            [eng.search_fuzzy("hashh", k=10), eng.search_fuzzy("row tble", k=10)]
         ):
             for rank, (doc_id, score) in enumerate(res, 1):
                 rows.append({"kind": "fuzzy", "query_idx": qi, "rank": rank,
                              "doc_id": int(doc_id), "score": round(score, 6)})
         for qi, res in enumerate(
-            [eng.search_wildcard("ha*h", k=10), eng.search_wildcard("quer?", k=10)]
+            [eng.search_wildcard("ha*h", k=10), eng.search_wildcard("quer?", k=10),
+             eng.search_wildcard("s*", k=10)]
         ):
             for rank, (doc_id, score) in enumerate(res, 1):
                 rows.append({"kind": "wildcard", "query_idx": qi, "rank": rank,
@@ -1738,11 +1751,52 @@ def _hybrid_search(sf_dir: str):
 
 def _query_string_search(sf_dir: str):
     """Lucene/ES ``query_string`` mini-language (the `q=` surface): AND/OR/
-    NOT, +/-, parentheses, "phrases"~slop, wild*ards, fuzzy~N, ^boosts — one
-    compiled tree per query, ONE scatter, sorted-array set algebra per shard
-    (index/querystring.py). Rows-only — bit-identity vs the naive
-    query_string_oracle (and vs search/bool_search for flat reductions) is
-    pinned in tests/test_querystring.py."""
+    NOT, +/-, parentheses, "phrases", prefix*, fuzzy~N, /regexp/, numeric
+    ranges, _exists_, ^boosts — one compiled tree per query, ONE scatter,
+    sorted-array set algebra per shard (index/querystring.py). FULL SQL
+    (round 5, the last rows-only window entry): over the whitespace
+    positional+doc-values index every leaf kind is DuckDB-expressible —
+    static terms via the shared BM25 token-list algebra, dictionary
+    expansions (prefix/fuzzy/regexp) as sorted capped vocabulary slices
+    (LIKE / levenshtein / regexp_full_match) folded in ascending-term
+    order, phrases as positional adjacency, ranges/_exists_ as
+    constant-score predicates, with the engine's written-order clause
+    accumulation replayed literally in the score expressions. The
+    code-analyzer variant (wildcard-mid-token, slop, field aliases) stays
+    rows-only as query_string_code."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "pos_dv"))
+    rows = []
+    try:
+        for qi, q in enumerate(_QS_FULLSQL_QUERIES):
+            for rank, (doc_id, score) in enumerate(eng.query_string(q, k=10), 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
+# every Lucene query_string leaf kind, one SQL-expressible query each (the
+# FULL-SQL oracle in _qs_oracle_sql mirrors these clause-for-clause)
+_QS_FULLSQL_QUERIES = [
+    "table AND scan",                          # q0 two must terms
+    "(hash OR merge) AND join NOT slow",       # q1 nested bool + must_not
+    "+group sort^2 batch",                     # q2 +required, ^boost, should
+    's* AND "table scan"',                     # q3 prefix expansion + phrase
+    "qery~1 row",                              # q4 fuzzy expansion (OR mode)
+    "table AND n_chars:[200 TO 900]",          # q5 doc-value range (const score)
+    "/(quer|vector).*/ AND _exists_:n_chars",  # q6 regexp expansion + exists
+]
+
+
+def _query_string_code(sf_dir: str):
+    """query_string over the CODE analyzer + positional index — the slice
+    the FULL-SQL twin can't express (mid-token wildcards against camelCase
+    splits, doc_len ranges, char-class regexps). Rows-only — bit-identity vs
+    the naive query_string_oracle (and vs search/bool_search for flat
+    reductions) is pinned in tests/test_querystring.py."""
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
     eng = QueryEngine(_shared_index(sf_dir, "pos"))
@@ -2068,8 +2122,10 @@ _DRIVER_WINDOW: list[str] = [
     "sql_db_source",
     # full-text entries upgraded from rows-only to FULL-SQL oracles in r5
     # (anchor-window phrase cover, BM25-in-SQL ranking, matchset algebra);
-    # query_string_search stays rows-only (full Lucene tree with per-leaf
-    # boosts is out of practical SQL reach — its matchset twin is above)
+    # query_string_search is FULL SQL too (every leaf kind over the
+    # whitespace pos+dv index — expansions recomputed from the corpus
+    # vocabulary in DuckDB; the code-analyzer slice stays rows-only as
+    # query_string_code outside the window)
     "query_string_search",
     "phrase_slop_search",
     "phrase_prefix_search",
@@ -2144,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pipeline_agg_search": _pipeline_agg_search,
             "bool_search": _bool_search,
             "query_string_search": _query_string_search,
+            "query_string_code": _query_string_code,
             "query_string_matchset": _query_string_matchset,
             "update_by_query": _update_by_query,
             "query_string_agg": _query_string_agg,
@@ -3009,7 +3066,168 @@ def _bm25_oracles() -> dict[str, str]:
         {mlt_cte_sql}
         {" UNION ALL ".join(mlt_finals)}
     """
+
+    out["query_string_search"] = _qs_oracle_sql()
+    out["fuzzy_wildcard_search"] = _fuzzy_wildcard_oracle_sql()
     return out
+
+
+# shared CTE prelude for the expansion-leaf oracles: per-doc token lists,
+# global stats, the (doc, term) posting table and the corpus vocabulary —
+# the SQL image of the index's term dictionary + global dfs
+_QS_PRELUDE = f"""d AS (
+            SELECT doc_id, n_chars, {_ORACLE_TOKS} AS toks FROM documents
+        ),
+        st AS (SELECT count(*) AS N, sum(len(toks)) / count(*) AS avgdl FROM d),
+        pt AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term
+        ),
+        vocab AS (SELECT term, count(*)::DOUBLE AS df FROM pt GROUP BY term)"""
+
+# per-(doc, expansion) BM25 contributions folded in ascending-term order —
+# list_reduce's left fold == the engine's scores[pos] += accumulation over
+# the group leaf's pre-sorted terms (0.0 + c == c bit-exactly)
+_QS_FOLD = """{fold} AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list(ln(1 + (N - df + 0.5) / (df + 0.5))
+                            * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+                            ORDER BY term),
+                       (a, b) -> a + b) AS gsc
+            FROM pt JOIN {exp} USING (term), st
+            GROUP BY doc_id
+        )"""
+
+
+def _qs_oracle_sql() -> str:
+    """FULL-SQL oracle for query_string_search: _QS_FULLSQL_QUERIES mirrored
+    leaf-for-leaf against the whitespace pos+dv index. Static term leaves
+    use the per-doc token-list tf/df algebra; prefix/fuzzy/regexp leaves are
+    vocabulary expansions recomputed in DuckDB (LIKE / levenshtein /
+    regexp_full_match — the engine's capped-union contract, caps never bind
+    on this corpus's 31-term vocabulary) folded in ascending-term order;
+    range/_exists_ leaves are Lucene constant-score (+1.0·boost) predicates.
+    Each score expression replays _qs_eval's written-order clause
+    accumulation (must then should) literally, so sums are bit-exact."""
+    # per query: sorted static terms (tf_i/df_i columns, _bm25_with order)
+    statics = {
+        0: ["scan", "table"],
+        1: ["hash", "join", "merge", "slow"],
+        2: ["batch", "group", "sort"],
+        3: ["scan", "table"],
+        4: ["row"],
+        5: ["table"],
+    }
+    ctes = [_QS_PRELUDE]
+    for i, ts in statics.items():
+        tf_cols = ",\n                   ".join(
+            f"len(list_filter(toks, x -> x = {_sqlq(t)}))::DOUBLE AS tf_{j}"
+            for j, t in enumerate(ts)
+        )
+        ph = ""
+        if i == 3:  # "table scan" adjacency (slop=0 composite-key rule)
+            ph = (
+                ",\n                   len(list_filter(range(1, len(toks) - 2 + 2),"
+                " p -> toks[p + 0] = 'table' AND toks[p + 1] = 'scan')) > 0 AS ph"
+            )
+        ctes.append(
+            f"tq{i} AS (\n            SELECT doc_id, n_chars, len(toks)::DOUBLE AS dl,\n"
+            f"                   {tf_cols}{ph}\n            FROM d\n        )"
+        )
+        dfs = ", ".join(
+            f"(SELECT count(*) FROM tq{i} WHERE tf_{j} > 0) AS df_{j}"
+            for j in range(len(ts))
+        )
+        ctes.append(f"dq{i} AS (SELECT {dfs})")
+    # dictionary expansions: q3 prefix 's', q4 fuzzy 'qery'~1, q6 regexp
+    ctes.append("ex3 AS (SELECT term, df FROM vocab WHERE term LIKE 's%' ORDER BY term LIMIT 50)")
+    ctes.append("ex4 AS (SELECT term, df FROM vocab WHERE levenshtein(term, 'qery') <= 1 ORDER BY term LIMIT 50)")
+    ctes.append("ex6 AS (SELECT term, df FROM vocab WHERE regexp_full_match(term, '(quer|vector).*') ORDER BY term LIMIT 50)")
+    for i in (3, 4, 6):
+        ctes.append(_QS_FOLD.format(fold=f"fo{i}", exp=f"ex{i}"))
+
+    c = lambda j: _BM25_CONTRIB.format(i=j)  # noqa: E731
+
+    def sel(i: int, score: str, match: str, frm: str) -> str:
+        return (
+            f"SELECT * FROM (\n        SELECT {i} AS query_idx,\n"
+            f"               ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS \"rank\",\n"
+            f"               doc_id, ROUND(s.score, 6) AS score\n"
+            f"        FROM (\n            SELECT t.doc_id, {score} AS score\n"
+            f"            FROM {frm}\n            WHERE {match}\n        ) s\n"
+            f"        ORDER BY s.score DESC, s.doc_id LIMIT 10)"
+        )
+
+    finals = [
+        # q0 'table AND scan': must=[table, scan]
+        sel(0, f"({c(1)} + {c(0)})", "t.tf_0 > 0 AND t.tf_1 > 0",
+            "tq0 t, st, dq0"),
+        # q1 '(hash OR merge) AND join NOT slow': must=[(hash|merge), join]
+        sel(1, f"(({c(0)} + {c(2)}) + {c(1)})",
+            "(t.tf_0 > 0 OR t.tf_2 > 0) AND t.tf_1 > 0 AND NOT (t.tf_3 > 0)",
+            "tq1 t, st, dq1"),
+        # q2 '+group sort^2 batch': must=[group], should=[sort^2, batch]
+        sel(2, f"(({c(1)} + ({c(2)}) * 2.0) + {c(0)})", "t.tf_1 > 0",
+            "tq2 t, st, dq2"),
+        # q3 's* AND "table scan"': must=[prefix-group, phrase]; a phrase
+        # match implies 'scan' ∈ doc ∈ the prefix expansion → inner join
+        sel(3, f"(f.gsc + ({c(0)} + {c(1)}))", "t.ph",
+            "tq3 t JOIN fo3 f ON t.doc_id = f.doc_id, st, dq3"),
+        # q4 'qery~1 row': should=[fuzzy-group, row], msm=1
+        sel(4, f"(coalesce(f.gsc, 0.0) + {c(0)})",
+            "(f.gsc IS NOT NULL OR t.tf_0 > 0)",
+            "tq4 t LEFT JOIN fo4 f ON t.doc_id = f.doc_id, st, dq4"),
+        # q5 'table AND n_chars:[200 TO 900]': range = constant score 1.0
+        sel(5, f"({c(0)} + 1.0)",
+            "t.tf_0 > 0 AND t.n_chars >= 200 AND t.n_chars <= 900",
+            "tq5 t, st, dq5"),
+        # q6 '/(quer|vector).*/ AND _exists_:n_chars': regexp-group + exists
+        sel(6, "(f.gsc + 1.0)", "t.n_chars IS NOT NULL",
+            "d t JOIN fo6 f ON t.doc_id = f.doc_id"),
+    ]
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        {" UNION ALL ".join(finals)}
+    """
+
+
+def _fuzzy_wildcard_oracle_sql() -> str:
+    """FULL-SQL oracle for fuzzy_wildcard_search: each query is a vocabulary
+    expansion (DuckDB levenshtein == the shard's Levenshtein DP; the
+    ``*``/``?`` → ``.*``/``.`` translation is expand_wildcard's RE2 rewrite,
+    index/query.py:919) scored as an OR query — per-term BM25 contributions
+    folded in ascending-term order, top-10 by (score desc, doc_id)."""
+    cases = [
+        ("fuzzy", 0, "levenshtein(term, 'hashh') <= 1"),
+        # 'row tble': the LAST analyzed token fuzzes; 'row' rides along as a
+        # plain term in the same OR group (search_fuzzy's rest∪expansion)
+        ("fuzzy", 1, "levenshtein(term, 'tble') <= 1 OR term = 'row'"),
+        ("wildcard", 0, "regexp_full_match(term, 'ha.*h')"),
+        ("wildcard", 1, "regexp_full_match(term, 'quer.')"),
+        ("wildcard", 2, "regexp_full_match(term, 's.*')"),
+    ]
+    ctes = [_QS_PRELUDE]
+    finals = []
+    for n, (kind, qi, pred) in enumerate(cases):
+        ctes.append(
+            f"ex{n} AS (SELECT term, df FROM vocab WHERE {pred} ORDER BY term LIMIT 50)"
+        )
+        ctes.append(_QS_FOLD.format(fold=f"fo{n}", exp=f"ex{n}"))
+        finals.append(
+            f"SELECT * FROM (\n        SELECT {_sqlq(kind)} AS kind, {qi} AS query_idx,\n"
+            f"               ROW_NUMBER() OVER (ORDER BY f.gsc DESC, f.doc_id) AS \"rank\",\n"
+            f"               doc_id, ROUND(f.gsc, 6) AS score\n"
+            f"        FROM fo{n} f\n"
+            f"        ORDER BY f.gsc DESC, f.doc_id LIMIT 10)"
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        {" UNION ALL ".join(finals)}
+    """
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,60 @@
+"""Round-5 FULL-SQL upgrades for the last rows-only window entry: the
+query_string_search / fuzzy_wildcard_search registry entries must be
+value-identical to their DuckDB oracles (the driver's compare protocol:
+row count + sorted-column schema + order-insensitive values)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("uint", "int")):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(entrymod, name: str, sf_dir: str):
+    got = entrymod.queries()[name](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    want = con.execute(entrymod.oracle_sql()[name]).df()
+    con.close()
+    assert len(got) == len(want), name
+    assert sorted(got.columns) == sorted(want.columns), name
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    assert len(got) > 0, f"{name}: vacuous"
+
+
+def test_query_string_search_full_sql(entrymod, sf_dir):
+    _compare(entrymod, "query_string_search", sf_dir)
+
+
+def test_fuzzy_wildcard_full_sql(entrymod, sf_dir):
+    _compare(entrymod, "fuzzy_wildcard_search", sf_dir)
+
+
+def test_query_string_code_nonvacuous(entrymod, sf_dir):
+    # the rows-only code-analyzer twin keeps the non-SQL leaf surface alive
+    t = entrymod.queries()["query_string_code"](sf_dir).to_pandas()
+    assert len(t) > 0
+    assert set(t.columns) == {"query_idx", "rank", "doc_id", "score"}
