@@ -211,6 +211,11 @@ def _repetition(sf_dir: str):
 
 
 def _lang_id(sf_dir: str):
+    """Stopword-hit language ID over documents, reported as per-language doc
+    counts. FULL SQL (round 5): the per-language RE2 stopword patterns run
+    verbatim in DuckDB (same RE2 engine as Arrow ⇒ identical match counts),
+    the argmax tie rule (first language in sorted order) is a CASE ladder,
+    zero hits → 'unknown'."""
     from ray.data.aggregate import Count
 
     from elasticsearch_data_import_handler_ray.sources.catalog import table
@@ -254,8 +259,12 @@ def _dedup_minhash(sf_dir: str):
 
 def _dedup_corpus(sf_dir: str):
     """End-to-end near-dedup: MinHash pairs → union-find clusters → streamed
-    corpus filter; returns the KEPT doc ids (rows-only; exact cluster
-    semantics pinned vs a BFS reference in tests/test_stages.py)."""
+    corpus filter; returns the KEPT doc ids. FULL SQL (round 5): the pair
+    set equals exact shingle-Jaccard >= 0.5 (the dedup_minhash oracle
+    argument), union-find keeps the MIN doc id per component, so kept =
+    docs that reach no smaller doc — a recursive-CTE transitive closure
+    over the exact pair graph. Cluster semantics also pinned vs a BFS
+    reference in tests/test_stages.py."""
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.dedup import dedup_corpus
 
@@ -267,8 +276,12 @@ def _dedup_corpus(sf_dir: str):
 
 def _curation(sf_dir: str):
     """Composed curation recipe: quality gate → near-dedup → per-language
-    report (rows-only; each stage is oracle-checked individually and the
-    composition is pinned against per-operator recomputation in tests)."""
+    report. FULL SQL (round 5): the quality gate is the quality_score
+    oracle's predicates (n_tokens >= 5, rounded punct_ratio <= 0.30), the
+    dedup is the dedup_corpus recursive-closure argument over the FILTERED
+    corpus, and the report is a plain GROUP BY lang over the kept set —
+    the whole composition value-checks end-to-end in one DuckDB statement.
+    Composition also pinned against per-operator recomputation in tests."""
     from elasticsearch_data_import_handler_ray.pipelines.curation import (
         curate,
         curation_report,
@@ -527,9 +540,14 @@ def _term_df_salted(sf_dir: str):
 
 
 def _bm25_on(sf_dir: str):
-    """Code-analyzer BM25 top-k (rows-only twin of bm25_topk — the code
-    tokenizer isn't SQL-expressible; rank/score identity for BOTH scorers is
-    pinned vs the exact oracle in tests/test_index.py)."""
+    """Code-analyzer BM25 top-k (twin of bm25_topk through the CODE
+    tokenizer + block-max path). FULL SQL (round 5): on this corpus the code
+    analyzer is token-identical to the whitespace analyzer (plain lowercase
+    words — no camelCase/underscore splits fire; asserted over every doc in
+    tests/test_qs_fullsql.py), so the whitespace token-list algebra is the
+    exact oracle for the code path's BM25 too. Rank/score identity for BOTH
+    scorers is additionally pinned vs the exact oracle in
+    tests/test_index.py."""
     from elasticsearch_data_import_handler_ray.index.query import QueryEngine
 
     eng = QueryEngine(_shared_index(sf_dir, "code"))
@@ -2433,6 +2451,21 @@ def _bm25_oracles() -> dict[str, str]:
         {_bm25_topk_select('q2', 2, 'm_0 AND m_1', 10)}
     """
 
+    # bm25_topk_code: the same OR-query shape through the CODE-analyzer
+    # index + block-max scorer. The code analyzer is token-identical to
+    # whitespace on this corpus (plain lowercase words; asserted doc-by-doc
+    # in tests/test_qs_fullsql.py), so the whitespace algebra is exact here.
+    w = _bm25_with({
+        "q0": {"terms": ["hash", "join", "query"]},
+        "q1": {"terms": ["filter", "scan", "vector"]},
+    })
+    out["bm25_topk_code"] = f"""
+        {w}
+        {_bm25_topk_select('q0', 0, 'm_0 OR m_1 OR m_2', 10)}
+        UNION ALL
+        {_bm25_topk_select('q1', 1, 'm_0 OR m_1 OR m_2', 10)}
+    """
+
     # filtered_search: filter context — predicate restricts, scores untouched
     w = _bm25_with({
         "q0": {"terms": ["hash", "join", "query"]},
@@ -3587,6 +3620,112 @@ def oracle_sql() -> dict[str, str]:
                        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE j >= 0.5
+        """,
+        # lang_id: the engine's RE2 stopword patterns verbatim (DuckDB and
+        # Arrow both run RE2 → identical non-overlapping match counts);
+        # argmax ties break to the FIRST language in sorted order (de, en,
+        # es, fr — numpy argmax), zero hits everywhere → 'unknown'
+        "lang_id": r"""
+            WITH n AS (
+                SELECT
+                    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit|den|von)\b')) AS c_de,
+                    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS c_en,
+                    len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|de|en|una|por|con)\b')) AS c_es,
+                    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|une|dans|pour|que)\b')) AS c_fr
+                FROM documents
+            ), p AS (
+                SELECT CASE
+                    WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'unknown'
+                    WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                    WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+                FROM n
+            )
+            SELECT predicted_lang, count(*)::BIGINT AS n FROM p GROUP BY predicted_lang
+        """,
+        # dedup_corpus: kept ids = docs that reach NO smaller doc in the
+        # exact shingle-Jaccard >= 0.5 pair graph (pair set == the verified
+        # MinHash output by the dedup_minhash oracle argument; union-find
+        # keeps the min-id doc per component) — transitive closure via a
+        # recursive CTE; component sizes are planted-dup-sized, so the
+        # closure is tiny
+        "dedup_corpus": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(l) >= 5 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(l) - 4),
+                               i -> array_to_string(l[i:i+4], ' ')))
+                       ELSE [array_to_string(l, ' ')] END AS s
+                FROM toks WHERE len(l) >= 1
+            ), p AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           len(list_intersect(a.s, b.s))::DOUBLE /
+                           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                ) WHERE j >= 0.5
+            ), e AS (
+                SELECT doc_a AS a, doc_b AS b FROM p
+                UNION ALL
+                SELECT doc_b, doc_a FROM p
+            ), reach AS (
+                SELECT a AS src, b AS dst FROM e
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT src FROM reach WHERE dst < src)
+        """,
+        # curation: quality gate (quality_score oracle predicates) → the
+        # dedup_corpus closure over the FILTERED corpus → GROUP BY lang
+        "curation": r"""
+            WITH RECURSIVE f AS (
+                SELECT doc_id, lang, text,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                FROM documents
+                WHERE len(regexp_extract_all(text, '\S+')) >= 5
+                  AND ROUND(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE
+                            / GREATEST(length(text), 1), 4) <= 0.30
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS l
+                FROM f
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(l) >= 5 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(l) - 4),
+                               i -> array_to_string(l[i:i+4], ' ')))
+                       ELSE [array_to_string(l, ' ')] END AS s
+                FROM toks WHERE len(l) >= 1
+            ), p AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           len(list_intersect(a.s, b.s))::DOUBLE /
+                           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                ) WHERE j >= 0.5
+            ), e AS (
+                SELECT doc_a AS a, doc_b AS b FROM p
+                UNION ALL
+                SELECT doc_b, doc_a FROM p
+            ), reach AS (
+                SELECT a AS src, b AS dst FROM e
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+            FROM f
+            WHERE doc_id NOT IN (SELECT src FROM reach WHERE dst < src)
+            GROUP BY lang
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

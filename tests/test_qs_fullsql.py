@@ -53,6 +53,23 @@ def test_fuzzy_wildcard_full_sql(entrymod, sf_dir):
     _compare(entrymod, "fuzzy_wildcard_search", sf_dir)
 
 
+def test_code_analyzer_is_whitespace_on_corpus(sf_dir):
+    # the bm25_topk_code FULL-SQL oracle rests on this: the code analyzer
+    # degenerates to whitespace on the plain-lowercase-word corpus, so the
+    # whitespace token algebra is exact for the code-analyzer index too
+    import pyarrow.parquet as pq
+
+    from elasticsearch_data_import_handler_ray.functions.analysis import (
+        CodeAnalyzer,
+        WhitespaceAnalyzer,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    ca, wa = CodeAnalyzer(), WhitespaceAnalyzer()
+    for v in t["text"].to_pylist():
+        assert ca.analyze_query(v) == wa.analyze_query(v)
+
+
 def test_query_string_code_nonvacuous(entrymod, sf_dir):
     # the rows-only code-analyzer twin keeps the non-SQL leaf surface alive
     t = entrymod.queries()["query_string_code"](sf_dir).to_pandas()
