@@ -1508,8 +1508,13 @@ def _heavy_hitters(sf_dir: str):
 def _repeated_spans(sf_dir: str):
     """Repeated-passage detection (strided-fingerprint approximation of
     suffix-array substring dedup): 6-token spans occurring in ≥2 distinct
-    docs. Rows-only — planted-passage naive-count oracle pinned in
-    tests/test_stages.py."""
+    docs. FULL SQL (round 5): the registry entry projects to
+    (doc_id, pos, n_docs) — span identity by 64-bit rolling hash on the
+    engine side, by the literal 6-token string in the DuckDB oracle
+    (identical sets barring a 64-bit hash collision, which the value check
+    would surface). The hash-keyed shape (span_hash rides the bounded
+    shuffle, the corpus never collects) stays on the operator; the
+    planted-passage naive-count oracle stays pinned in tests/test_stages.py."""
     import ray.data
 
     from elasticsearch_data_import_handler_ray.stages.dedup import repeated_ngram_spans
@@ -1517,7 +1522,8 @@ def _repeated_spans(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return repeated_ngram_spans(ds, window=6, stride=1, min_docs=2, num_buckets=16)
+    out = repeated_ngram_spans(ds, window=6, stride=1, min_docs=2, num_buckets=16)
+    return out.select(["doc_id", "pos", "n_docs"])
 
 
 def _pack_sequences(sf_dir: str):
@@ -3726,6 +3732,32 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE doc_id NOT IN (SELECT src FROM reach WHERE dst < src)
             GROUP BY lang
+        """,
+        # repeated_spans: span identity by the literal 6-token string (the
+        # engine keys on a 64-bit rolling hash — sets coincide barring a
+        # collision, which this value check would surface); pos is the
+        # 0-based start-token index, stride=1 keeps every start
+        "repeated_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), sp AS (
+                SELECT doc_id, u.pos, u.span FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(l) - 5),
+                               i -> {'pos': i - 1,
+                                     'span': array_to_string(l[i:i+5], ' ')})) AS u
+                    FROM toks WHERE len(l) >= 6
+                )
+            ), nd AS (
+                SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs
+                FROM sp GROUP BY span
+                HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, pos::BIGINT AS pos, n_docs FROM sp JOIN nd USING (span)
         """,
         "ngram_jaccard": r"""
             WITH toks AS (
