@@ -1529,8 +1529,11 @@ def _repeated_spans(sf_dir: str):
 def _pack_sequences(sf_dir: str):
     """LLM sequence packing: docs → training sequences with per-sequence
     whitespace-token totals ≤ 512 (next-fit greedy inside hash buckets —
-    ONE bounded-group shuffle). Rows-only — invariants + naive next-fit
-    oracle pinned in tests/test_stages.py."""
+    ONE bounded-group shuffle). FULL SQL (round 5): the packer is
+    deterministic (bucket = doc_id % 8, doc_id order, next-fit threshold),
+    so the oracle replays the sequential state machine as a per-bucket
+    recursive CTE. Invariants + naive next-fit oracle also pinned in
+    tests/test_stages.py."""
     import ray.data
 
     from elasticsearch_data_import_handler_ray.stages.text import pack_sequences
@@ -3732,6 +3735,36 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE doc_id NOT IN (SELECT src FROM reach WHERE dst < src)
             GROUP BY lang
+        """,
+        # pack_sequences: the next-fit packer is deterministic (bucket =
+        # doc_id % 8, docs in doc_id order, open-sequence fill threshold) —
+        # the sequential state machine replays as a per-bucket recursive CTE
+        # walking rows in rank order (depth = bucket size, buckets advance
+        # independently)
+        "pack_sequences": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id % 8 AS bucket, doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                       row_number() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ), r AS (
+                SELECT bucket, rn, doc_id, n_tokens,
+                       0::BIGINT AS seq, 0::BIGINT AS pos, n_tokens AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN r.fill > 0 AND r.fill + d.n_tokens > 512
+                            THEN r.seq + 1 ELSE r.seq END,
+                       CASE WHEN r.fill > 0 AND r.fill + d.n_tokens > 512
+                            THEN 0 ELSE r.pos + 1 END,
+                       (CASE WHEN r.fill > 0 AND r.fill + d.n_tokens > 512
+                             THEN 0 ELSE r.fill END) + d.n_tokens
+                FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1
+            )
+            SELECT bucket::VARCHAR || '-' || seq::VARCHAR AS seq_id,
+                   pos, doc_id, n_tokens
+            FROM r
         """,
         # repeated_spans: span identity by the literal 6-token string (the
         # engine keys on a 64-bit rolling hash — sets coincide barring a
