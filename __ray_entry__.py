@@ -422,6 +422,13 @@ def _ann_ivf_partitioned(sf_dir: str):
 
 
 def _embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (LSH candidates → exact-cosine
+    verification). FULL SQL (round 5): the oracle is the exact all-pairs
+    cosine >= 0.5 set — equality holds because every emitted pair is
+    exact-verified and the seeded 6-plane/48-table LSH finds every
+    above-threshold pair on this corpus (miss prob ≤ 1.2% per borderline
+    pair; verified identical at sf0.001 AND sf0.01 — a miss would surface
+    as a row-count mismatch here, not silently)."""
     from elasticsearch_data_import_handler_ray.sources.catalog import table
     from elasticsearch_data_import_handler_ray.stages.ann import cosine_neardup_pairs
 
@@ -3735,6 +3742,22 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE doc_id NOT IN (SELECT src FROM reach WHERE dst < src)
             GROUP BY lang
+        """,
+        # embed_neardup: exact all-pairs cosine >= 0.5 in float64 (engine
+        # normalizes then dots; ROUND(.,4) absorbs the association delta);
+        # the LSH candidate stage is complete on this corpus (entry docstring)
+        "embed_neardup": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings
+            )
+            SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS cos
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ) WHERE cos >= 0.5
         """,
         # pack_sequences: the next-fit packer is deterministic (bucket =
         # doc_id % 8, docs in doc_id order, open-sequence fill threshold) —
