@@ -1397,6 +1397,21 @@ _SQL_DIST_WINDOW = """
 """
 _sql_dist_window = _make_sql_dist(_SQL_DIST_WINDOW, ("orders",))
 
+# r5: RIGHT/FULL OUTER joins distribute natively (Dataset.join); key columns
+# referenced beyond their ON clause ride as shadow payload columns so outer
+# null padding follows SQL exactly (pipelines/sqlplan.py join-key survival).
+# count(col) vs count(*) across the padding is the value check.
+_SQL_DIST_OUTER = """
+    SELECT c.c_mktsegment AS seg,
+           count(*)::BIGINT AS n_rows,
+           count(o.o_orderkey)::BIGINT AS n_orders,
+           count(o.o_custkey)::BIGINT AS n_keyed
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY seg
+"""
+_sql_dist_outer_join = _make_sql_dist(_SQL_DIST_OUTER, ("orders", "customer"))
+
 
 def _sql_db_source(sf_dir: str):
     """SQL-database source (sources.jdbc parity): the documents table is
@@ -2248,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sql_dist_distinct": _sql_dist_distinct,
             "sql_dist_count_distinct": _sql_dist_count_distinct,
             "sql_dist_window": _sql_dist_window,
+            "sql_dist_outer_join": _sql_dist_outer_join,
             "geo_distance_search": _geo_distance_search,
             "geo_knn_search": _geo_knn_search,
             "geotile_grid": _geotile_grid,
@@ -3845,6 +3861,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_dist_distinct": _SQL_DIST_DISTINCT,
         "sql_dist_count_distinct": _SQL_DIST_CD,
         "sql_dist_window": _SQL_DIST_WINDOW,
+        "sql_dist_outer_join": _SQL_DIST_OUTER,
         # geo/ip: the derivation CTE is the same arithmetic _geo_dataset runs
         # distributed; the formulas mirror stages/geoip.py operation-for-
         # operation (same association order) so float results agree.

@@ -45,7 +45,8 @@ Scale notes (100 TB posture):
     touching 3 of 40 columns reads 3;
   * single-view WHERE conjuncts are pushed below the join when the join
     tree makes that sound (root view always; right side of INNER joins;
-    never the null-padded side of a LEFT join);
+    never a null-padded side of an outer join — the right side of a LEFT,
+    every earlier alias for a RIGHT, both for a FULL);
   * the only all-to-all exchanges are the equi-join hash shuffle and ONE
     small groupby over per-batch partial rows.
 """
@@ -175,7 +176,7 @@ def _split_toplevel(toks: list[Tok], sep: str) -> list[list[Tok]]:
 class _Join:
     view: str
     alias: str
-    how: str                      # "inner" | "left_outer"
+    how: str                      # "inner" | "left_outer" | "right_outer" | "full_outer"
     keys: list[tuple[str, str]]   # (left mangled col, right mangled col)
 
 
@@ -276,12 +277,15 @@ def _parse_from(toks: list[Tok]) -> tuple[str, str, list[tuple]]:
         how = "inner"
         if t.isword("inner"):
             i += 1
-        elif t.isword("left"):
-            how = "left_outer"
+        elif t.isword("left", "right", "full"):
+            # Dataset.join supports all three outer types natively (r5);
+            # the WHERE pushdown marks the null-padded side(s) unsafe below
+            how = {"left": "left_outer", "right": "right_outer",
+                   "full": "full_outer"}[t.text.lower()]
             i += 1
             if i < len(toks) and toks[i].isword("outer"):
                 i += 1
-        elif t.isword("right", "full", "cross"):
+        elif t.isword("cross"):
             raise PlanError(f"{t.text.upper()} JOIN is not distributable")
         if i >= len(toks) or not toks[i].isword("join"):
             raise PlanError(f"expected JOIN in FROM clause near {toks[i].text!r}")
@@ -799,11 +803,19 @@ def plan_sql(
     if st.having:
         _mangle_tokens(st.having, aliases, schemas, used)
 
+    # snapshot: mangled columns referenced OUTSIDE join conditions (select /
+    # IN-subquery / where / group / having — ORDER BY binds to the output
+    # table). A join key referenced only in its own ON clause needs no
+    # post-join survival; anything here does.
+    mangled_outside = {_mangle(a, c) for a, s in used.items() for c in s}
+
     # join conditions: mangle, then extract equi-keys
     joins: list[_Join] = []
+    join_cond_ids: list[set] = []  # mangled ids per join cond (in join order)
     left_aliases = {st.root_alias}
     for view, alias, how, cond in pending:
         _mangle_tokens(cond, aliases, schemas, used)
+        join_cond_ids.append({t.text for t in cond if t.kind == "id"})
         keys: list[tuple[str, str]] = []
         for conj in _split_toplevel(cond, "and"):
             if len(conj) != 3 or conj[1].text != "=" or conj[0].kind != "id" or conj[2].kind != "id":
@@ -826,8 +838,16 @@ def plan_sql(
 
     # ---- WHERE: split conjuncts, classify pushdown-safe ------------------
     # safe to push to alias A iff every column in the conjunct is A's AND A
-    # is never the null-padded (right) side of a LEFT join.
-    unsafe = {j.alias for j in joins if j.how == "left_outer"}
+    # is never a null-padded side of an outer join: the right side of a
+    # LEFT, every EARLIER alias for a RIGHT, both for a FULL.
+    unsafe: set = set()
+    seen_aliases = [st.root_alias]
+    for j in joins:
+        if j.how in ("left_outer", "full_outer"):
+            unsafe.add(j.alias)
+        if j.how in ("right_outer", "full_outer"):
+            unsafe.update(seen_aliases)
+        seen_aliases.append(j.alias)
     pushed: dict[str, list[str]] = {a: [] for a in aliases}
     residual: list[str] = []
     if st.where:
@@ -861,9 +881,39 @@ def plan_sql(
 
     from ..functions.partitioning import join_fanout
 
+    # Join-key survival (r5): Ray's hash join emits ONE column per equi
+    # pair — named after the LEFT key for inner/left/full (full = COALESCED
+    # across sides, which is NOT the SQL left value), after the RIGHT key
+    # for right_outer. Any key column referenced beyond its own ON clause
+    # is therefore duplicated into a shadow column on its side before the
+    # join and renamed back after — the shadow rides as a plain payload
+    # column, so outer-join null padding gives exact SQL semantics.
+    def _dup_cols(ds: ray.data.Dataset, pairs: list) -> ray.data.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            for src, dst in pairs:
+                t = t.append_column(dst, t[src])
+            return t
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
     out = scan(st.root_alias)
-    for j in joins:
+    for ji, j in enumerate(joins):
         right = scan(j.alias)
+        need = mangled_outside.union(*join_cond_ids[ji + 1 :], set())
+        ldups, rdups, restore = [], [], []
+        for n, (lc, rc) in enumerate(j.keys):
+            if j.how in ("inner", "left_outer", "full_outer") and rc in need:
+                tmp = f"__jk_r{ji}_{n}"
+                rdups.append((rc, tmp))
+                restore.append((tmp, rc))
+            if j.how in ("right_outer", "full_outer") and lc in need:
+                tmp = f"__jk_l{ji}_{n}"
+                ldups.append((lc, tmp))
+                restore.append((tmp, lc))
+        if ldups:
+            out = _dup_cols(out, ldups)
+        if rdups:
+            right = _dup_cols(right, rdups)
         lk = tuple(k for k, _ in j.keys)
         rk = tuple(k for _, k in j.keys)
         out = out.join(
@@ -873,6 +923,14 @@ def plan_sql(
             on=lk,
             right_on=rk,
         )
+        if restore:
+            if j.how == "full_outer":
+                # the coalesced survivor squats on the left key's name;
+                # drop it before restoring the true SQL column
+                squat = [f for _, f in restore if any(f == lc for lc, _ in j.keys)]
+                if squat:
+                    out = out.drop_columns(squat)
+            out = out.rename_columns(dict(restore))
     if residual:
         out = _per_batch(
             out, "SELECT * FROM t WHERE " + " AND ".join(residual),

@@ -90,6 +90,82 @@ def test_left_join_global_agg(views, oracle):
     assert len(g) == 1
 
 
+def test_right_join_global_agg(views, oracle):
+    # RIGHT JOIN (r5): orders is the probe side, customers without orders
+    # survive null-padded — count(col) must skip the padding, count(*) not
+    g = check(
+        """SELECT count(*)::BIGINT AS n, count(o.o_orderkey)::BIGINT AS n_with,
+                  min(c.c_custkey)::BIGINT AS lo, max(c.c_custkey)::BIGINT AS hi
+           FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
+        views,
+        oracle,
+    )
+    assert len(g) == 1
+
+
+def test_right_join_where_on_left_not_pushed(views, oracle):
+    # WHERE on the null-padded (earlier/left) side of a RIGHT join must run
+    # post-join; pushing it below would re-introduce null-extended rows
+    check(
+        """SELECT c.c_mktsegment AS seg, count(o.o_orderkey)::BIGINT AS n
+           FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_totalprice > 50000
+           GROUP BY c.c_mktsegment""",
+        views,
+        oracle,
+    )
+
+
+def test_full_outer_join(views, oracle):
+    # FULL OUTER (r5): both sides null-padded; WHERE on either side must
+    # stay post-join
+    check(
+        """SELECT count(*)::BIGINT AS n,
+                  count(o.o_orderkey)::BIGINT AS n_o,
+                  count(c.c_custkey)::BIGINT AS n_c
+           FROM orders o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey""",
+        views,
+        oracle,
+    )
+    check(
+        """SELECT c.c_mktsegment AS seg, count(*)::BIGINT AS n
+           FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+           WHERE c.c_nationkey < 10
+           GROUP BY c.c_mktsegment""",
+        views,
+        oracle,
+    )
+
+
+def test_right_key_column_referenced_post_join(views, oracle):
+    # Ray's hash join drops the right key column; the planner must shadow
+    # it pre-join so SELECT/GROUP BY can reference it (latent pre-r5 gap)
+    check(
+        """SELECT o.o_custkey AS k, count(*)::BIGINT AS n
+           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY o.o_custkey""",
+        views,
+        oracle,
+    )
+
+
+def test_left_join_right_key_null_semantics(views, oracle):
+    # count(right key) after a LEFT join must skip the null padding — the
+    # shadow column rides as payload, so padding follows SQL exactly
+    check(
+        """SELECT count(o.o_custkey)::BIGINT AS matched, count(*)::BIGINT AS n
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""",
+        views,
+        oracle,
+    )
+
+
+def test_cross_join_still_rejected(views):
+    with pytest.raises(PlanError):
+        parse("SELECT * FROM orders CROSS JOIN customer ON true",
+              {"orders", "customer"})
+
+
 def test_three_way_join_unqualified(views, oracle):
     check(
         """SELECT r_name AS region, count(*)::BIGINT AS n
@@ -147,7 +223,7 @@ def test_limit(views):
         ("SELECT sum(DISTINCT o_custkey) AS n FROM orders", "DISTINCT"),
         ("SELECT count(DISTINCT *) AS n FROM orders", "DISTINCT aggregate"),
         ("SELECT a.n_name AS x FROM nation a, region b", "cross"),
-        ("SELECT a.n_name AS x FROM nation a RIGHT JOIN region b ON a.n_regionkey = b.r_regionkey", "RIGHT"),
+        ("SELECT a.n_name AS x FROM nation a CROSS JOIN region b ON a.n_regionkey = b.r_regionkey", "CROSS"),
         ("SELECT n.n_name AS x FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey", "equality"),
         ("SELECT n_name AS x FROM nowhere", "unknown view"),
         ("SELECT n_name AS x FROM nation UNION SELECT r_name FROM region", "UNION"),

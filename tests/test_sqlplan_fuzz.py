@@ -85,7 +85,10 @@ def statements(draw):
     grouped = draw(st.booleans())
     q = lambda e: e  # t1 columns stay unqualified (single-owner resolution)
     if joined:
-        frm = "FROM t1 JOIN t2 ON t1.k = t2.k2"
+        # r5: all four distributable join types; DuckDB runs the identical
+        # statement, so null padding/order stays a pure equivalence check
+        jt = draw(st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]))
+        frm = f"FROM t1 {jt} t2 ON t1.k = t2.k2"
     else:
         frm = "FROM t1"
     where = ""
