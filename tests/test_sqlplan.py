@@ -160,6 +160,24 @@ def test_left_join_right_key_null_semantics(views, oracle):
     )
 
 
+def test_three_way_mixed_outer_chain(views, oracle):
+    # RIGHT join mid-chain: every earlier alias (customer AND nation) is
+    # null-padded, so their WHERE conjuncts must stay post-join; the nation
+    # join key n_nationkey is also referenced in the later ON clause
+    check(
+        """SELECT o.o_orderstatus AS st, count(*)::BIGINT AS n,
+                  count(c.c_custkey)::BIGINT AS n_c,
+                  count(n.n_nationkey)::BIGINT AS n_n
+           FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+           WHERE n.n_regionkey < 4 OR n.n_regionkey IS NULL
+           GROUP BY o.o_orderstatus""",
+        views,
+        oracle,
+    )
+
+
 def test_cross_join_still_rejected(views):
     with pytest.raises(PlanError):
         parse("SELECT * FROM orders CROSS JOIN customer ON true",
