@@ -1840,6 +1840,35 @@ _QS_FULLSQL_QUERIES = [
 ]
 
 
+# edit-distance-2 probes with MULTIPLE candidates per slot (par -> part/a/
+# spark, lin -> line/big/join, ...) so the ranking itself is value-checked
+_SUGGEST_PHRASE_QS = ["par lin", "vale srt", "rt data stram"]
+
+
+def _suggest_phrase(sf_dir: str):
+    """ES phrase suggester (did-you-mean over whole phrases): per-token
+    fuzzy candidates → cross-product phrases → bigram stupid-backoff scoring
+    with statistics from the index itself (unigram df/N; bigram = adjacency
+    DOC count via the positional phrase machinery — the ES shingle-field
+    analogue). FULL SQL (round 5): candidates are levenshtein vocabulary
+    slices ranked (distance, df desc, term), bigram counts are token-list
+    adjacency groupbys, and the scoring formula is ln-arithmetic — all
+    exactly in DuckDB (ranked score desc, text asc)."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "pos_ws"))
+    rows = []
+    try:
+        for qi, q in enumerate(_SUGGEST_PHRASE_QS):
+            for rank, s in enumerate(eng.suggest_phrase(q, top=5, max_edits=2), 1):
+                rows.append({"query_idx": qi, "rank": rank, "text": s["text"],
+                             "score": round(s["score"], 6),
+                             "highlighted": s["highlighted"]})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _query_string_code(sf_dir: str):
     """query_string over the CODE analyzer + positional index — the slice
     the FULL-SQL twin can't express (mid-token wildcards against camelCase
@@ -2234,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phrase_search": _phrase_search,
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
+            "suggest_phrase": _suggest_phrase,
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
             "repeated_spans": _repeated_spans,
@@ -3133,6 +3163,7 @@ def _bm25_oracles() -> dict[str, str]:
     """
 
     out["query_string_search"] = _qs_oracle_sql()
+    out["suggest_phrase"] = _suggest_phrase_oracle_sql()
     out["fuzzy_wildcard_search"] = _fuzzy_wildcard_oracle_sql()
     return out
 
@@ -3252,6 +3283,71 @@ def _qs_oracle_sql() -> str:
         sel(6, "(f.gsc + 1.0)", "t.n_chars IS NOT NULL",
             "d t JOIN fo6 f ON t.doc_id = f.doc_id"),
     ]
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        {" UNION ALL ".join(finals)}
+    """
+
+
+def _suggest_phrase_oracle_sql() -> str:
+    """FULL-SQL oracle for suggest_phrase: per-position candidates are the
+    levenshtein<=1 vocabulary slice ranked (distance, df desc, term) LIMIT 5
+    (the engine's term-suggester ranking); bigram statistics are adjacency
+    DOC counts over the token lists (== the engine's positional phrase-count
+    scatter); the stupid-backoff score is the same ln arithmetic in the same
+    left-to-right accumulation; the input token sequence is excluded; rank =
+    (score desc, text asc) LIMIT 5."""
+    ctes = [_QS_PRELUDE]
+    ctes.append(
+        "bg AS (\n            SELECT u.a AS a, u.b AS b, count(DISTINCT doc_id)::DOUBLE AS bn\n"
+        "            FROM (SELECT doc_id, unnest(list_transform(\n"
+        "                      generate_series(1, len(toks) - 1),\n"
+        "                      i -> {'a': toks[i], 'b': toks[i+1]})) AS u\n"
+        "                  FROM d WHERE len(toks) >= 2)\n"
+        "            GROUP BY u.a, u.b\n        )"
+    )
+    finals = []
+    for qi, q in enumerate(_SUGGEST_PHRASE_QS):
+        toks = q.split()
+        for p, o in enumerate(toks):
+            ctes.append(
+                f"c{qi}_{p} AS (\n            SELECT term, df FROM (\n"
+                f"                SELECT term, df, row_number() OVER (\n"
+                f"                    ORDER BY levenshtein(term, {_sqlq(o)}), df DESC, term) AS rn\n"
+                f"                FROM vocab WHERE levenshtein(term, {_sqlq(o)}) <= 2\n"
+                f"            ) WHERE rn <= 5\n        )"
+            )
+        score = [f"ln(c0.df / N)"]
+        for i in range(len(toks) - 1):
+            score.append(
+                f"(CASE WHEN COALESCE(b{i}.bn, 0) > 0 THEN ln(b{i}.bn / c{i}.df)"
+                f" ELSE ln(0.4 * c{i + 1}.df / N) END)"
+            )
+        hl = " || ' ' || ".join(
+            f"(CASE WHEN c{p}.term <> {_sqlq(o)} THEN '<em>' || c{p}.term || '</em>'"
+            f" ELSE c{p}.term END)"
+            for p, o in enumerate(toks)
+        )
+        frm = f"c{qi}_0 c0"
+        for p in range(1, len(toks)):
+            frm += f" CROSS JOIN c{qi}_{p} c{p}"
+        frm += " CROSS JOIN st"
+        for i in range(len(toks) - 1):
+            frm += f" LEFT JOIN bg b{i} ON b{i}.a = c{i}.term AND b{i}.b = c{i + 1}.term"
+        orig_filter = " AND ".join(f"c{p}.term = {_sqlq(o)}" for p, o in enumerate(toks))
+        text = " || ' ' || ".join(f"c{p}.term" for p in range(len(toks)))
+        finals.append(
+            f"SELECT * FROM (\n        SELECT {qi} AS query_idx,\n"
+            f"               ROW_NUMBER() OVER (ORDER BY s.score DESC, s.text) AS \"rank\",\n"
+            f"               s.text, ROUND(s.score, 6) AS score, s.highlighted\n"
+            f"        FROM (\n            SELECT {text} AS text,\n"
+            f"                   {' + '.join(score)} AS score,\n"
+            f"                   {hl} AS highlighted\n"
+            f"            FROM {frm}\n"
+            f"            WHERE NOT ({orig_filter})\n        ) s\n"
+            f"        ORDER BY s.score DESC, s.text LIMIT 5)"
+        )
     joined = ",\n        ".join(ctes)
     return f"""
         WITH {joined}

@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["missing", "popular", "always"], metavar="MODE",
                    help="ES term suggester (did-you-mean) instead of search; "
                         "edit budget = --fuzzy N (default 2)")
+    q.add_argument("--suggest-phrase", action="store_true",
+                   help="ES phrase suggester: whole-phrase did-you-mean ranked "
+                        "by a bigram stupid-backoff model over the positional "
+                        "index; edit budget = --fuzzy N (default 1)")
     q.add_argument("--wildcard", action="store_true",
                    help="treat each text as a */? wildcard term pattern")
     q.add_argument("--facet", default=None, metavar="FIELD",
@@ -397,6 +401,11 @@ def main(argv: list[str] | None = None) -> int:
                             t, max_edits=args.fuzzy or 2, suggest_mode=args.suggest
                         )
                         print(json.dumps({"query": t, "suggest": sug}))
+                    results = []
+                elif args.suggest_phrase:
+                    for t in args.text:
+                        sug = eng.suggest_phrase(t, max_edits=args.fuzzy or 1)
+                        print(json.dumps({"query": t, "suggest_phrase": sug}))
                     results = []
                 elif args.wildcard:
                     results = [eng.search_wildcard(t, k=args.k) for t in args.text]

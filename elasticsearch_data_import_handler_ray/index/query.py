@@ -2795,6 +2795,118 @@ class QueryEngine:
             out.append({"token": tok, "freq": int(tok_dfs[tok]), "options": options})
         return out
 
+    def suggest_phrase(
+        self,
+        text: str,
+        *,
+        max_edits: int = 1,
+        per_token: int = 5,
+        top: int = 5,
+        backoff: float = 0.4,
+        max_expansions: int = 50,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> list[dict]:
+        """ES phrase suggester (did-you-mean over WHOLE phrases): per-token
+        fuzzy candidate generation (the term-suggester machinery) → candidate
+        phrases as the cross product → each phrase scored by a bigram
+        stupid-backoff model whose statistics come from the index itself —
+        unigram df/N plus the DOC frequency of each adjacent pair measured by
+        the positional phrase machinery (the analogue of ES's shingle-field
+        requirement: real bigram stats, not unigram-only backoff).
+
+            score(w_1..w_n) = ln(df(w_1)/N) + Σ_i S(w_{i-1} → w_i)
+            S(a → b) = ln(bigram_docs(a,b) / df(a))   when the pair co-occurs
+                     = ln(backoff · df(b) / N)        otherwise
+                       (Brants et al., "Large Language Models in Machine
+                       Translation" — the stupid-backoff shape)
+
+        Costs ONE fuzzy-expansion wave for every distinct token plus ONE
+        phrase-count scatter for ALL candidate bigrams (compiled phrase
+        trees through query_string_batch, k=0 — shard docs are disjoint so
+        counts sum). Returns up to ``top`` dicts {text, score, highlighted}
+        (changed tokens wrapped in tags), ranked (score desc, text asc),
+        the input token sequence itself excluded like ES."""
+        import math
+        from itertools import product
+
+        if not self.man.config.positions:
+            raise ValueError(
+                "suggest_phrase needs a positional index "
+                "(IndexConfig(positions=True)) for bigram statistics"
+            )
+        toks = self.analyzer.analyze_query(text)
+        if len(toks) < 2:
+            raise ValueError("suggest_phrase needs at least two tokens")
+        uniq = sorted(set(toks))
+        tok_dfs = dict(zip(uniq, self.global_dfs(uniq).tolist()))
+        waves = {
+            t: [a.expand_fuzzy.remote(t, max_edits, max_expansions) for a in self._actors]
+            for t in uniq
+        }
+        cands: dict[str, list[str]] = {}
+        for t in uniq:
+            per = ray.get(waves[t])
+            cs = sorted(set().union(*map(set, per)) | ({t} if tok_dfs[t] > 0 else set()))
+            if not cs:
+                cands[t] = [t]  # unscorable position — combos through it drop below
+                continue
+            dfs = self.global_dfs(cs)
+            dist = _levenshtein_distances(np.array(cs, dtype="U"), t)
+            ranked = sorted(
+                (int(d), -int(f), c)
+                for c, d, f in zip(cs, dist.tolist(), dfs.tolist())
+                if f > 0
+            )
+            cands[t] = [c for _, _, c in ranked[:per_token]] or [t]
+        pairs = sorted({
+            (a, b)
+            for i in range(len(toks) - 1)
+            for a in cands[toks[i]]
+            for b in cands[toks[i + 1]]
+        })
+        all_terms = sorted({w for p in pairs for w in p})
+        dfs_all = dict(zip(all_terms, self.global_dfs(all_terms).tolist()))
+        trees = [
+            {"kind": "phrase", "phrase": [a, b],
+             "idfs": {t: float(bm25.idf(self.N, dfs_all[t])) for t in {a, b}},
+             "slop": 0, "boost": 1.0}
+            for (a, b) in pairs
+        ]
+        counts: dict[tuple[str, str], int] = {p: 0 for p in pairs}
+        if trees:
+            shard = ray.get([
+                a.query_string_batch.remote(trees, 0, self.avgdl, self.k1, self.b, None)
+                for a in self._actors
+            ])
+            for sr in shard:
+                for p, matches in zip(pairs, sr):
+                    counts[p] += len(matches)
+        out: list[tuple[float, str, tuple]] = []
+        orig = tuple(toks)
+        for combo in product(*(cands[t] for t in toks)):
+            if combo == orig:
+                continue
+            if any(dfs_all.get(w, 0) <= 0 for w in combo):
+                continue  # an unscorable original survived a candidate-less slot
+            score = math.log(dfs_all[combo[0]] / self.N)
+            for a, b in zip(combo, combo[1:]):
+                big = counts.get((a, b), 0)
+                if big > 0:
+                    score += math.log(big / dfs_all[a])
+                else:
+                    score += math.log(backoff * dfs_all[b] / self.N)
+            out.append((score, " ".join(combo), combo))
+        out.sort(key=lambda s: (-s[0], s[1]))
+        res = []
+        for score, joined, combo in out[:top]:
+            hl = " ".join(
+                f"{pre_tag}{w}{post_tag}" if w != o else w
+                for w, o in zip(combo, toks)
+            )
+            res.append({"text": joined, "score": score, "highlighted": hl})
+        return res
+
     def facets(
         self, text: str, field: str, *, mode: str = "or", top: int = 10
     ) -> list[tuple[str, int]]:

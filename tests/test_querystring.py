@@ -613,3 +613,65 @@ def test_query_string_agg_percentiles(engine, oracle):
     for p in (50, 90, 99):
         rank = max(1, int(np.ceil(p / 100.0 * len(dls))))
         assert got[float(p)] == dls[rank - 1], p
+
+
+def test_suggest_phrase_identity_vs_naive(engine, oracle):
+    """ES phrase suggester (r5): engine output must equal a brute-force
+    recompute — full-vocabulary candidate scan, literal adjacency bigram
+    counts, the same stupid-backoff ln arithmetic."""
+    import math
+    from itertools import product
+
+    docs = oracle.doc_tokens
+    vocab = sorted({t for l in docs.values() for t in l})
+    df = {v: sum(1 for l in docs.values() if v in l) for v in vocab}
+    N = len(docs)
+
+    def naive(text, *, max_edits=2, per_token=5, top=5, backoff=0.4):
+        toks = oracle.analyzer.analyze_query(text)
+        cands = {}
+        for t in set(toks):
+            cs = sorted(
+                (_levenshtein(c, t), -df[c], c)
+                for c in vocab
+                if _levenshtein(c, t) <= max_edits
+            )
+            cands[t] = [c for _, _, c in cs[:per_token]] or [t]
+
+        def bigram(a, b):
+            return sum(
+                1 for l in docs.values() if any(x == a and y == b for x, y in zip(l, l[1:]))
+            )
+
+        out = []
+        for combo in product(*(cands[t] for t in toks)):
+            if combo == tuple(toks):
+                continue
+            if any(df.get(w, 0) <= 0 for w in combo):
+                continue
+            s = math.log(df[combo[0]] / N)
+            for a, b in zip(combo, combo[1:]):
+                n = bigram(a, b)
+                s += math.log(n / df[a]) if n > 0 else math.log(backoff * df[b] / N)
+            out.append((s, " ".join(combo)))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return [(t, s) for s, t in out[:top]]
+
+    hot, mid, rare, other = _vocab_terms(oracle)
+    queries = [
+        f"{hot[:-1]}x {mid}",          # typo'd first token
+        f"{hot} {rare}z",              # typo'd last token
+        f"{hot[:-1]} {mid} {other}x",  # 3-token with two typos
+    ]
+    any_nonempty = False
+    for q in queries:
+        got = engine.suggest_phrase(q, max_edits=2, top=5)
+        want = naive(q, max_edits=2, top=5)
+        assert [(g["text"], g["score"]) for g in got] == want, q
+        any_nonempty = any_nonempty or bool(got)
+    assert any_nonempty  # non-vacuous across the probe set
+
+
+def test_suggest_phrase_errors(engine):
+    with pytest.raises(ValueError):
+        engine.suggest_phrase("single")
