@@ -1840,6 +1840,64 @@ _QS_FULLSQL_QUERIES = [
 ]
 
 
+def _split_index(sf_dir: str, parity: int) -> str:
+    """One of TWO whitespace indices over the doc_id-parity halves of
+    `documents` — the multi-index search targets (disjoint by construction,
+    union = the whole table, so the combined-statistics oracle is the plain
+    full-corpus BM25 SQL)."""
+    key = (os.path.abspath(sf_dir), f"ws_split{parity}")
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from elasticsearch_data_import_handler_ray.index.build import build_index
+        from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        half = t.filter(
+            pc.equal(pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()), 1), parity)
+        )
+        src_dir = tempfile.mkdtemp(prefix=f"edih_split{parity}_src_")
+        src = os.path.join(src_dir, "documents.parquet")
+        pq.write_table(half, src)
+        got = tempfile.mkdtemp(prefix=f"edih_split{parity}_idx_")
+        build_index(
+            src, got, mode="full",
+            config=IndexConfig(analyzer="whitespace", num_segments=4,
+                               doc_id_col="doc_id", content_col="text"),
+        )
+        _INDEX_CACHE[key] = got
+    return got
+
+
+_MULTI_INDEX_QS = [("hash join query", "or"), ("vector scan filter", "or"),
+                   ("merge sort", "and")]
+
+
+def _multi_index_search(sf_dir: str):
+    """ES multi-index search (``GET /idx_a,idx_b/_search``) with
+    dfs_query_then_fetch semantics: TWO disjoint indices (doc_id-parity
+    halves of documents), statistics combined across both, one scatter over
+    the union of their shard actors (index/crossindex.py). FULL SQL: with
+    combined (N, df, avgdl) the scoring is score-identical to ONE index over
+    the union corpus, so the oracle is the plain full-corpus BM25 token
+    algebra — the value check that local-statistics scoring (ES's default
+    query_then_fetch pitfall) would fail."""
+    from elasticsearch_data_import_handler_ray.index.crossindex import MultiIndexEngine
+
+    eng = MultiIndexEngine([_split_index(sf_dir, 0), _split_index(sf_dir, 1)])
+    rows = []
+    try:
+        for qi, (q, mode) in enumerate(_MULTI_INDEX_QS):
+            for rank, (doc_id, score) in enumerate(eng.search(q, k=10, mode=mode), 1):
+                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                             "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 # edit-distance-2 probes with MULTIPLE candidates per slot (par -> part/a/
 # spark, lin -> line/big/join, ...) so the ranking itself is value-checked
 _SUGGEST_PHRASE_QS = ["par lin", "vale srt", "rt data stram"]
@@ -2264,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
             "suggest_phrase": _suggest_phrase,
+            "multi_index_search": _multi_index_search,
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
             "repeated_spans": _repeated_spans,
@@ -2505,6 +2564,24 @@ def _bm25_oracles() -> dict[str, str]:
         "q2": {"terms": ["merge", "sort"]},
     })
     out["bm25_topk"] = f"""
+        {w}
+        {_bm25_topk_select('q0', 0, 'm_0 OR m_1 OR m_2', 10)}
+        UNION ALL
+        {_bm25_topk_select('q1', 1, 'm_0 OR m_1 OR m_2', 10)}
+        UNION ALL
+        {_bm25_topk_select('q2', 2, 'm_0 AND m_1', 10)}
+    """
+
+    # multi_index_search: dfs_query_then_fetch over the two parity-half
+    # indices == single-index scoring over the union corpus — the oracle is
+    # the plain full-corpus BM25 algebra (local-statistics scoring would
+    # produce different idf/avgdl per half and fail this value check)
+    w = _bm25_with({
+        "q0": {"terms": ["hash", "join", "query"]},
+        "q1": {"terms": ["filter", "scan", "vector"]},
+        "q2": {"terms": ["merge", "sort"]},
+    })
+    out["multi_index_search"] = f"""
         {w}
         {_bm25_topk_select('q0', 0, 'm_0 OR m_1 OR m_2', 10)}
         UNION ALL

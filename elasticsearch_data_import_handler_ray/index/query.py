@@ -1795,7 +1795,8 @@ class QueryEngine:
         n_dead = sum(t["n_nonempty"] for t in self._tomb.values())
         dl_dead = sum(t["sum_dl"] for t in self._tomb.values())
         self.N = self.man.n_docs - n_dead
-        self.avgdl = ((self.man.sum_dl - dl_dead) / self.N) if self.N else 0.0
+        self.sum_dl = self.man.sum_dl - dl_dead  # exact int (multi-index math)
+        self.avgdl = (self.sum_dl / self.N) if self.N else 0.0
         # honor configured BM25 parameters (the manifest records them; scoring
         # must not silently fall back to the module constants)
         self.k1 = float(self.man.config.k1)
