@@ -1875,6 +1875,22 @@ _MULTI_INDEX_QS = [("hash join query", "or"), ("vector scan filter", "or"),
                    ("merge sort", "and")]
 
 
+def _suggest_complete(sf_dir: str):
+    """ES completion suggester (autocomplete): dictionary terms under a
+    prefix ranked by document frequency as the weight. FULL SQL: a vocab
+    LIKE slice ordered (df desc, term asc)."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        for qi, p in enumerate(["s", "qu", "c", "b"]):
+            for rank, s in enumerate(eng.suggest_complete(p, top=5), 1):
+                rows.append({"query_idx": qi, "rank": rank,
+                             "text": s["text"], "weight": int(s["weight"])})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _multi_index_search(sf_dir: str):
     """ES multi-index search (``GET /idx_a,idx_b/_search``) with
     dfs_query_then_fetch semantics: TWO disjoint indices (doc_id-parity
@@ -2323,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "suggest_terms": _suggest_terms,
             "suggest_phrase": _suggest_phrase,
             "multi_index_search": _multi_index_search,
+            "suggest_complete": _suggest_complete,
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
             "repeated_spans": _repeated_spans,
@@ -3237,6 +3254,24 @@ def _bm25_oracles() -> dict[str, str]:
         vocab AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
         {mlt_cte_sql}
         {" UNION ALL ".join(mlt_finals)}
+    """
+
+
+    # suggest_complete: vocabulary LIKE slices ranked (df desc, term asc) —
+    # df is the weight (the ES default when no per-suggestion weights exist)
+    prefixes = ["s", "qu", "c", "b"]
+    comp = " UNION ALL ".join(
+        f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY df DESC, term) AS "rank",
+                   term AS text, df::BIGINT AS weight
+            FROM vocab WHERE term LIKE {_sqlq(p + '%')}
+            ORDER BY df DESC, term LIMIT 5)"""
+        for i, p in enumerate(prefixes)
+    )
+    out["suggest_complete"] = f"""
+        WITH {_QS_PRELUDE}
+        {comp}
     """
 
     out["query_string_search"] = _qs_oracle_sql()

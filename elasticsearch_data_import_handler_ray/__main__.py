@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["missing", "popular", "always"], metavar="MODE",
                    help="ES term suggester (did-you-mean) instead of search; "
                         "edit budget = --fuzzy N (default 2)")
+    q.add_argument("--complete", action="store_true",
+                   help="ES completion suggester: treat each text as a prefix, "
+                        "return dictionary completions ranked by df weight")
     q.add_argument("--suggest-phrase", action="store_true",
                    help="ES phrase suggester: whole-phrase did-you-mean ranked "
                         "by a bigram stupid-backoff model over the positional "
@@ -401,6 +404,11 @@ def main(argv: list[str] | None = None) -> int:
                             t, max_edits=args.fuzzy or 2, suggest_mode=args.suggest
                         )
                         print(json.dumps({"query": t, "suggest": sug}))
+                    results = []
+                elif args.complete:
+                    for t in args.text:
+                        sug = eng.suggest_complete(t, top=args.k)
+                        print(json.dumps({"prefix": t, "complete": sug}))
                     results = []
                 elif args.suggest_phrase:
                     for t in args.text:

@@ -2796,6 +2796,31 @@ class QueryEngine:
             out.append({"token": tok, "freq": int(tok_dfs[tok]), "options": options})
         return out
 
+    def suggest_complete(
+        self, prefix: str, *, top: int = 5, max_expansions: int = 1000
+    ) -> list[dict]:
+        """ES completion suggester shape (search-as-you-type autocomplete):
+        dictionary terms starting with ``prefix``, ranked by document
+        frequency as the weight (ES ranks by stored per-suggestion weights;
+        an importer that never set weights gets popularity — df — which is
+        the same default the terms aggregation uses). One binary-searched
+        prefix expansion per shard + the cached df round; returns up to
+        ``top`` {text, weight} ranked (weight desc, text asc)."""
+        seed = self.analyzer.analyze_query(prefix)
+        if len(seed) != 1:
+            raise ValueError("completion prefix must analyze to one token")
+        per = ray.get(
+            [a.expand_prefix.remote(seed[0], max_expansions) for a in self._actors]
+        )
+        cands = sorted(set().union(*map(set, per)))[:max_expansions]
+        if not cands:
+            return []
+        dfs = self.global_dfs(cands)
+        ranked = sorted(
+            (-int(f), c) for c, f in zip(cands, dfs.tolist()) if f > 0
+        )
+        return [{"text": c, "weight": -nf} for nf, c in ranked[:top]]
+
     def suggest_phrase(
         self,
         text: str,
