@@ -4059,6 +4059,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE j >= 0.5
         """,
+        # train_split: the same uint64 mod-before-multiply hash arithmetic
+        # written identically in SQL (every DuckDB int op here stays in
+        # BIGINT range because of the mod-first rule)
+        "train_split": r"""
+            WITH s AS (
+                SELECT CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                FROM (SELECT ((doc_id % 2147483647) * 48271) % 2147483647 % 100 AS b,
+                             text
+                      FROM documents)
+            )
+            SELECT split, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+            FROM s GROUP BY split
+        """,
         "term_df_whitespace": _TERM_DF_SQL,
         "term_df_stop_stem": _TERM_DF_STOP_STEM_SQL,
         "term_df_salted": _TERM_DF_SQL,

@@ -949,6 +949,37 @@ def q_sample_hash(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test split (the LLM-pipeline holdout
+    primitive): every doc lands in a split by pure integer hash arithmetic —
+    ((doc_id mod 2³¹−1) · 48271) mod 2³¹−1, bucketed mod 100 → [0,80) train,
+    [80,90) val, else test — reproducible across runs, partitionings and
+    cluster sizes, ZERO shuffle for the assignment (one vectorized predicate
+    per batch; mod-before-multiply keeps the product inside uint64 at any
+    doc_id scale, the temperature_sample overflow rule). Returns the
+    per-split doc/token report a mix-builder logs; at 100 TB the assignment
+    column streams with the corpus and only |splits| rows ride the groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = np.uint64(2147483647)
+        b = ((ids % m) * np.uint64(48271)) % m % np.uint64(100)
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        n_tok = pc.count_substring_regex(t["text"], pattern=r"\S+")
+        return pa.table({
+            "split": pa.array(split, type=pa.string()),
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+        })
+
+    out = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby("split").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample — 5 docs per language by
     multiplicative-hash rank (the class-balancing primitive of a training-mix
@@ -1129,6 +1160,7 @@ QUERIES = {
     "window_tumbling": q_window_tumbling,
     "nested_build": q_nested_build,
     "sample_hash": q_sample_hash,
+    "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "mix_epochs": q_mix_epochs,
     "asof_join": q_asof_join,
