@@ -4074,6 +4074,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
             FROM s GROUP BY split
         """,
+        # shuffle_order: global ROW_NUMBER over the salted-hash order —
+        # identical uint64 arithmetic, ties broken by doc_id
+        "shuffle_order": """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ((doc_id % 2147483647) * 48271) % 2147483647,
+                                doc_id) AS shuffle_rank
+            FROM documents
+        """,
         "term_df_whitespace": _TERM_DF_SQL,
         "term_df_stop_stem": _TERM_DF_STOP_STEM_SQL,
         "term_df_salted": _TERM_DF_SQL,

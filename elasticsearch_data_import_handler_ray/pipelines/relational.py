@@ -980,6 +980,64 @@ def q_train_split(sf_dir: str):
     )
 
 
+def q_shuffle_order(sf_dir: str):
+    """Deterministic GLOBAL shuffle order (reproducible training-order
+    randomization): every doc gets a dense rank in the order of its salted
+    hash — the distributed rank-assignment pattern that replaces
+    ``random_shuffle`` when the order must be reproducible and auditable at
+    100 TB. Two passes, no global sort exchange:
+
+      1. bucket = hash·B // M — a RANGE partition of the hash space, so
+         bucket order IS hash order; one tiny groupby counts per bucket and
+         the driver prefix-sums B offsets (B rows move, not the corpus);
+      2. per-bucket local sort by (hash, doc_id) + the broadcast offset →
+         the exact global ROW_NUMBER, assigned inside ONE bounded-group
+         shuffle keyed by the range bucket.
+
+    The hash is the uint64 mod-before-multiply arithmetic shared with
+    train_split/temperature_sample, written identically in the SQL oracle
+    (ROW_NUMBER() OVER (ORDER BY h, doc_id))."""
+    ds = table(sf_dir, "documents", columns=["doc_id"])
+    B = np.uint64(16)
+    M = np.uint64(2147483647)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % M) * np.uint64(48271)) % M
+        bucket = (h * B // M).astype(np.int32)
+        return pa.table({
+            "_bucket": pa.array(bucket),
+            "h": pa.array(h, type=pa.uint64()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        })
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    # pass 1: B-row count table -> prefix offsets (driver-side, B rows)
+    from ray.data.aggregate import Count
+
+    counts = {
+        int(r["_bucket"]): int(r["n"])
+        for r in rows.groupby("_bucket").aggregate(Count(alias_name="n")).take_all()
+    }
+    offsets = {}
+    acc = 0
+    for b in range(int(B)):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_ref = ray.put(offsets)
+
+    # pass 2: per-bucket local sort + broadcast offset == global ROW_NUMBER
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        base = ray.get(off_ref)[int(g["_bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "shuffle_rank": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return rows.groupby("_bucket").map_groups(rank_group, batch_format="pandas")
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample — 5 docs per language by
     multiplicative-hash rank (the class-balancing primitive of a training-mix
@@ -1161,6 +1219,7 @@ QUERIES = {
     "nested_build": q_nested_build,
     "sample_hash": q_sample_hash,
     "train_split": q_train_split,
+    "shuffle_order": q_shuffle_order,
     "stratified_sample": q_stratified_sample,
     "mix_epochs": q_mix_epochs,
     "asof_join": q_asof_join,
