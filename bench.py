@@ -192,6 +192,10 @@ def run_bench() -> dict:
         "token_count",
         "sql_dist_join_agg",
         "geo_knn_search",
+        # round-5 additions: the outer-join planner path and the two-pass
+        # distributed global-rank pattern
+        "sql_dist_outer_join",
+        "shuffle_order",
     ]
     # cold AND warm per pipeline (VERDICT r4 wrong #4): the first call pays
     # per-worker import cost (duckdb etc.) that cold-only numbers twice
