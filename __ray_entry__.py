@@ -1875,6 +1875,57 @@ _MULTI_INDEX_QS = [("hash join query", "or"), ("vector scan filter", "or"),
                    ("merge sort", "and")]
 
 
+def _extended_stats_search(sf_dir: str):
+    """ES extended_stats under a query: stats + sum_of_squares / variance /
+    std_deviation (ES population formula (Σx² − (Σx)²/n)/n). FULL SQL —
+    integer doc-values keep every float64 sum exact, so engine and DuckDB
+    agree bit-for-bit before the display rounding."""
+    eng = _dv_engine(sf_dir)
+    try:
+        st = eng.extended_stats("hash join query", "n_chars")
+    finally:
+        eng.close()
+    return pa.Table.from_pylist([{
+        k: (round(v, 4) if isinstance(v, float) else int(v)) for k, v in st.items()
+    }])
+
+
+def _range_agg_search(sf_dir: str):
+    """ES range aggregation under a query: explicit [from, to) buckets
+    (from inclusive, to exclusive, * = unbounded) over a numeric doc-value.
+    FULL SQL — exact integer bucket counts."""
+    eng = _dv_engine(sf_dir)
+    try:
+        got = eng.range_agg(
+            "hash join query", "n_chars",
+            [(None, 200.0), (200.0, 900.0), (900.0, None)],
+        )
+    finally:
+        eng.close()
+    fmt = lambda x: "*" if x is None else str(int(x))  # noqa: E731
+    return pa.Table.from_pylist(
+        [{"key": f"{fmt(lo)}-{fmt(hi)}", "n": int(n)} for lo, hi, n in got]
+    )
+
+
+def _filters_agg_search(sf_dir: str):
+    """ES filters aggregation: named filters → match counts in one
+    concurrent scatter wave. FULL SQL — exact membership counts (the
+    unknown-term filter must report 0, not vanish)."""
+    eng = _dv_engine(sf_dir)
+    try:
+        got = eng.filters_agg({
+            "hash_join": ("hash join", "and"),
+            "vector_or_stream": ("vector stream", "or"),
+            "missing": ("zzzunknown", "or"),
+        })
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(
+        [{"name": k, "n": int(v)} for k, v in sorted(got.items())]
+    )
+
+
 def _suggest_complete(sf_dir: str):
     """ES completion suggester (autocomplete): dictionary terms under a
     prefix ranked by document frequency as the weight. FULL SQL: a vocab
@@ -2340,6 +2391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "suggest_phrase": _suggest_phrase,
             "multi_index_search": _multi_index_search,
             "suggest_complete": _suggest_complete,
+            "extended_stats_search": _extended_stats_search,
+            "range_agg_search": _range_agg_search,
+            "filters_agg_search": _filters_agg_search,
             "alias_search": _alias_search,
             "pack_sequences": _pack_sequences,
             "repeated_spans": _repeated_spans,
@@ -4082,6 +4136,51 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ((doc_id % 2147483647) * 48271) % 2147483647,
                                 doc_id) AS shuffle_rank
             FROM documents
+        """,
+        # extended_stats / range / filters aggregations: membership via the
+        # whitespace token lists; integer doc-values keep sums float64-exact
+        "extended_stats_search": """
+            WITH m AS (
+                SELECT n_chars::DOUBLE AS v FROM documents
+                WHERE list_has_any(
+                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                    ['hash', 'join', 'query'])
+            )
+            SELECT count(*)::BIGINT AS count,
+                   ROUND(sum(v), 4) AS sum,
+                   ROUND(min(v), 4) AS min,
+                   ROUND(max(v), 4) AS max,
+                   ROUND(sum(v) / count(*), 4) AS avg,
+                   ROUND(sum(v * v), 4) AS sum_of_squares,
+                   ROUND((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 4) AS variance,
+                   ROUND(sqrt(greatest((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*), 0)), 4) AS std_deviation
+            FROM m
+        """,
+        "range_agg_search": """
+            WITH m AS (
+                SELECT n_chars FROM documents
+                WHERE list_has_any(
+                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                    ['hash', 'join', 'query'])
+            )
+            SELECT '*-200' AS key, count(*) FILTER (n_chars < 200)::BIGINT AS n FROM m
+            UNION ALL
+            SELECT '200-900', count(*) FILTER (n_chars >= 200 AND n_chars < 900)::BIGINT FROM m
+            UNION ALL
+            SELECT '900-*', count(*) FILTER (n_chars >= 900)::BIGINT FROM m
+        """,
+        "filters_agg_search": """
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+                FROM documents
+            )
+            SELECT 'hash_join' AS name,
+                   count(*) FILTER (list_contains(l, 'hash') AND list_contains(l, 'join'))::BIGINT AS n
+            FROM toks
+            UNION ALL
+            SELECT 'vector_or_stream', count(*) FILTER (list_has_any(l, ['vector', 'stream']))::BIGINT FROM toks
+            UNION ALL
+            SELECT 'missing', count(*) FILTER (list_contains(l, 'zzzunknown'))::BIGINT FROM toks
         """,
         "term_df_whitespace": _TERM_DF_SQL,
         "term_df_stop_stem": _TERM_DF_STOP_STEM_SQL,

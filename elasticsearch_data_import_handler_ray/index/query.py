@@ -3128,6 +3128,94 @@ class QueryEngine:
             "avg": float(s / n),
         }
 
+    def extended_stats(self, text: str, field: str, *, mode: str = "or") -> dict | None:
+        """ES extended_stats aggregation: stats + sum_of_squares / variance /
+        std_deviation, ES's population formula
+        ``variance = (sumOfSqrs - sum²/count) / count``. The per-shard
+        partial adds Σx² to the stats tuple via the same per-value numeric
+        counts the percentile path ships (bounded-distinct doc-value
+        contract), combined on the driver — integer doc-values make every
+        sum exact in float64, so the result is order-independent."""
+        import math
+
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return None
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [a.agg_under_query.remote(terms, mode, field, None, "numeric")
+             for a in self._actors]
+        )
+        parts = [p for p in per if p is not None]
+        if not parts:
+            return None
+        vals = np.concatenate([np.asarray(p[0], dtype=np.float64) for p in parts])
+        cnts = np.concatenate([np.asarray(p[1], dtype=np.float64) for p in parts])
+        n = float(cnts.sum())
+        s = float((vals * cnts).sum())
+        ss = float((vals * vals * cnts).sum())
+        variance = (ss - s * s / n) / n
+        return {
+            "count": int(n), "sum": s,
+            "min": float(vals.min()), "max": float(vals.max()),
+            "avg": s / n, "sum_of_squares": ss,
+            "variance": variance,
+            "std_deviation": math.sqrt(max(variance, 0.0)),
+        }
+
+    def range_agg(
+        self,
+        text: str,
+        field: str,
+        ranges: list[tuple[float | None, float | None]],
+        *,
+        mode: str = "or",
+    ) -> list[tuple[float | None, float | None, int]]:
+        """ES range aggregation: per-bucket doc counts for explicit
+        [from, to) ranges (ES semantics: ``from`` inclusive, ``to``
+        exclusive, None = unbounded; buckets may overlap, each counts
+        independently). Reuses the per-value numeric-counts partial, so the
+        shuffle carries one row per distinct value per shard."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return [(lo, hi, 0) for lo, hi in ranges]
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [a.agg_under_query.remote(terms, mode, field, None, "numeric")
+             for a in self._actors]
+        )
+        parts = [p for p in per if p is not None]
+        if not parts:
+            return [(lo, hi, 0) for lo, hi in ranges]
+        vals = np.concatenate([np.asarray(p[0], dtype=np.float64) for p in parts])
+        cnts = np.concatenate([np.asarray(p[1], dtype=np.int64) for p in parts])
+        out = []
+        for lo, hi in ranges:
+            m = np.ones(len(vals), dtype=bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals < hi
+            out.append((lo, hi, int(cnts[m].sum())))
+        return out
+
+    def filters_agg(self, named: dict[str, tuple[str, str]]) -> dict[str, int]:
+        """ES filters aggregation: named (query text, mode) filters → match
+        counts, every filter's per-shard match evaluated in ONE concurrent
+        wave (futures for all name×shard pairs fire before any gather)."""
+        futs: dict[str, list] = {}
+        for name, (text, mode) in named.items():
+            terms = sorted(set(self.analyzer.analyze_query(text)))
+            futs[name] = (
+                [a.match_doc_ids.remote(terms, mode) for a in self._actors]
+                if terms
+                else []
+            )
+        return {
+            name: int(sum(len(ids) for ids in ray.get(fs))) if fs else 0
+            for name, fs in futs.items()
+        }
+
     def histogram(
         self, text: str, field: str, interval: float, *, mode: str = "or"
     ) -> list[tuple[float, int]]:
