@@ -1875,6 +1875,40 @@ _MULTI_INDEX_QS = [("hash join query", "or"), ("vector scan filter", "or"),
                    ("merge sort", "and")]
 
 
+def _dis_max_search(sf_dir: str):
+    """Lucene dis_max (the multi_match best_fields combiner): three OR
+    clauses, score = best clause + 0.3 · (sum of the others), union match
+    set. FULL SQL — greatest() + the written-order clause sum."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        for rank, (doc_id, score) in enumerate(
+            eng.dis_max_search(["hash join", "vector scan", "merge sort"],
+                               k=10, tie_breaker=0.3), 1):
+            rows.append({"rank": rank, "doc_id": int(doc_id),
+                         "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
+def _boosting_search(sf_dir: str):
+    """ES boosting query: positive matches rank normally, docs ALSO matching
+    the negative clause are DEMOTED by negative_boost (soft must_not).
+    FULL SQL — positive BM25 sum times a CASE demotion factor."""
+    eng = _dv_engine(sf_dir)
+    rows = []
+    try:
+        for rank, (doc_id, score) in enumerate(
+            eng.boosting_search("hash join query", "slow",
+                                negative_boost=0.4, k=10), 1):
+            rows.append({"rank": rank, "doc_id": int(doc_id),
+                         "score": round(score, 6)})
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _extended_stats_search(sf_dir: str):
     """ES extended_stats under a query: stats + sum_of_squares / variance /
     std_deviation (ES population formula (Σx² − (Σx)²/n)/n). FULL SQL —
@@ -2391,6 +2425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "suggest_phrase": _suggest_phrase,
             "multi_index_search": _multi_index_search,
             "suggest_complete": _suggest_complete,
+            "dis_max_search": _dis_max_search,
+            "boosting_search": _boosting_search,
             "extended_stats_search": _extended_stats_search,
             "range_agg_search": _range_agg_search,
             "filters_agg_search": _filters_agg_search,
@@ -2641,6 +2677,54 @@ def _bm25_oracles() -> dict[str, str]:
         {_bm25_topk_select('q1', 1, 'm_0 OR m_1 OR m_2', 10)}
         UNION ALL
         {_bm25_topk_select('q2', 2, 'm_0 AND m_1', 10)}
+    """
+
+    # dis_max: per-clause BM25 sums (ascending within the clause), combined
+    # greatest + tie·(written-order total − greatest); boosting: positive
+    # sum × CASE demotion. Both over the shared whitespace token algebra.
+    w = _bm25_with({
+        "q0": {"terms": ["hash", "join", "merge", "scan", "sort", "vector"]},
+    })
+    c_of = {t: _BM25_CONTRIB.format(i=i) for i, t in enumerate(
+        sorted(["hash", "join", "merge", "scan", "sort", "vector"]))}
+    cl0 = f"({c_of['hash']} + {c_of['join']})"
+    cl1 = f"({c_of['scan']} + {c_of['vector']})"
+    cl2 = f"({c_of['merge']} + {c_of['sort']})"
+    gx = f"greatest({cl0}, {cl1}, {cl2})"
+    out["dis_max_search"] = f"""
+        {w}
+        SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS "rank",
+               doc_id, ROUND(s.score, 6) AS score
+        FROM (
+            SELECT t.doc_id, ({gx} + 0.3 * ((({cl0} + {cl1}) + {cl2}) - {gx})) AS score
+            FROM tf_q0 t, st, df_q0
+            WHERE {" OR ".join(f"t.tf_{i} > 0" for i in range(6))}
+        ) s
+        ORDER BY s.score DESC, s.doc_id LIMIT 10)
+    """
+
+    w = _bm25_with({
+        "q0": {"terms": ["hash", "join", "query"], "flag_terms": ["slow"]},
+    })
+    pos = " + ".join(
+        _BM25_CONTRIB.format(i=i)
+        for i, t in enumerate(sorted(["hash", "join", "query", "slow"]))
+        if t != "slow"
+    )
+    slow_flag = f"t.tf_{sorted(['hash', 'join', 'query', 'slow']).index('slow')} > 0"
+    out["boosting_search"] = f"""
+        {w}
+        SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS "rank",
+               doc_id, ROUND(s.score, 6) AS score
+        FROM (
+            SELECT t.doc_id,
+                   ({pos}) * (CASE WHEN {slow_flag} THEN 0.4 ELSE 1.0 END) AS score
+            FROM tf_q0 t, st, df_q0
+            WHERE t.tf_0 > 0 OR t.tf_1 > 0 OR t.tf_2 > 0
+        ) s
+        ORDER BY s.score DESC, s.doc_id LIMIT 10)
     """
 
     # multi_index_search: dfs_query_then_fetch over the two parity-half

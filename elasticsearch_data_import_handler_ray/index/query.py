@@ -1670,6 +1670,42 @@ class QueryShard:
             order = np.argsort(ids)
             scores = scores[order]
             return ids[order], (scores * boost if boost != 1.0 else scores)
+        if kind == "dismax":
+            # Lucene DisjunctionMaxQuery: union of children, score = best
+            # child + tie_breaker · (sum of the others). Children accumulate
+            # into the union in WRITTEN order (elementwise, so the float
+            # pairing is the SQL left-assoc sum).
+            parts = [self._qs_eval(c, avgdl, k1, b) for c in node["children"]]
+            live = [p for p in parts if len(p[0])]
+            if not live:
+                return empty
+            union = np.unique(np.concatenate([p[0] for p in live]))
+            total = np.zeros(len(union), dtype=np.float64)
+            mx = np.zeros(len(union), dtype=np.float64)
+            for ids, sc in parts:
+                cur = np.zeros(len(union), dtype=np.float64)
+                if len(ids):
+                    cur[np.searchsorted(union, ids)] = sc
+                total += cur
+                np.maximum(mx, cur, out=mx)
+            tie = float(node.get("tie", 0.0))
+            scores = mx + tie * (total - mx)
+            boost = node.get("boost", 1.0)
+            return union, (scores * boost if boost != 1.0 else scores)
+        if kind == "boosting":
+            # ES boosting query: positive matches keep their score; those
+            # ALSO matching the negative clause are demoted by
+            # negative_boost (multiplied, not excluded — unlike must_not)
+            ids_p, sc_p = self._qs_eval(node["positive"], avgdl, k1, b)
+            if len(ids_p) == 0:
+                return empty
+            ids_n, _ = self._qs_eval(node["negative"], avgdl, k1, b)
+            if len(ids_n):
+                m = in_sorted(ids_p, ids_n)
+                if m.any():
+                    sc_p = sc_p.copy()
+                    sc_p[m] *= float(node["negative_boost"])
+            return ids_p, sc_p
         # bool
         must = [self._qs_eval(c, avgdl, k1, b) for c in node["must"]]
         should = [self._qs_eval(c, avgdl, k1, b) for c in node["should"]]
@@ -2332,6 +2368,76 @@ class QueryEngine:
             "filters": filters,
         }
         return self.search_many([q], k=k, method="exhaustive")[0]
+
+    def _compile_flat(self, text: str, df_map: dict[str, int]) -> dict:
+        """Analyzed OR clause → compiled term/group node (the query_string
+        compiler's leaf shapes, built directly from known dfs)."""
+        terms = sorted(
+            t for t in set(self.analyzer.analyze_query(text)) if df_map.get(t, 0) > 0
+        )
+        if not terms:
+            return {"kind": "none"}
+        if len(terms) == 1:
+            t = terms[0]
+            return {"kind": "term", "term": t,
+                    "idf": float(bm25.idf(self.N, df_map[t])), "boost": 1.0}
+        return {"kind": "group", "terms": terms,
+                "idfs": {t: float(bm25.idf(self.N, df_map[t])) for t in terms},
+                "msm": 1, "boost": 1.0}
+
+    def _eval_tree_topk(self, tree: dict, k: int) -> list[tuple[int, float]]:
+        """ONE scatter of a compiled tree to every shard, heap-merged top-k
+        (the query_string execution shape for directly-built trees)."""
+        shard_results = ray.get(
+            [a.query_string_batch.remote([tree], k, self.avgdl, self.k1, self.b, None)
+             for a in self._actors]
+        )
+        cand = [c for sr in shard_results for c in sr[0]]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        top = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in top]
+
+    def dis_max_search(
+        self, texts: list[str], *, k: int = 10, tie_breaker: float = 0.0
+    ) -> list[tuple[int, float]]:
+        """ES/Lucene dis_max query (the multi_match best_fields combiner):
+        each text is an OR clause; a doc matching several clauses scores
+        best-clause + tie_breaker · (sum of the other clause scores) — the
+        union matches, unlike bool's sum-of-all. Shard-local combination
+        (the dismax node in _qs_eval), only k rows leave each shard."""
+        all_terms = sorted({t for x in texts for t in self.analyzer.analyze_query(x)})
+        df_map = dict(zip(all_terms, self.global_dfs(all_terms).tolist()))
+        children = [self._compile_flat(x, df_map) for x in texts]
+        children = [c for c in children if c["kind"] != "none"]
+        if not children:
+            return []
+        tree = {"kind": "dismax", "tie": float(tie_breaker),
+                "children": children, "boost": 1.0}
+        return self._eval_tree_topk(tree, k)
+
+    def boosting_search(
+        self, positive: str, negative: str, *, negative_boost: float = 0.5, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES boosting query: positive matches rank normally, but docs ALSO
+        matching the negative clause are demoted by ``negative_boost``
+        (multiplied, not excluded — the soft version of must_not)."""
+        if not 0.0 <= negative_boost <= 1.0:
+            raise ValueError("negative_boost must be within [0, 1]")
+        all_terms = sorted(
+            set(self.analyzer.analyze_query(positive))
+            | set(self.analyzer.analyze_query(negative))
+        )
+        df_map = dict(zip(all_terms, self.global_dfs(all_terms).tolist()))
+        pos = self._compile_flat(positive, df_map)
+        if pos["kind"] == "none":
+            return []
+        tree = {"kind": "boosting", "positive": pos,
+                "negative": self._compile_flat(negative, df_map),
+                "negative_boost": float(negative_boost)}
+        return self._eval_tree_topk(tree, k)
 
     def _compile_query_string(
         self, q: str, default_operator: str, max_expansions: int
