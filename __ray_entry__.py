@@ -1840,41 +1840,6 @@ _QS_FULLSQL_QUERIES = [
 ]
 
 
-def _split_index(sf_dir: str, parity: int) -> str:
-    """One of TWO whitespace indices over the doc_id-parity halves of
-    `documents` — the multi-index search targets (disjoint by construction,
-    union = the whole table, so the combined-statistics oracle is the plain
-    full-corpus BM25 SQL)."""
-    key = (os.path.abspath(sf_dir), f"ws_split{parity}")
-    got = _INDEX_CACHE.get(key)
-    if got is None:
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        from elasticsearch_data_import_handler_ray.index.build import build_index
-        from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
-
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        half = t.filter(
-            pc.equal(pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()), 1), parity)
-        )
-        src_dir = tempfile.mkdtemp(prefix=f"edih_split{parity}_src_")
-        src = os.path.join(src_dir, "documents.parquet")
-        pq.write_table(half, src)
-        got = tempfile.mkdtemp(prefix=f"edih_split{parity}_idx_")
-        build_index(
-            src, got, mode="full",
-            config=IndexConfig(analyzer="whitespace", num_segments=4,
-                               doc_id_col="doc_id", content_col="text"),
-        )
-        _INDEX_CACHE[key] = got
-    return got
-
-
-_MULTI_INDEX_QS = [("hash join query", "or"), ("vector scan filter", "or"),
-                   ("merge sort", "and")]
-
-
 def _dis_max_search(sf_dir: str):
     """Lucene dis_max (the multi_match best_fields combiner): three OR
     clauses, score = best clause + 0.3 · (sum of the others), union match
@@ -1971,29 +1936,6 @@ def _suggest_complete(sf_dir: str):
             for rank, s in enumerate(eng.suggest_complete(p, top=5), 1):
                 rows.append({"query_idx": qi, "rank": rank,
                              "text": s["text"], "weight": int(s["weight"])})
-    finally:
-        eng.close()
-    return pa.Table.from_pylist(rows)
-
-
-def _multi_index_search(sf_dir: str):
-    """ES multi-index search (``GET /idx_a,idx_b/_search``) with
-    dfs_query_then_fetch semantics: TWO disjoint indices (doc_id-parity
-    halves of documents), statistics combined across both, one scatter over
-    the union of their shard actors (index/crossindex.py). FULL SQL: with
-    combined (N, df, avgdl) the scoring is score-identical to ONE index over
-    the union corpus, so the oracle is the plain full-corpus BM25 token
-    algebra — the value check that local-statistics scoring (ES's default
-    query_then_fetch pitfall) would fail."""
-    from elasticsearch_data_import_handler_ray.index.crossindex import MultiIndexEngine
-
-    eng = MultiIndexEngine([_split_index(sf_dir, 0), _split_index(sf_dir, 1)])
-    rows = []
-    try:
-        for qi, (q, mode) in enumerate(_MULTI_INDEX_QS):
-            for rank, (doc_id, score) in enumerate(eng.search(q, k=10, mode=mode), 1):
-                rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
-                             "score": round(score, 6)})
     finally:
         eng.close()
     return pa.Table.from_pylist(rows)
@@ -2423,7 +2365,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
             "suggest_phrase": _suggest_phrase,
-            "multi_index_search": _multi_index_search,
             "suggest_complete": _suggest_complete,
             "dis_max_search": _dis_max_search,
             "boosting_search": _boosting_search,
@@ -2677,6 +2618,54 @@ def _bm25_oracles() -> dict[str, str]:
         {_bm25_topk_select('q1', 1, 'm_0 OR m_1 OR m_2', 10)}
         UNION ALL
         {_bm25_topk_select('q2', 2, 'm_0 AND m_1', 10)}
+    """
+
+    # dis_max: per-clause BM25 sums (ascending within the clause), combined
+    # greatest + tie·(written-order total − greatest); boosting: positive
+    # sum × CASE demotion. Both over the shared whitespace token algebra.
+    w = _bm25_with({
+        "q0": {"terms": ["hash", "join", "merge", "scan", "sort", "vector"]},
+    })
+    c_of = {t: _BM25_CONTRIB.format(i=i) for i, t in enumerate(
+        sorted(["hash", "join", "merge", "scan", "sort", "vector"]))}
+    cl0 = f"({c_of['hash']} + {c_of['join']})"
+    cl1 = f"({c_of['scan']} + {c_of['vector']})"
+    cl2 = f"({c_of['merge']} + {c_of['sort']})"
+    gx = f"greatest({cl0}, {cl1}, {cl2})"
+    out["dis_max_search"] = f"""
+        {w}
+        SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS "rank",
+               doc_id, ROUND(s.score, 6) AS score
+        FROM (
+            SELECT t.doc_id, ({gx} + 0.3 * ((({cl0} + {cl1}) + {cl2}) - {gx})) AS score
+            FROM tf_q0 t, st, df_q0
+            WHERE {" OR ".join(f"t.tf_{i} > 0" for i in range(6))}
+        ) s
+        ORDER BY s.score DESC, s.doc_id LIMIT 10)
+    """
+
+    w = _bm25_with({
+        "q0": {"terms": ["hash", "join", "query"], "flag_terms": ["slow"]},
+    })
+    pos = " + ".join(
+        _BM25_CONTRIB.format(i=i)
+        for i, t in enumerate(sorted(["hash", "join", "query", "slow"]))
+        if t != "slow"
+    )
+    slow_flag = f"t.tf_{sorted(['hash', 'join', 'query', 'slow']).index('slow')} > 0"
+    out["boosting_search"] = f"""
+        {w}
+        SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS "rank",
+               doc_id, ROUND(s.score, 6) AS score
+        FROM (
+            SELECT t.doc_id,
+                   ({pos}) * (CASE WHEN {slow_flag} THEN 0.4 ELSE 1.0 END) AS score
+            FROM tf_q0 t, st, df_q0
+            WHERE t.tf_0 > 0 OR t.tf_1 > 0 OR t.tf_2 > 0
+        ) s
+        ORDER BY s.score DESC, s.doc_id LIMIT 10)
     """
 
     # dis_max: per-clause BM25 sums (ascending within the clause), combined
