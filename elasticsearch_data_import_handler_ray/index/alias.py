@@ -66,11 +66,10 @@ class MultiIndexEngine(QueryEngine):
             positions=all(e.man.config.positions for e in self.engines),
         )
         self.N = sum(e.N for e in self.engines)
-        sum_dl = sum(
-            e.man.sum_dl - sum(t["sum_dl"] for t in e._tomb.values())
-            for e in self.engines
-        )
-        self.avgdl = (sum_dl / self.N) if self.N else 0.0
+        # exact integer sums (QueryEngine.sum_dl is tombstone-corrected), so
+        # the blended avgdl equals the union-corpus division bit-for-bit
+        self.sum_dl = sum(e.sum_dl for e in self.engines)
+        self.avgdl = (self.sum_dl / self.N) if self.N else 0.0
         self.k1, self.b = first.k1, first.b
         self._tomb = {}
         self._actors = [a for e in self.engines for a in e._actors]
