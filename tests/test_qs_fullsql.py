@@ -53,6 +53,17 @@ def test_fuzzy_wildcard_full_sql(entrymod, sf_dir):
     _compare(entrymod, "fuzzy_wildcard_search", sf_dir)
 
 
+@pytest.mark.parametrize("name", [
+    "dis_max_search", "boosting_search", "suggest_phrase", "suggest_complete",
+    "extended_stats_search", "range_agg_search", "filters_agg_search",
+    "train_split", "shuffle_order",
+])
+def test_round5_entries_vs_oracle(entrymod, sf_dir, name):
+    # the round-5 additions, pinned in-suite with the driver's compare
+    # protocol (the full gate also covers them at sf0.01)
+    _compare(entrymod, name, sf_dir)
+
+
 def test_code_analyzer_is_whitespace_on_corpus(sf_dir):
     # the bm25_topk_code FULL-SQL oracle rests on this: the code analyzer
     # degenerates to whitespace on the plain-lowercase-word corpus, so the
