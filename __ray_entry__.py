@@ -2716,24 +2716,6 @@ def _bm25_oracles() -> dict[str, str]:
         ORDER BY s.score DESC, s.doc_id LIMIT 10)
     """
 
-    # multi_index_search: dfs_query_then_fetch over the two parity-half
-    # indices == single-index scoring over the union corpus — the oracle is
-    # the plain full-corpus BM25 algebra (local-statistics scoring would
-    # produce different idf/avgdl per half and fail this value check)
-    w = _bm25_with({
-        "q0": {"terms": ["hash", "join", "query"]},
-        "q1": {"terms": ["filter", "scan", "vector"]},
-        "q2": {"terms": ["merge", "sort"]},
-    })
-    out["multi_index_search"] = f"""
-        {w}
-        {_bm25_topk_select('q0', 0, 'm_0 OR m_1 OR m_2', 10)}
-        UNION ALL
-        {_bm25_topk_select('q1', 1, 'm_0 OR m_1 OR m_2', 10)}
-        UNION ALL
-        {_bm25_topk_select('q2', 2, 'm_0 AND m_1', 10)}
-    """
-
     # bm25_topk_code: the same OR-query shape through the CODE-analyzer
     # index + block-max scorer. The code analyzer is token-identical to
     # whitespace on this corpus (plain lowercase words; asserted doc-by-doc
