@@ -132,7 +132,7 @@ def statements(draw):
     return sql
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=40, deadline=None)
 @given(statements())
 def test_planner_matches_duckdb(fuzz_env, sql):
     views, con = fuzz_env
