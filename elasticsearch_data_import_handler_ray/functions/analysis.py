@@ -22,6 +22,8 @@ diverge (SURVEY.md §2.B7); ``analyze_query`` reuses ``tokens_of``.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -184,18 +186,109 @@ class FilteredAnalyzer(Analyzer):
         return pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), v)
 
 
+class EdgeNgramAnalyzer(Analyzer):
+    """ES ``edge_ngram`` token filter — the search-as-you-type recipe.
+
+    Index side (``tokens_of``): every base token expands to its leading
+    prefixes of length ``min_gram``..``min(len, max_gram)`` (a token shorter
+    than ``min_gram`` emits nothing — ES's filter without
+    ``preserve_original``). Fully vectorized: one ``utf8_length``, one
+    ``utf8_slice_codeunits`` per gram length over only the tokens long
+    enough, and an O(n) inverse-permutation gather restores token order —
+    no per-token Python.
+
+    Query side (``analyze_query``): ES's standard mapping pairs the
+    edge_ngram index ``analyzer`` with the BASE ``search_analyzer`` (the
+    typed text is already a prefix; expanding it too would match on shared
+    first letters). A query token longer than ``max_gram`` simply matches
+    nothing — exactly ES's behavior, no silent truncation.
+
+    Divergence note (documented, not hidden): ES emits every gram at the
+    source token's position; here grams occupy consecutive positions in the
+    stream, so phrase queries over an edge index are not meaningful (they
+    aren't in ES's recipe either — match/prefix queries are the use case)
+    and ``doc_len`` counts grams (ES norms also count the expanded stream).
+    """
+
+    def __init__(self, base: Analyzer, min_gram: int = 1, max_gram: int = 20):
+        if not (1 <= min_gram <= max_gram):
+            raise ValueError(f"need 1 <= min_gram <= max_gram, got {min_gram}/{max_gram}")
+        self.base = base
+        self.min_gram = int(min_gram)
+        self.max_gram = int(max_gram)
+        self.name = f"{base.name}+edge{min_gram}_{max_gram}"
+
+    def tokens_of(self, content):
+        lst = self.base.tokens_of(content)
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = pc.fill_null(pc.cast(flat, pa.large_string()), "")
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = self.min_gram, self.max_gram
+        grams = np.maximum(np.minimum(tok_len, hi) - lo + 1, 0)
+        gram_off = np.zeros(len(grams) + 1, dtype=np.int64)
+        np.cumsum(grams, out=gram_off[1:])
+        total = int(gram_off[-1])
+        pieces: list[pa.Array] = []
+        spots: list[np.ndarray] = []
+        for k in range(lo, hi + 1):
+            idx = np.flatnonzero(tok_len >= k)
+            if idx.size == 0:
+                break  # tok_len >= k is monotone in k: longer grams all empty
+            sl = pc.utf8_slice_codeunits(flat.take(pa.array(idx)), start=0, stop=k)
+            if isinstance(sl, pa.ChunkedArray):
+                sl = sl.combine_chunks()
+            pieces.append(sl)
+            spots.append(gram_off[idx] + (k - lo))
+        if pieces:
+            values = pa.concat_arrays(pieces)
+            # spots is a permutation of range(total): invert it in O(n)
+            inv = np.empty(total, dtype=np.int64)
+            inv[np.concatenate(spots)] = np.arange(total, dtype=np.int64)
+            values = values.take(pa.array(inv))
+        else:
+            values = pa.array([], type=pa.large_string())
+        ntoks = pc.fill_null(pc.list_value_length(lst), 0)
+        ntoks = ntoks.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_off = np.zeros(len(ntoks) + 1, dtype=np.int64)
+        np.cumsum(ntoks, out=tok_off[1:])
+        doc_off = gram_off[tok_off]
+        return pa.LargeListArray.from_arrays(pa.array(doc_off, type=pa.int64()), values)
+
+    def analyze_query(self, text: str) -> list[str]:
+        return self.base.analyze_query(text)
+
+
+_EDGE_RE = re.compile(r"^edge(?:(\d+)_(\d+))?$")
+
+
 def get_analyzer(name: str) -> Analyzer:
     """``"code"`` → base analyzer; ``"code+stop"``, ``"unicode+stop+stem"``
-    etc. compose token filters onto the base (order-insensitive suffixes)."""
+    etc. compose token filters onto the base (order-insensitive suffixes).
+    ``"whitespace+edge1_20"`` (or bare ``+edge`` for the 1..20 default) wraps
+    the composed analyzer in the edge_ngram filter — applied LAST, like ES's
+    filter-chain position for search-as-you-type mappings."""
     parts = name.split("+")
     base = ANALYZERS[parts[0]]()
     flags = set(parts[1:])
+    edge: tuple[int, int] | None = None
+    for f in list(flags):
+        m = _EDGE_RE.match(f)
+        if m:
+            flags.discard(f)
+            edge = (int(m.group(1) or 1), int(m.group(2) or 20))
     unknown = flags - {"stop", "stem"}
     if unknown:
         raise KeyError(f"unknown analyzer filters: {sorted(unknown)}")
+    out: Analyzer = base
     if flags:
-        return FilteredAnalyzer(base, stop="stop" in flags, stem="stem" in flags)
-    return base
+        out = FilteredAnalyzer(base, stop="stop" in flags, stem="stem" in flags)
+    if edge is not None:
+        out = EdgeNgramAnalyzer(out, min_gram=edge[0], max_gram=edge[1])
+    return out
 
 
 def term_frequencies(
