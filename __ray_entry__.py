@@ -57,6 +57,11 @@ def _index_cfg(kind: str):
         return IndexConfig(
             analyzer="whitespace", store_cols=("lang", "n_chars", "source"), **base
         )
+    if kind == "edge":
+        # edge_ngram index analyzer + whitespace search analyzer (the ES
+        # search-as-you-type mapping); 12 keeps the SQL oracle's gram
+        # expansion and the index vocabulary bounded
+        return IndexConfig(analyzer="whitespace+edge1_12", **base)
     if kind == "pos_dv":
         # whitespace + positions + doc-values: the one index whose EVERY
         # query_string leaf kind (term/phrase/prefix/fuzzy/regexp/range) is
@@ -586,6 +591,38 @@ def _bm25_topk(sf_dir: str):
                 {"text": "hash join query", "mode": "or"},
                 {"text": "vector scan filter", "mode": "or"},
                 {"text": "merge sort", "mode": "and"},
+            ],
+            k=10,
+            method="bmw",
+        )
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                         "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
+def _search_as_you_type(sf_dir: str):
+    """ES search-as-you-type: the index analyzer expands every token to its
+    edge n-grams (1..12), the search analyzer stays plain whitespace — so a
+    typed prefix term-matches any doc containing a token that starts with
+    it. FULL SQL oracle: the BM25-in-SQL machinery with the corpus token
+    lists replaced by their DuckDB gram expansion (range + string slice);
+    dl counts grams exactly like the index (ES norms count the expanded
+    stream too). Rank identity engine-vs-naive is pinned in
+    tests/test_edge_ngram.py on both scorers."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "edge"))
+    try:
+        results = eng.search_many(
+            [
+                {"text": "has joi", "mode": "or"},   # prefixes, OR
+                {"text": "vec", "mode": "or"},       # single short prefix
+                {"text": "merge so", "mode": "and"}, # whole word + prefix, AND
             ],
             k=10,
             method="bmw",
@@ -2263,9 +2300,11 @@ def _multimodal(sf_dir: str):
 # that have a FULL SQL oracle but have never earned a driver-green row
 # (candidates: the relational/window/stage fillers listed by
 # `[k for k in queries() if k not in oracle-window]`). r5 rotation:
-# `sql_expr` → `sql_dist_count_distinct` (new r5 planner surface) and
-# `export_search` → `intersect` (first never-windowed filler). Rotated-out
-# entries stay in the local 124-entry gate; nothing loses coverage.
+# `sql_expr` → `sql_dist_count_distinct` (new r5 planner surface),
+# `export_search` → `intersect` (first never-windowed filler), and
+# `reindex_search` → `search_as_you_type` (new r5 edge_ngram surface,
+# FULL SQL). Rotated-out entries stay in the local gate; nothing loses
+# coverage.
 _DRIVER_WINDOW: list[str] = [
     # named north-star entries (VERDICT r3 #1)
     "bm25_topk",
@@ -2291,7 +2330,7 @@ _DRIVER_WINDOW: list[str] = [
     "date_histogram_search",
     "significant_terms_search",
     "intersect",
-    "reindex_search",
+    "search_as_you_type",
     "term_df_whitespace",
     "term_df_stop_stem",
     "sql_dist_count_distinct",
@@ -2361,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "term_df_salted": _term_df_salted,
             "bm25_topk": _bm25_topk,
             "bm25_topk_code": _bm25_on,
+            "search_as_you_type": _search_as_you_type,
             "phrase_search": _phrase_search,
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
@@ -2620,52 +2660,32 @@ def _bm25_oracles() -> dict[str, str]:
         {_bm25_topk_select('q2', 2, 'm_0 AND m_1', 10)}
     """
 
-    # dis_max: per-clause BM25 sums (ascending within the clause), combined
-    # greatest + tie·(written-order total − greatest); boosting: positive
-    # sum × CASE demotion. Both over the shared whitespace token algebra.
-    w = _bm25_with({
-        "q0": {"terms": ["hash", "join", "merge", "scan", "sort", "vector"]},
-    })
-    c_of = {t: _BM25_CONTRIB.format(i=i) for i, t in enumerate(
-        sorted(["hash", "join", "merge", "scan", "sort", "vector"]))}
-    cl0 = f"({c_of['hash']} + {c_of['join']})"
-    cl1 = f"({c_of['scan']} + {c_of['vector']})"
-    cl2 = f"({c_of['merge']} + {c_of['sort']})"
-    gx = f"greatest({cl0}, {cl1}, {cl2})"
-    out["dis_max_search"] = f"""
-        {w}
-        SELECT * FROM (
-        SELECT ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS "rank",
-               doc_id, ROUND(s.score, 6) AS score
-        FROM (
-            SELECT t.doc_id, ({gx} + 0.3 * ((({cl0} + {cl1}) + {cl2}) - {gx})) AS score
-            FROM tf_q0 t, st, df_q0
-            WHERE {" OR ".join(f"t.tf_{i} > 0" for i in range(6))}
-        ) s
-        ORDER BY s.score DESC, s.doc_id LIMIT 10)
-    """
-
-    w = _bm25_with({
-        "q0": {"terms": ["hash", "join", "query"], "flag_terms": ["slow"]},
-    })
-    pos = " + ".join(
-        _BM25_CONTRIB.format(i=i)
-        for i, t in enumerate(sorted(["hash", "join", "query", "slow"]))
-        if t != "slow"
+    # search_as_you_type: the SAME BM25 algebra over the edge-gram token
+    # stream — DuckDB expands each whitespace token to its 1..12-char
+    # prefixes (range + 1-based string slice, exactly EdgeNgramAnalyzer's
+    # index side), while the query terms stay the raw typed prefixes
+    # (the search_analyzer split). dl = gram count, matching the index.
+    d_edge = (
+        "d AS (\n        SELECT doc_id, lang, n_chars, source,\n"
+        "               flatten(list_transform(\n"
+        f"                   {_ORACLE_TOKS},\n"
+        "                   tok -> list_transform(range(1, least(length(tok), 12) + 1),\n"
+        "                                         g -> tok[1:g])\n"
+        "               )) AS toks\n"
+        "        FROM documents\n    )"
     )
-    slow_flag = f"t.tf_{sorted(['hash', 'join', 'query', 'slow']).index('slow')} > 0"
-    out["boosting_search"] = f"""
+    w = _bm25_with({
+        "q0": {"terms": ["has", "joi"]},
+        "q1": {"terms": ["vec"]},
+        "q2": {"terms": ["merge", "so"]},
+    }, d_sql=d_edge)
+    out["search_as_you_type"] = f"""
         {w}
-        SELECT * FROM (
-        SELECT ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS "rank",
-               doc_id, ROUND(s.score, 6) AS score
-        FROM (
-            SELECT t.doc_id,
-                   ({pos}) * (CASE WHEN {slow_flag} THEN 0.4 ELSE 1.0 END) AS score
-            FROM tf_q0 t, st, df_q0
-            WHERE t.tf_0 > 0 OR t.tf_1 > 0 OR t.tf_2 > 0
-        ) s
-        ORDER BY s.score DESC, s.doc_id LIMIT 10)
+        {_bm25_topk_select('q0', 0, 'm_0 OR m_1', 10)}
+        UNION ALL
+        {_bm25_topk_select('q1', 1, 'm_0', 10)}
+        UNION ALL
+        {_bm25_topk_select('q2', 2, 'm_0 AND m_1', 10)}
     """
 
     # dis_max: per-clause BM25 sums (ascending within the clause), combined
