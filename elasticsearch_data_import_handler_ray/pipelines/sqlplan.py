@@ -28,14 +28,17 @@ order is the usual distributed-sum caveat).
 
 COUNT(DISTINCT x) plans as its own two-level exchange (per-batch DISTINCT
 combiner → groupby(keys, x) dedup → per-key count → left-join back onto the
-group anchor); `col IN (SELECT ...)` plans as a distributed semi-join
-(subquery planned recursively, deduped by one groupby, inner-joined on the
-probe column); ORDER BY accepts expressions over the output columns
+group anchor); `col IN (SELECT ...)` / `col NOT IN (SELECT ...)` and
+equi-correlated `[NOT] EXISTS (SELECT ...)` plan as distributed broadcast
+(anti-)semi-joins with exact SQL NULL semantics (NOT IN's null poison, NOT
+EXISTS keeping NULL probes — see _semi_filter_batch); uncorrelated scalar
+subqueries in WHERE are planned recursively and spliced back as literals
+before pushdown; ORDER BY accepts expressions over the output columns
 (computed into a temp column before the sort, dropped after).
 
-Anything outside the subset (window fns, correlated/other subqueries,
-non-equi joins, SUM/AVG DISTINCT, UNION distinct, cross joins) raises
-``PlanError``;
+Anything outside the subset (window fns beyond OVER(PARTITION BY), wider
+correlation than one equi-conjunct, non-equi joins, SUM/AVG DISTINCT,
+UNION distinct, cross joins) raises ``PlanError``;
 ``distributed_sql_query`` then falls back to the bounded driver-side
 ``sqlexpr.sql_query`` so the config surface never shrinks — it only scales
 further when the statement allows.
@@ -195,8 +198,15 @@ class _Stmt:
     # restricted to the projected table — base columns are gone by then)
     order: list[tuple["str | list[Tok]", bool]] = field(default_factory=list)
     limit: int | None = None
-    # WHERE conjuncts of shape `col IN (SELECT ...)`: (col token, sub-SQL)
-    semis: list[tuple[Tok, str]] = field(default_factory=list)
+    # WHERE conjuncts compiled to broadcast (anti-)semi-joins:
+    # (col token, sub-SQL, mode) with mode one of
+    #   "semi"        col IN (SELECT ...)  /  EXISTS (equi-correlated)
+    #   "anti_in"     col NOT IN (SELECT ...)   — SQL's NULL poison rules
+    #   "anti_exists" NOT EXISTS (equi-correlated) — NULL probes are KEPT
+    semis: list[tuple[Tok, str, str]] = field(default_factory=list)
+    # uncorrelated scalar subqueries lifted out of WHERE:
+    # (placeholder id already spliced into the where tokens, sub-SQL)
+    scalars: list[tuple[str, str]] = field(default_factory=list)
 
 
 _CLAUSE_WORDS = ("from", "where", "group", "having", "order", "limit",
@@ -383,15 +393,83 @@ def _window_partition_cols(items: list[list[Tok]]) -> list[str] | None:
     return shared
 
 
-def _extract_semis(where: list[Tok]) -> tuple[list[Tok] | None, list[tuple[Tok, str]]]:
-    """Pull `col IN (SELECT ...)` conjuncts out of a WHERE predicate.
+def _rewrite_exists(inner: list[Tok]) -> tuple[Tok, str]:
+    """Rewrite an (NOT) EXISTS subquery body into a semi-join probe.
 
-    Returns (residual where tokens or None, [(col token, subquery SQL)]).
-    Only the positive, uncorrelated, single-column-argument shape is taken;
-    anything else (NOT IN, expression IN, nested in an OR) stays in the
-    residual and then trips ``_reject_unsupported`` → driver-side fallback.
+    Accepted shape — the one real configs use: a single-view subquery whose
+    WHERE carries exactly ONE equi-correlation conjunct (``sub.col =
+    outer.col``, either side order) plus any number of sub-local conjuncts.
+    Returns (outer probe column token, decorrelated sub-SQL selecting the
+    inner join column); anything wider (multiple correlations, correlated
+    non-equi predicates, joins inside the subquery) raises PlanError →
+    driver-side fallback.
     """
-    semis: list[tuple[Tok, str]] = []
+    clauses = _split_clauses(inner)
+    if "from" not in clauses:
+        raise PlanError("EXISTS subquery needs a FROM clause")
+    root, alias, joins = _parse_from(clauses["from"])
+    if joins:
+        raise PlanError("EXISTS over a join is not distributable")
+    where = clauses.get("where")
+    if not where:
+        raise PlanError("uncorrelated EXISTS is not distributable")
+    corr: tuple[Tok, Tok] | None = None
+    local: list[list[Tok]] = []
+    for conj in _split_conjuncts(where):
+        outer_qual = [
+            t for t in conj
+            if t.kind == "qual" and t.text.split(".", 1)[0] != alias
+        ]
+        if not outer_qual:
+            local.append(conj)  # sub-local predicate, rides into the sub-SQL
+            continue
+        if (
+            len(conj) == 3
+            and conj[1].text == "="
+            and len(outer_qual) == 1
+            and conj[0].kind in ("qual", "id")
+            and conj[2].kind in ("qual", "id")
+        ):
+            inner_tok = conj[2] if conj[0] is outer_qual[0] else conj[0]
+            if corr is not None:
+                raise PlanError(
+                    "EXISTS with multiple correlation conjuncts is not "
+                    "distributable"
+                )
+            corr = (outer_qual[0], inner_tok)
+            continue
+        raise PlanError(
+            f"correlated EXISTS predicate beyond one equi-conjunct: "
+            f"{_text(conj)!r}"
+        )
+    if corr is None:
+        raise PlanError("EXISTS needs one equi-correlation conjunct")
+    inner_col = corr[1].text if corr[1].kind == "qual" else f"{alias}.{corr[1].text}"
+    subsql = f"SELECT {inner_col} AS __ex FROM {root} {alias}"
+    if local:
+        subsql += " WHERE " + " AND ".join(_text(c) for c in local)
+    return corr[0], subsql
+
+
+def _extract_semis(
+    where: list[Tok],
+) -> tuple[list[Tok] | None, list[tuple[Tok, str, str]]]:
+    """Pull subquery conjuncts out of a WHERE predicate.
+
+    Handled shapes (each becomes a broadcast (anti-)semi-join downstream):
+      * ``col IN (SELECT ...)``          → ("semi", NULL probes never match)
+      * ``col NOT IN (SELECT ...)``      → ("anti_in", SQL NULL poison: any
+                                            NULL in the value set or probe
+                                            kills the row)
+      * ``[NOT] EXISTS (SELECT ...)``    → decorrelated by _rewrite_exists
+                                            ("semi" / "anti_exists" — NULL
+                                            probes are KEPT by NOT EXISTS)
+    Returns (residual where tokens or None, [(col token, sub-SQL, mode)]).
+    Anything else (expression IN, nested in an OR, wide correlation) stays
+    in the residual and then trips ``_reject_unsupported`` → driver-side
+    fallback.
+    """
+    semis: list[tuple[Tok, str, str]] = []
     remaining: list[list[Tok]] = []
     for conj in _split_conjuncts(where):
         if (
@@ -402,7 +480,36 @@ def _extract_semis(where: list[Tok]) -> tuple[list[Tok] | None, list[tuple[Tok, 
             and conj[3].isword("select")
             and conj[-1].text == ")"
         ):
-            semis.append((conj[0], _text(conj[3:-1])))
+            semis.append((conj[0], _text(conj[3:-1]), "semi"))
+        elif (
+            len(conj) >= 6
+            and conj[0].kind in ("id", "qual", "qid")
+            and conj[1].isword("not")
+            and conj[2].isword("in")
+            and conj[3].text == "("
+            and conj[4].isword("select")
+            and conj[-1].text == ")"
+        ):
+            semis.append((conj[0], _text(conj[4:-1]), "anti_in"))
+        elif (
+            len(conj) >= 4
+            and conj[0].isword("exists")
+            and conj[1].text == "("
+            and conj[2].isword("select")
+            and conj[-1].text == ")"
+        ):
+            probe, subsql = _rewrite_exists(conj[2:-1])
+            semis.append((probe, subsql, "semi"))
+        elif (
+            len(conj) >= 5
+            and conj[0].isword("not")
+            and conj[1].isword("exists")
+            and conj[2].text == "("
+            and conj[3].isword("select")
+            and conj[-1].text == ")"
+        ):
+            probe, subsql = _rewrite_exists(conj[3:-1])
+            semis.append((probe, subsql, "anti_exists"))
         else:
             remaining.append(conj)
     rem: list[Tok] = []
@@ -411,6 +518,51 @@ def _extract_semis(where: list[Tok]) -> tuple[list[Tok] | None, list[tuple[Tok, 
             rem.append(Tok("id", "AND"))
         rem.extend(c)
     return (rem or None), semis
+
+
+def _extract_scalars(
+    where: list[Tok], start: int = 0
+) -> tuple[list[Tok], list[tuple[str, str]]]:
+    """Lift uncorrelated scalar subqueries ``( SELECT ... )`` out of WHERE.
+
+    Each depth-0-opened parenthesized SELECT that is NOT the argument of
+    IN/EXISTS (those were extracted by _extract_semis first) is replaced by
+    a placeholder identifier ``__scalar_<i>``; plan_sql evaluates the
+    subquery (recursively planned — it must reduce to one row, one column)
+    and splices the value back in as a literal before any pushdown. A
+    correlated scalar subquery references an outer alias and fails planning
+    with an unknown-view/column PlanError → fallback, never a wrong answer.
+    """
+    out: list[Tok] = []
+    scalars: list[tuple[str, str]] = []
+    i = 0
+    n = len(where)
+    while i < n:
+        t = where[i]
+        if (
+            t.text == "("
+            and i + 1 < n
+            and where[i + 1].isword("select")
+            and not (out and (out[-1].isword("in") or out[-1].isword("exists")))
+        ):
+            depth = 1
+            j = i + 1
+            while j < n and depth:
+                if where[j].text == "(":
+                    depth += 1
+                elif where[j].text == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise PlanError("unbalanced parentheses in WHERE")
+            name = f"__scalar_{start + len(scalars)}"
+            scalars.append((name, _text(where[i + 1 : j - 1])))
+            out.append(Tok("id", name))
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    return out, scalars
 
 
 def parse(sql: str, view_names: set[str]) -> _Stmt:
@@ -424,11 +576,14 @@ def parse(sql: str, view_names: set[str]) -> _Stmt:
         raise PlanError("empty select list")
     if "from" not in clauses:
         raise PlanError("SELECT without FROM is not distributable")
-    semis: list[tuple[Tok, str]] = []
+    semis: list[tuple[Tok, str, str]] = []
+    scalars: list[tuple[str, str]] = []
     if clauses.get("where"):
         clauses["where"], semis = _extract_semis(clauses["where"])
         if clauses["where"] is None:
             del clauses["where"]
+        else:
+            clauses["where"], scalars = _extract_scalars(clauses["where"])
     for name in ("select", "where", "having"):
         if name in clauses:
             # OVER is allowed in the select list (validated/compiled by the
@@ -458,6 +613,7 @@ def parse(sql: str, view_names: set[str]) -> _Stmt:
     st._pending_joins = pending  # type: ignore[attr-defined]
     st.where = clauses.get("where")
     st.semis = semis
+    st.scalars = scalars
     if "group" in clauses:
         st.group = _split_toplevel(clauses["group"], ",")
     st.having = clauses.get("having")
@@ -692,8 +848,17 @@ def _partial_types(views, aliases, used, partial_sql: str) -> dict[str, str]:
     return {f.name: _duck_type(f.type) for f in out_schema}
 
 
-def _semi_filter_batch(batch: pa.Table, *, col: str, vref) -> pa.Table:
-    """Membership filter against a broadcast (ray.put) value array."""
+def _semi_filter_batch(batch: pa.Table, *, col: str, vref, mode: str = "semi") -> pa.Table:
+    """(Anti-)membership filter against a broadcast (ray.put) value array.
+
+    modes (``values`` is NULL-free by the time it is broadcast):
+      * semi        — keep rows whose probe is IN the set (NULLs never match)
+      * anti_in     — keep non-NULL probes NOT in the set (`x NOT IN (...)`
+                       is NULL, i.e. filtered, for a NULL x; a NULL in the
+                       subquery result was handled upstream → empty output)
+      * anti_exists — keep probes NOT in the set, INCLUDING NULL probes
+                       (NULL = anything is never TRUE, so NOT EXISTS holds)
+    """
     import pyarrow.compute as pc
 
     import ray as _ray
@@ -702,7 +867,13 @@ def _semi_filter_batch(batch: pa.Table, *, col: str, vref) -> pa.Table:
     probe = batch[col]
     if values.type != probe.type:
         values = values.cast(probe.type)
-    return batch.filter(pc.is_in(probe, value_set=values))
+    hit = pc.is_in(probe, value_set=values)
+    if mode == "semi":
+        return batch.filter(hit)
+    keep = pc.invert(hit)
+    null_keep = mode == "anti_exists"
+    keep = pc.if_else(pc.is_valid(probe), keep, pa.scalar(null_keep))
+    return batch.filter(keep)
 
 
 def _per_batch(ds: ray.data.Dataset, query: str, *, normalize: bool = False,
@@ -736,6 +907,56 @@ def _split_union_all(toks: list[Tok]) -> list[list[Tok]]:
         out[-1].append(t)
         i += 1
     return out
+
+
+def _alias_scalar_select(subsql: str) -> str:
+    """Give a scalar subquery's single select item an output alias if the
+    user wrote a bare expression (``SELECT avg(x) FROM v``) — the planner
+    requires expressions to be named, but a scalar subquery never exposes
+    its column name, so ``AS __sc`` is free to add."""
+    toks = _tokenize(subsql.strip().rstrip(";"))
+    clauses = _split_clauses(toks)
+    items = _split_toplevel(clauses.get("select") or [], ",")
+    if len(items) != 1 or not items[0]:
+        return subsql  # let plan_sql produce its own error
+    try:
+        _item_output_name(items[0])
+        return subsql  # already has a usable name
+    except PlanError:
+        pass
+    out = ["SELECT", _text(items[0]), "AS __sc"]
+    for w in ("from", "where", "group", "having", "order", "limit"):
+        if w in clauses:
+            out.append(w.upper() + (" BY" if w in ("group", "order") else ""))
+            out.append(_text(clauses[w]))
+    return " ".join(out)
+
+
+def _literal_toks(v) -> list[Tok]:
+    """Render a Python value (from Dataset.take) as SQL literal tokens."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return [Tok("id", "NULL")]
+    if isinstance(v, bool):
+        return [Tok("id", "TRUE" if v else "FALSE")]
+    if isinstance(v, (int,)):
+        return [Tok("num", str(v))]
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            raise PlanError(f"non-finite scalar subquery value {v!r}")
+        return [Tok("num", repr(v))]  # repr round-trips float64 exactly
+    if isinstance(v, decimal.Decimal):
+        return [Tok("num", str(v))]
+    if isinstance(v, str):
+        return [Tok("str", "'" + v.replace("'", "''") + "'")]
+    if isinstance(v, datetime.datetime):
+        return [Tok("id", "TIMESTAMP"), Tok("str", f"'{v.isoformat(sep=' ')}'")]
+    if isinstance(v, datetime.date):
+        return [Tok("id", "DATE"), Tok("str", f"'{v.isoformat()}'")]
+    raise PlanError(f"unsupported scalar subquery type {type(v).__name__}")
 
 
 def plan_sql(
@@ -776,6 +997,31 @@ def plan_sql(
         return out
 
     st = parse(query, set(views))
+
+    # ---- uncorrelated scalar subqueries: evaluate, splice as literals -----
+    # Planned recursively (same subset rules, and the result of a scalar
+    # subquery is one row by contract), then substituted into the WHERE
+    # token stream BEFORE pushdown classification — the pushed-down per-scan
+    # SQL and the residual both see a plain literal.
+    if st.scalars:
+        values_by_name: dict[str, list[Tok]] = {}
+        for name, subsql in st.scalars:
+            sub = plan_sql(_alias_scalar_select(subsql), views, concurrency=concurrency)
+            rows = sub.take(2)
+            if len(rows) > 1:
+                raise PlanError("scalar subquery returned more than one row")
+            if not rows:
+                values_by_name[name] = [Tok("id", "NULL")]
+            else:
+                row = rows[0]
+                if len(row) != 1:
+                    raise PlanError("scalar subquery must select one column")
+                values_by_name[name] = _literal_toks(next(iter(row.values())))
+        spliced: list[Tok] = []
+        for t in st.where or []:
+            spliced.extend(values_by_name.get(t.text, [t]))
+        st.where = spliced or None
+
     aliases: dict[str, str] = st._aliases  # type: ignore[attr-defined]
     pending: list[tuple] = st._pending_joins  # type: ignore[attr-defined]
 
@@ -787,15 +1033,15 @@ def plan_sql(
     # mangle every expression context
     for item in st.select:
         _mangle_tokens(item, aliases, schemas, used)
-    semi_cols: list[tuple[str, str]] = []
-    for tok, subsql in st.semis:
+    semi_cols: list[tuple[str, str, str]] = []
+    for tok, subsql, mode in st.semis:
         lst = [tok]
         _mangle_tokens(lst, aliases, schemas, used)
         if lst[0].kind != "id" or not _alias_of(lst[0].text, aliases):
             raise PlanError(
-                f"IN-subquery left side must be a plain column, got {tok.text!r}"
+                f"subquery probe side must be a plain column, got {tok.text!r}"
             )
-        semi_cols.append((lst[0].text, subsql))
+        semi_cols.append((lst[0].text, subsql, mode))
     if st.where:
         _mangle_tokens(st.where, aliases, schemas, used)
     for g in st.group:
@@ -937,26 +1183,30 @@ def plan_sql(
             concurrency=concurrency,
         )
 
-    # ---- `col IN (SELECT ...)` → broadcast semi-join ---------------------
-    # The subquery is planned recursively (same subset rules) and shrunk by
-    # a per-batch DISTINCT; the residual value set is deduped on the driver
-    # and broadcast once (``ray.put``) to a per-batch membership filter —
-    # the A11 broadcast-semi-join shape. The value set of an IN() predicate
-    # is filter-sized by contract (it is what a user would otherwise write
+    # ---- subquery conjuncts → broadcast (anti-)semi-joins ----------------
+    # `col IN (SELECT ...)`, `col NOT IN (SELECT ...)` and the decorrelated
+    # [NOT] EXISTS probes all take the same shape: the subquery is planned
+    # recursively (same subset rules) and shrunk by a per-batch DISTINCT;
+    # the residual value set is deduped on the driver and broadcast once
+    # (``ray.put``) to a per-batch membership filter — the A11
+    # broadcast-semi-join shape. The value set of such a predicate is
+    # filter-sized by contract (it is what a user would otherwise write
     # inline); a hash-shuffle Dataset.join is NOT usable here because its
     # per-partition pa.Table.join crashes on the empty partitions a
-    # post-aggregate (deduped) side produces. NULLs are dropped from the
-    # value set first — `x IN (...)` is never TRUE for NULL x.
-    for i, (mcol, subsql) in enumerate(semi_cols):
+    # post-aggregate (deduped) side produces. NULL handling is per-mode —
+    # see _semi_filter_batch; NOT IN needs the value set's nulls DETECTED
+    # (any null → the predicate is never TRUE → empty output), the other
+    # modes drop them outright.
+    for i, (mcol, subsql, mode) in enumerate(semi_cols):
         sub_st = parse(subsql, set(views))
         if len(sub_st.select) != 1:
-            raise PlanError("IN subquery must select exactly one column")
+            raise PlanError("IN/EXISTS subquery must select exactly one column")
         (sub_name,) = [_item_output_name(it)[1] for it in sub_st.select]
         sub = plan_sql(subsql, views, concurrency=concurrency)
+        null_probe = " WHERE \"%s\" IS NOT NULL" % sub_name if mode != "anti_in" else ""
         shrunk = _per_batch(
             sub,
-            f'SELECT DISTINCT "{sub_name}" AS __sj FROM t '
-            f'WHERE "{sub_name}" IS NOT NULL',
+            f'SELECT DISTINCT "{sub_name}" AS __sj FROM t{null_probe}',
             concurrency=concurrency,
         )
         import pyarrow.compute as pc
@@ -966,14 +1216,21 @@ def plan_sql(
             if b.num_columns and b.num_rows
         ]
         if not parts:
-            out = out.limit(0)  # IN (empty set) matches nothing
+            if mode == "semi":
+                out = out.limit(0)  # IN (empty set) matches nothing
+            # anti modes: NOT IN (empty) / NOT EXISTS (no match) keep all
             continue
         values = pc.unique(pa.concat_tables(parts).column("__sj").combine_chunks())
+        if mode == "anti_in" and values.null_count:
+            # x NOT IN (..., NULL) is never TRUE for any x — SQL null poison
+            out = out.limit(0)
+            continue
+        values = values.drop_null()
         vref = ray.put(values)
         import functools
 
         out = out.map_batches(
-            functools.partial(_semi_filter_batch, col=mcol, vref=vref),
+            functools.partial(_semi_filter_batch, col=mcol, vref=vref, mode=mode),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

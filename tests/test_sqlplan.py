@@ -247,7 +247,10 @@ def test_limit(views):
         ("SELECT n_name AS x FROM nation UNION SELECT r_name FROM region", "UNION"),
         ("SELECT n_nationkey + 1 FROM nation", "AS alias"),
         ("SELECT sum(n_nationkey) AS s FROM nation ORDER BY sum(n_nationkey) + 1", "aggregate"),
-        ("SELECT n_name AS x FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)", "subquer"),
+        # expression (not a plain column) on the IN probe side stays rejected
+        ("SELECT n_name AS x FROM nation WHERE n_regionkey + 1 IN (SELECT r_regionkey FROM region)", "subquer"),
+        # disjunctive subquery predicates stay rejected (residual holds SELECT)
+        ("SELECT n_name AS x FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region) OR n_nationkey = 1", "subquer"),
     ],
 )
 def test_plan_errors(views, sql, msg):
@@ -425,3 +428,164 @@ def test_window_mixed_partitions_falls_back(views, oracle):
     got = distributed_sql_query(sql, views).to_pandas()
     want = oracle.execute(sql).df()
     assert len(got) == len(want)
+
+
+# ------------------------------------------------------------------ r5 growth
+# NOT IN / [NOT] EXISTS → broadcast (anti-)semi-joins, scalar subqueries
+
+
+def test_not_in_subquery_antijoin(views, oracle):
+    got = check(
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 400000)",
+        views,
+        oracle,
+    )
+    assert len(got) > 0
+
+
+def test_exists_decorrelates_to_semijoin(views, oracle):
+    got = check(
+        "SELECT c.c_custkey FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
+        views,
+        oracle,
+    )
+    assert len(got) > 0
+
+
+def test_not_exists_keeps_unmatched(views, oracle):
+    got = check(
+        "SELECT c.c_custkey FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 400000)",
+        views,
+        oracle,
+    )
+    assert len(got) > 0
+
+
+def test_exists_correlation_side_order_flipped(views, oracle):
+    """outer.col on the LEFT of the correlation equality also decorrelates."""
+    check(
+        "SELECT c.c_custkey FROM customer c "
+        "WHERE EXISTS (SELECT o_orderkey FROM orders o "
+        "WHERE c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F')",
+        views,
+        oracle,
+    )
+
+
+def _null_views():
+    import pyarrow as pa
+
+    nt = pa.table({"k": [1, 2, 3, None], "v": [10, 20, None, 40]})
+    con = duckdb.connect()
+    con.register("nt", nt)
+    return {"nt": ray.data.from_arrow(nt)}, con
+
+
+def test_not_in_null_poison():
+    """Any NULL in the subquery's value set makes NOT IN never-true (SQL)."""
+    views, con = _null_views()
+    sql = "SELECT k FROM nt WHERE k NOT IN (SELECT v FROM nt)"
+    got = plan_sql(sql, views).to_pandas()
+    want = con.execute(sql).df()
+    assert len(got) == len(want) == 0
+
+
+def test_not_in_drops_null_probe():
+    views, con = _null_views()
+    sql = "SELECT k FROM nt WHERE k NOT IN (SELECT v FROM nt WHERE v > 15)"
+    got = plan_sql(sql, views).to_pandas()
+    want = con.execute(sql).df()
+    assert sorted(got["k"]) == sorted(want["k"]) == [1, 2, 3]
+
+
+def test_not_exists_keeps_null_probe():
+    views, con = _null_views()
+    sql = "SELECT a.k FROM nt a WHERE NOT EXISTS (SELECT 1 FROM nt b WHERE b.v = a.k)"
+    got = plan_sql(sql, views).to_pandas()
+    want = con.execute(sql).df()
+    assert len(got) == len(want) == 4  # NULL probe is kept by NOT EXISTS
+
+
+def test_scalar_subquery_in_where(views, oracle):
+    got = check(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8",
+        views,
+        oracle,
+    )
+    assert len(got) > 0
+
+
+def test_scalar_subquery_zero_rows_is_null(views, oracle):
+    """A zero-row scalar subquery is NULL; `x > NULL` keeps nothing. (Count
+    compare: Ray's to_pandas drops column names on an all-empty Dataset.)"""
+    sql = (
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders "
+        "WHERE o_totalprice > 99999999)"
+    )
+    got = plan_sql(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    assert len(got) == len(want) == 0
+
+
+def test_scalar_plus_exists_combined(views, oracle):
+    got = check(
+        "SELECT c.c_custkey FROM customer c "
+        "WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer) "
+        "AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        views,
+        oracle,
+    )
+    assert len(got) > 0
+
+
+def test_scalar_subquery_pushdown_still_prunes(views):
+    """The spliced literal must reach the pushed-down per-scan filter — the
+    plan stays a single map-only scan (no residual crash on the placeholder)."""
+    ds = plan_sql(
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
+        views,
+    )
+    assert ds.count() > 0
+
+
+def test_exists_multi_correlation_falls_back(views, oracle):
+    sql = (
+        "SELECT c.c_custkey FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderkey = c.c_nationkey)"
+    )
+    with pytest.raises(PlanError, match="correlation"):
+        plan_sql(sql, views)
+    got = distributed_sql_query(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    assert len(got) == len(want)
+
+
+def test_exists_non_equi_correlation_falls_back(views, oracle):
+    sql = (
+        "SELECT c.c_custkey FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey > c.c_custkey)"
+    )
+    with pytest.raises(PlanError, match="equi"):
+        plan_sql(sql, views)
+    got = distributed_sql_query(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    assert len(got) == len(want)
+
+
+def test_scalar_subquery_multirow_raises(views):
+    with pytest.raises(PlanError, match="more than one row"):
+        plan_sql(
+            "SELECT c_custkey FROM customer "
+            "WHERE c_acctbal > (SELECT o_totalprice FROM orders)",
+            views,
+        )

@@ -54,7 +54,12 @@ _SCALARS = ["v", "v + 1", "v * 2", "abs(v - 3)", "length(s)",
 _PREDS = ["v > 0", "v % 2 = 0", "s LIKE 'a%'", "k < 15", "abs(v) > 10",
           "v BETWEEN -20 AND 30", "k IN (1, 2, 3, 7)",
           "k IN (SELECT k2 FROM t2 WHERE w > 40)",
-          "k IN (SELECT DISTINCT k2 FROM t2)"]
+          "k IN (SELECT DISTINCT k2 FROM t2)",
+          # r5 planner growth: anti-/decorrelated semi-joins + scalar splice
+          "k NOT IN (SELECT k2 FROM t2 WHERE w > 40)",
+          "EXISTS (SELECT 1 FROM t2 WHERE t2.k2 = t1.k AND t2.w > 30)",
+          "NOT EXISTS (SELECT 1 FROM t2 WHERE t2.k2 = t1.k)",
+          "v > (SELECT avg(w) FROM t2) - 50"]
 _AGGS = ["sum(v)", "count(*)", "min(v)", "max(v)", "avg(v)",
          "sum(abs(v))", "count(s)",
          "count(DISTINCT s)", "count(DISTINCT v % 3)", "max(DISTINCT v)"]
