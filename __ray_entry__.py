@@ -1449,6 +1449,21 @@ _SQL_DIST_OUTER = """
 """
 _sql_dist_outer_join = _make_sql_dist(_SQL_DIST_OUTER, ("orders", "customer"))
 
+# r5: NOT EXISTS decorrelates to a broadcast anti-join (NULL probes kept,
+# per SQL), and the uncorrelated scalar subquery is planned recursively and
+# spliced back as a literal before pushdown — both new planner paths in one
+# driver-checkable statement (the oracle runs the IDENTICAL SQL).
+_SQL_DIST_EXISTS = """
+    SELECT c.c_custkey, c.c_mktsegment AS seg
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+"""
+_sql_dist_exists = _make_sql_dist(_SQL_DIST_EXISTS, ("customer", "orders"))
+
 
 def _sql_db_source(sf_dir: str):
     """SQL-database source (sources.jdbc parity): the documents table is
@@ -2441,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sql_dist_count_distinct": _sql_dist_count_distinct,
             "sql_dist_window": _sql_dist_window,
             "sql_dist_outer_join": _sql_dist_outer_join,
+            "sql_dist_exists": _sql_dist_exists,
             "geo_distance_search": _geo_distance_search,
             "geo_knn_search": _geo_knn_search,
             "geotile_grid": _geotile_grid,
@@ -4268,6 +4284,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_dist_count_distinct": _SQL_DIST_CD,
         "sql_dist_window": _SQL_DIST_WINDOW,
         "sql_dist_outer_join": _SQL_DIST_OUTER,
+        "sql_dist_exists": _SQL_DIST_EXISTS,
         # geo/ip: the derivation CTE is the same arithmetic _geo_dataset runs
         # distributed; the formulas mirror stages/geoip.py operation-for-
         # operation (same association order) so float results agree.
