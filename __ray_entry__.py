@@ -464,6 +464,50 @@ def _term_df_whitespace(sf_dir: str):
     return out.sort(["df", "term"], descending=[True, False]).limit(100)
 
 
+def _term_df_shingle(sf_dir: str):
+    """ES shingle token filter (functions/analysis.ShingleAnalyzer): global
+    bigram document frequencies, top-100 — the whole word-ngram expansion is
+    replicated in the DuckDB oracle (adjacent-pair list algebra), so df
+    semantics of the shingled stream are value-checked end to end."""
+    from ray.data.aggregate import Count
+
+    from elasticsearch_data_import_handler_ray.functions.analysis import (
+        get_analyzer,
+        term_frequencies,
+    )
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+
+    az = get_analyzer("whitespace+shingle2_2nouni")
+
+    def tok(t: pa.Table) -> pa.Table:
+        post, _ = term_frequencies(
+            az, t["doc_id"].combine_chunks().cast(pa.uint64()), t["text"].combine_chunks()
+        )
+        return post.select(["term"])
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("term").aggregate(Count(alias_name="df"))
+    return out.sort(["df", "term"], descending=[True, False]).limit(100)
+
+
+_TERM_DF_SHINGLE_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+), big AS (
+    SELECT DISTINCT doc_id, sh.s AS term
+    FROM toks, unnest(list_transform(range(1, len(t)),
+                                     p -> t[p] || ' ' || t[p + 1])) AS sh(s)
+)
+SELECT term, count(*)::BIGINT AS df
+FROM big GROUP BY term
+ORDER BY df DESC, term LIMIT 100
+"""
+
+
 def _term_df_stop_stem(sf_dir: str):
     """Whitespace analyzer + ES-style token filters (stopword removal +
     Harman S-stemmer, functions/analysis.FilteredAnalyzer) — the ENTIRE
@@ -2410,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "embed_neardup": _embed_neardup,
             "semdedup": _semdedup,
             "term_df_whitespace": _term_df_whitespace,
+            "term_df_shingle": _term_df_shingle,
             "term_df_stop_stem": _term_df_stop_stem,
             "upsert_search": _upsert_search,
             "term_df_salted": _term_df_salted,
@@ -4274,6 +4319,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'missing', count(*) FILTER (list_contains(l, 'zzzunknown'))::BIGINT FROM toks
         """,
         "term_df_whitespace": _TERM_DF_SQL,
+        "term_df_shingle": _TERM_DF_SHINGLE_SQL,
         "term_df_stop_stem": _TERM_DF_STOP_STEM_SQL,
         "term_df_salted": _TERM_DF_SQL,
         "sql_expr": _SQL_EXPR.format(src="lineitem"),

@@ -262,7 +262,94 @@ class EdgeNgramAnalyzer(Analyzer):
         return self.base.analyze_query(text)
 
 
+class ShingleAnalyzer(Analyzer):
+    """ES ``shingle`` token filter — word n-grams over the base token stream.
+
+    For every position p it emits (in ES token-stream order) the unigram
+    (unless ``output_unigrams=False``) followed by the shingles of size
+    ``min_size``..``max_size`` that START at p, space-joined — e.g. the ES
+    default (2,2, unigrams on) turns ``"a b c"`` into
+    ``a, "a b", b, "b c", c``. Fully vectorized: empties/nulls are dropped
+    first (divergence note: ES can insert ``_`` filler for removed stopwords;
+    here the stream closes up — the FilteredAnalyzer's empty-drop semantics),
+    then one ``binary_join_element_wise`` per shingle size over
+    index-shifted takes of the flat token array, scattered into stream
+    order by an O(n) inverse permutation.
+
+    Query side shares the exact same expansion (``analyze_query`` inherits
+    ``tokens_of``): a two-word query produces its unigrams + bigram, which
+    is exactly how ES scores a match query against a shingled field."""
+
+    def __init__(self, base: Analyzer, min_size: int = 2, max_size: int = 2,
+                 output_unigrams: bool = True):
+        if not (2 <= min_size <= max_size):
+            raise ValueError(f"need 2 <= min_size <= max_size, got {min_size}/{max_size}")
+        self.base = base
+        self.min_size = int(min_size)
+        self.max_size = int(max_size)
+        self.output_unigrams = bool(output_unigrams)
+        self.name = f"{base.name}+shingle{min_size}_{max_size}" + (
+            "" if output_unigrams else "nouni"
+        )
+
+    def tokens_of(self, content):
+        lst = self.base.tokens_of(content)
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = pc.cast(flat, pa.large_string())
+        parent = pc.list_parent_indices(lst)
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        keep = pc.and_kleene(pc.is_valid(flat), pc.not_equal(flat, ""))
+        keep = pc.fill_null(keep, False)
+        flat = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(lst)
+        n = len(par)
+        counts = np.bincount(par, minlength=n_docs).astype(np.int64)
+        doc_tok_start = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=doc_tok_start[1:])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(doc_tok_start[:-1], counts)
+        remaining = counts[par] - pos
+        uni = 1 if self.output_unigrams else 0
+        lo, hi = self.min_size, self.max_size
+        e = uni + np.maximum(np.minimum(remaining, hi) - lo + 1, 0)
+        tok_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(e, out=tok_off[1:])
+        total = int(tok_off[-1])
+        pieces: list[pa.Array] = []
+        spots: list[np.ndarray] = []
+        if uni and n:
+            pieces.append(flat)
+            spots.append(tok_off[:-1])
+        for s in range(lo, hi + 1):
+            idx = np.flatnonzero(remaining >= s)
+            if idx.size == 0:
+                break  # remaining >= s is monotone in s
+            arrays = [flat.take(pa.array(idx + j)) for j in range(s)]
+            joined = pc.binary_join_element_wise(
+                *arrays, pa.scalar(" ", type=pa.large_string())
+            )
+            if isinstance(joined, pa.ChunkedArray):
+                joined = joined.combine_chunks()
+            pieces.append(joined)
+            spots.append(tok_off[idx] + uni + (s - lo))
+        if pieces:
+            values = pa.concat_arrays([p.cast(pa.large_string()) for p in pieces])
+            inv = np.empty(total, dtype=np.int64)
+            inv[np.concatenate(spots)] = np.arange(total, dtype=np.int64)
+            values = values.take(pa.array(inv))
+        else:
+            values = pa.array([], type=pa.large_string())
+        doc_off = tok_off[doc_tok_start]
+        return pa.LargeListArray.from_arrays(pa.array(doc_off, type=pa.int64()), values)
+
+
 _EDGE_RE = re.compile(r"^edge(?:(\d+)_(\d+))?$")
+_SHINGLE_RE = re.compile(r"^shingle(?:(\d+)_(\d+))?(nouni)?$")
 
 
 def get_analyzer(name: str) -> Analyzer:
@@ -275,17 +362,26 @@ def get_analyzer(name: str) -> Analyzer:
     base = ANALYZERS[parts[0]]()
     flags = set(parts[1:])
     edge: tuple[int, int] | None = None
+    shingle: tuple[int, int, bool] | None = None
     for f in list(flags):
         m = _EDGE_RE.match(f)
         if m:
             flags.discard(f)
             edge = (int(m.group(1) or 1), int(m.group(2) or 20))
+            continue
+        m = _SHINGLE_RE.match(f)
+        if m:
+            flags.discard(f)
+            shingle = (int(m.group(1) or 2), int(m.group(2) or 2), not m.group(3))
     unknown = flags - {"stop", "stem"}
     if unknown:
         raise KeyError(f"unknown analyzer filters: {sorted(unknown)}")
     out: Analyzer = base
     if flags:
         out = FilteredAnalyzer(base, stop="stop" in flags, stem="stem" in flags)
+    if shingle is not None:
+        out = ShingleAnalyzer(out, min_size=shingle[0], max_size=shingle[1],
+                              output_unigrams=shingle[2])
     if edge is not None:
         out = EdgeNgramAnalyzer(out, min_gram=edge[0], max_gram=edge[1])
     return out
