@@ -698,6 +698,52 @@ def _facet_search(sf_dir: str):
     )
 
 
+def _multi_terms_search(sf_dir: str):
+    """ES multi_terms aggregation under a query: doc counts per composite
+    (lang, source) key over ALL matching docs. top=1000 >> bucket count, so
+    the oracle is the plain two-key GROUP BY (no cut to tie-break)."""
+    eng = _dv_engine(sf_dir)
+    try:
+        buckets = eng.multi_terms("hash join query", ["lang", "source"], mode="or", top=1000)
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(
+        [{"lang": k[0], "source": k[1], "n": n} for k, n in buckets]
+    )
+
+
+def _adjacency_matrix_search(sf_dir: str):
+    """ES adjacency_matrix aggregation: named filters → every single and
+    pairwise-intersection doc count ('a&b' keys, sorted names). Shards
+    return count partials only (docs disjoint across shards)."""
+    eng = _dv_engine(sf_dir)
+    try:
+        counts = eng.adjacency_matrix(
+            {
+                "hj": ("hash join", "and"),
+                "ms": ("merge sort", "and"),
+                "vs": ("vector scan", "or"),
+            }
+        )
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(
+        [{"bucket": k, "n": n} for k, n in sorted(counts.items())]
+    )
+
+
+def _rare_terms_search(sf_dir: str):
+    """ES rare_terms aggregation under a query — EXACT here (ES approximates
+    with a CuckooFilter): n_chars buckets with ≤ 2 matching docs, rarest
+    first. The combine must see every shard's count before the ≤ cut."""
+    eng = _dv_engine(sf_dir)
+    try:
+        buckets = eng.rare_terms("hash join query", "n_chars", max_doc_count=2, mode="or")
+    finally:
+        eng.close()
+    return pa.Table.from_pylist([{"term": t, "n": n} for t, n in buckets])
+
+
 def _dv_engine(sf_dir: str):
     """documents index with lang/n_chars doc-values (shared by the filter /
     stats / histogram entries; whitespace analyzer keeps the match predicate
@@ -2513,6 +2559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "redact": _redact,
             "repetition": _repetition,
             "facet_search": _facet_search,
+            "multi_terms_search": _multi_terms_search,
+            "adjacency_matrix_search": _adjacency_matrix_search,
+            "rare_terms_search": _rare_terms_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -4556,6 +4605,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY lang
+        """,
+        "multi_terms_search": """
+            SELECT lang, source, count(*)::BIGINT AS n FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            GROUP BY lang, source
+        """,
+        "adjacency_matrix_search": """
+            WITH m AS (
+                SELECT string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents
+            ), f AS (
+                SELECT len(list_intersect(toks, ['hash'])) > 0
+                       AND len(list_intersect(toks, ['join'])) > 0 AS hj,
+                       len(list_intersect(toks, ['merge'])) > 0
+                       AND len(list_intersect(toks, ['sort'])) > 0 AS ms,
+                       len(list_intersect(toks, ['vector', 'scan'])) > 0 AS vs
+                FROM m
+            )
+            SELECT 'hj' AS bucket, count(*) FILTER (hj)::BIGINT AS n FROM f
+            UNION ALL SELECT 'hj&ms', count(*) FILTER (hj AND ms)::BIGINT FROM f
+            UNION ALL SELECT 'hj&vs', count(*) FILTER (hj AND vs)::BIGINT FROM f
+            UNION ALL SELECT 'ms', count(*) FILTER (ms)::BIGINT FROM f
+            UNION ALL SELECT 'ms&vs', count(*) FILTER (ms AND vs)::BIGINT FROM f
+            UNION ALL SELECT 'vs', count(*) FILTER (vs)::BIGINT FROM f
+        """,
+        "rare_terms_search": """
+            SELECT CAST(n_chars AS VARCHAR) AS term, count(*)::BIGINT AS n
+            FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            GROUP BY n_chars HAVING count(*) <= 2
         """,
         "var_std": """
             WITH g AS (

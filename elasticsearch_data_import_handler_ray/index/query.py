@@ -1152,6 +1152,45 @@ class QueryShard:
             return None
         return self._agg_partial(self._values_of(field, ids), histogram_interval, value_counts)
 
+    def multi_terms_under_query(self, terms: list[str], mode: str, fields: list[str]):
+        """ES multi_terms aggregation partial: per-(field tuple) doc counts
+        over this shard's matching docs — one vectorized Arrow group_by, only
+        (tuple, count) partials leave the shard."""
+        ids = self.match_doc_ids(terms, mode)
+        if len(ids) == 0:
+            return None
+        t = pa.table({f: pa.array(self._values_of(f, ids)) for f in fields})
+        g = t.group_by(list(fields)).aggregate([([], "count_all")])
+        return g.to_pylist()  # [{f0:…, f1:…, "count_all": n}]
+
+    def weighted_avg_under_query(
+        self, terms: list[str], mode: str, value_field: str, weight_field: str
+    ):
+        """ES weighted_avg partial: (Σ value·weight, Σ weight) over this
+        shard's matching docs."""
+        ids = self.match_doc_ids(terms, mode)
+        if len(ids) == 0:
+            return None
+        v = self._values_of(value_field, ids).astype(np.float64)
+        w = self._values_of(weight_field, ids).astype(np.float64)
+        return (float((v * w).sum()), float(w.sum()))
+
+    def adjacency_counts(self, named: dict[str, tuple[list[str], str]]):
+        """ES adjacency_matrix partial: named match sets evaluated locally,
+        then every single and pairwise-intersection count — docs are
+        disjoint across shards, so the counts sum exactly at the driver and
+        no match-id array ever leaves the shard."""
+        ids = {n: self.match_doc_ids(t, m) for n, (t, m) in named.items()}
+        out: dict[str, int] = {}
+        names = sorted(named)
+        for i, a in enumerate(names):
+            out[a] = int(len(ids[a]))
+            for b in names[i + 1 :]:
+                out[f"{a}&{b}"] = int(
+                    len(np.intersect1d(ids[a], ids[b], assume_unique=True))
+                )
+        return out
+
     def _agg_partial(self, vals, histogram_interval=None, value_counts=False):
         """Shard-local agg partial over a matched doc-value array — shared by
         the terms/mode path (agg_under_query) and the query_string path
@@ -3321,6 +3360,107 @@ class QueryEngine:
             name: int(sum(len(ids) for ids in ray.get(fs))) if fs else 0
             for name, fs in futs.items()
         }
+
+    def multi_terms(
+        self, text: str, fields: list[str], *, mode: str = "or", top: int = 10
+    ) -> list[tuple[tuple, int]]:
+        """ES multi_terms aggregation under a query: doc counts per composite
+        key of 2+ doc-value fields over ALL matching docs. Per-shard Arrow
+        group_by partials, driver combine; top buckets by (count desc, key
+        asc) — ES's default order with deterministic ties."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        self._ensure_doc_values(list(fields))
+        per = ray.get(
+            [a.multi_terms_under_query.remote(terms, mode, list(fields)) for a in self._actors]
+        )
+        agg: dict[tuple, int] = {}
+        for p in per:
+            if p is None:
+                continue
+            for row in p:
+                key = tuple(row[f] for f in fields)
+                agg[key] = agg.get(key, 0) + int(row["count_all"])
+        out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        return [(k, n) for k, n in out]
+
+    def weighted_avg(
+        self, text: str, value_field: str, weight_field: str, *, mode: str = "or"
+    ) -> float | None:
+        """ES weighted_avg aggregation under a query:
+        Σ(value·weight) / Σ(weight) over ALL matching docs. Two-float
+        partials per shard; None when nothing matches or Σweight == 0."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return None
+        self._ensure_doc_values([value_field, weight_field])
+        per = ray.get(
+            [
+                a.weighted_avg_under_query.remote(terms, mode, value_field, weight_field)
+                for a in self._actors
+            ]
+        )
+        sum_vw = sum(p[0] for p in per if p is not None)
+        sum_w = sum(p[1] for p in per if p is not None)
+        if not any(p is not None for p in per) or sum_w == 0.0:
+            return None
+        return sum_vw / sum_w
+
+    def adjacency_matrix(self, named: dict[str, tuple[str, str]]) -> dict[str, int]:
+        """ES adjacency_matrix aggregation: named (query text, mode) filters
+        → doc counts of every filter and every pairwise intersection
+        (``"a&b"`` keys, names in sorted order — ES's bucket naming). ONE
+        scatter carries all compiled filters; shards return count partials
+        that sum exactly because docs are disjoint across shards."""
+        compiled = {
+            name: (sorted(set(self.analyzer.analyze_query(text))), mode)
+            for name, (text, mode) in named.items()
+        }
+        empty = {n for n, (t, _) in compiled.items() if not t}
+        live = {n: c for n, c in compiled.items() if n not in empty}
+        out: dict[str, int] = {}
+        if live:
+            per = ray.get([a.adjacency_counts.remote(live) for a in self._actors])
+            for p in per:
+                for k, n in p.items():
+                    out[k] = out.get(k, 0) + n
+        # empty-analysis filters match nothing; still emit their zero buckets
+        names = sorted(named)
+        for i, a_ in enumerate(names):
+            out.setdefault(a_, 0)
+            for b_ in names[i + 1 :]:
+                out.setdefault(f"{a_}&{b_}", 0)
+        return out
+
+    def rare_terms(
+        self, text: str, field: str, *, max_doc_count: int = 1, mode: str = "or"
+    ) -> list[tuple[str, int]]:
+        """ES rare_terms aggregation under a query — EXACT here (ES uses a
+        CuckooFilter approximation): value buckets of a doc-value field whose
+        doc count ≤ max_doc_count, ordered (count asc, term asc) — ES's
+        rarest-first order. Reuses the facets scatter (full per-shard value
+        counts; the combine must see every shard's count before the ≤ cut,
+        a bucket rare on one shard may be common globally)."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.agg_under_query.remote(terms, mode, field, value_counts=True)
+                for a in self._actors
+            ]
+        )
+        agg: dict[str, int] = {}
+        for p in per:
+            if p is None:
+                continue
+            for v, n in zip(*p):
+                agg[v] = agg.get(v, 0) + int(n)
+        out = [(v, n) for v, n in agg.items() if n <= max_doc_count]
+        out.sort(key=lambda kv: (kv[1], kv[0]))
+        return out
 
     def histogram(
         self, text: str, field: str, interval: float, *, mode: str = "or"

@@ -1,0 +1,123 @@
+"""Round-5 ES aggregations: multi_terms, weighted_avg, adjacency_matrix,
+rare_terms (index/query.py). Oracles are direct pandas/set computation over
+the synthetic source table — the engine must agree bucket-for-bucket."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_data_import_handler_ray.index.build import build_index
+from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+_WORDS = ["hash", "join", "query", "vector", "scan", "merge", "sort", "tree", "leaf"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    rng = np.random.default_rng(23)
+    n = 600
+    rows = {
+        "doc_id": np.arange(1, n + 1, dtype=np.int64),
+        "text": [
+            " ".join(rng.choice(_WORDS, size=rng.integers(3, 9)))
+            for _ in range(n)
+        ],
+        "lang": rng.choice(["py", "go", "rs"], size=n),
+        "n_chars": rng.integers(10, 40, size=n),
+        "weight": rng.integers(1, 6, size=n),
+    }
+    df = pd.DataFrame(rows)
+    p = tmp_path_factory.mktemp("aggsrc") / "docs.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(p))
+    return str(p), df
+
+
+@pytest.fixture(scope="module")
+def engine(corpus, tmp_path_factory):
+    path, _ = corpus
+    idx = str(tmp_path_factory.mktemp("aggidx") / "idx")
+    build_index(
+        path, idx, mode="full",
+        config=IndexConfig(
+            analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
+            content_col="text", store_cols=("lang", "n_chars", "weight"),
+        ),
+    )
+    eng = QueryEngine(idx)
+    yield eng
+    eng.close()
+
+
+def _match(df, text, mode="or"):
+    terms = set(text.split())
+    toks = df["text"].str.split()
+    if mode == "and":
+        return toks.apply(lambda ts: terms <= set(ts))
+    return toks.apply(lambda ts: bool(terms & set(ts)))
+
+
+def test_multi_terms(engine, corpus):
+    _, df = corpus
+    got = dict(engine.multi_terms("hash join", ["lang"], mode="and", top=100))
+    m = df[_match(df, "hash join", "and")]
+    want = m.groupby("lang").size().to_dict()
+    assert {k[0]: n for k, n in got.items()} == want
+
+    got2 = engine.multi_terms("vector scan", ["lang", "n_chars"], mode="or", top=5)
+    m2 = df[_match(df, "vector scan", "or")]
+    w2 = m2.groupby(["lang", "n_chars"]).size()
+    pairs = sorted(
+        ((l, c), int(n)) for (l, c), n in w2.items()
+    )
+    pairs.sort(key=lambda kv: (-kv[1], (kv[0][0], kv[0][1])))
+    want_top = [((l, c), n) for (l, c), n in pairs[:5]]
+    assert [((k[0], k[1]), n) for k, n in got2] == want_top
+
+
+def test_weighted_avg(engine, corpus):
+    _, df = corpus
+    m = df[_match(df, "merge sort", "or")]
+    want = float((m["n_chars"] * m["weight"]).sum() / m["weight"].sum())
+    got = engine.weighted_avg("merge sort", "n_chars", "weight", mode="or")
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_weighted_avg_no_match_is_none(engine):
+    assert engine.weighted_avg("zzz_absent_term", "n_chars", "weight") is None
+
+
+def test_adjacency_matrix(engine, corpus):
+    _, df = corpus
+    got = engine.adjacency_matrix(
+        {"a": ("hash join", "and"), "b": ("vector", "or"), "c": ("merge sort", "and")}
+    )
+    ma = _match(df, "hash join", "and")
+    mb = _match(df, "vector", "or")
+    mc = _match(df, "merge sort", "and")
+    want = {
+        "a": int(ma.sum()), "b": int(mb.sum()), "c": int(mc.sum()),
+        "a&b": int((ma & mb).sum()), "a&c": int((ma & mc).sum()),
+        "b&c": int((mb & mc).sum()),
+    }
+    assert got == want
+
+
+def test_adjacency_matrix_empty_filter_zero_buckets(engine):
+    got = engine.adjacency_matrix({"a": ("hash", "or"), "z": ("", "or")})
+    assert got["z"] == 0 and got["a&z"] == 0 and got["a"] > 0
+
+
+def test_rare_terms(engine, corpus):
+    _, df = corpus
+    for mdc in (1, 3):
+        got = engine.rare_terms("hash join query", "n_chars", max_doc_count=mdc)
+        m = df[_match(df, "hash join query", "or")]
+        counts = m.groupby("n_chars").size()
+        want = sorted(
+            ((str(k), int(n)) for k, n in counts.items() if n <= mdc),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        assert got == want
