@@ -1800,6 +1800,33 @@ def _phrase_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _span_search(sf_dir: str):
+    """ES span queries over the positional index: span_near (ordered +
+    unordered single-term clause spans, Lucene's window rule
+    (span - n) <= slop) and span_first (occurrence with span end <= end).
+    FULL SQL: positions are recomputable from the whitespace token lists
+    (list_filter over range), so each span condition is a list predicate and
+    the ranking is the shared BM25-in-SQL algebra. Rank identity vs a naive
+    all-selections oracle is pinned in tests/test_spans.py."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "pos_ws"))
+    try:
+        results = [
+            eng.span_near_search("hash join", slop=2, in_order=True, k=10),
+            eng.span_near_search("join hash", slop=2, in_order=False, k=10),
+            eng.span_first_search("hash", 2, k=10),
+        ]
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                         "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _phrase_slop_search(sf_dir: str):
     """ES match_phrase with slop (proximity): injective occurrence→slot
     assignment with adjusted-position span ≤ slop (transpositions match at
@@ -2508,6 +2535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bm25_topk_code": _bm25_on,
             "search_as_you_type": _search_as_you_type,
             "phrase_search": _phrase_search,
+            "span_search": _span_search,
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
             "suggest_phrase": _suggest_phrase,
@@ -2708,6 +2736,9 @@ def _bm25_with(cases: dict[str, dict], d_sql: str | None = None) -> str:
                 f",\n               len(list_filter(range(1, len(toks) - {len(ph)} + 2),"
                 f" p -> {conds})) > 0 AS ph"
             )
+        if c.get("flag_sql"):
+            # arbitrary boolean over ``toks`` (span conditions etc.) → xf
+            ph_col += f",\n               ({c['flag_sql']}) AS xf"
         parts.append(
             f"tf_{tag} AS (\n        SELECT doc_id, lang, n_chars, source, len(toks)::DOUBLE AS dl,\n"
             f"               {tf_cols}{ph_col}\n        FROM d\n    )"
@@ -2723,7 +2754,8 @@ def _bm25_with(cases: dict[str, dict], d_sql: str | None = None) -> str:
         parts.append(
             f"sc_{tag} AS (\n        SELECT doc_id, lang, n_chars, source,\n"
             f"               {score} AS score,\n               {m_cols}"
-            f"{', ph' if c.get('phrase') else ''}\n        FROM tf_{tag}, st, df_{tag}\n    )"
+            f"{', ph' if c.get('phrase') else ''}"
+            f"{', xf' if c.get('flag_sql') else ''}\n        FROM tf_{tag}, st, df_{tag}\n    )"
         )
     return "WITH " + ",\n    ".join(parts)
 
@@ -2927,6 +2959,36 @@ def _bm25_oracles() -> dict[str, str]:
         UNION ALL
         {_bm25_topk_select('q2', 2,
             f"({c2['filter']}::INT + {c2['query']}::INT + {c2['scan']}::INT) >= 2", 10)}
+    """
+
+    # span_search: Lucene span semantics as token-position list predicates —
+    # P(t) = 1-based positions of t; ordered near = an increasing pair within
+    # the window, unordered = any distinct pair, first = position <= end.
+    # Ranking is the shared BM25-in-SQL sum over the clause terms.
+    def _P(t: str) -> str:
+        return f"list_filter(range(1, len(toks) + 1), i -> toks[i] = {_sqlq(t)})"
+
+    near_ord = (
+        f"len(list_filter({_P('hash')}, p -> len(list_filter({_P('join')},"
+        f" q -> q > p AND q - p <= 3)) > 0)) > 0"
+    )
+    near_unord = (
+        f"len(list_filter({_P('join')}, p -> len(list_filter({_P('hash')},"
+        f" q -> q <> p AND abs(q - p) <= 3)) > 0)) > 0"
+    )
+    first_hash = f"len(list_filter({_P('hash')}, i -> i <= 2)) > 0"
+    w = _bm25_with({
+        "q0": {"terms": ["hash", "join"], "flag_sql": near_ord},
+        "q1": {"terms": ["hash", "join"], "flag_sql": near_unord},
+        "q2": {"terms": ["hash"], "flag_sql": first_hash},
+    })
+    out["span_search"] = f"""
+        {w}
+        {_bm25_topk_select('q0', 0, 'xf', 10)}
+        UNION ALL
+        {_bm25_topk_select('q1', 1, 'xf', 10)}
+        UNION ALL
+        {_bm25_topk_select('q2', 2, 'xf', 10)}
     """
 
     # phrase_search: adjacency predicate + BM25 over the phrase's UNIQUE

@@ -513,6 +513,154 @@ def _score_phrase(
             _heap_push(heap, k, s, d)
 
 
+def _span_ordered_ok(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """Lucene NearSpansOrdered over single-term spans: does a strictly
+    increasing chain p_0 < p_1 < … < p_{n-1} (one position per clause)
+    exist with window width (p_last - p_0 + 1) - n <= slop? Greedy chain:
+    for each start the earliest completion minimizes the width, and once a
+    chain cannot complete no later start can either (lists are sorted)."""
+    n = len(pos_lists)
+    first = pos_lists[0]
+    for p0 in first.tolist():
+        prev = int(p0)
+        ok = True
+        for i in range(1, n):
+            li = pos_lists[i]
+            j = int(np.searchsorted(li, prev + 1))
+            if j == len(li):
+                ok = False
+                break
+            prev = int(li[j])
+        if not ok:
+            return False  # exhausted a later list: larger starts fail too
+        if (prev - int(p0) + 1) - n <= slop:
+            return True
+    return False
+
+
+def _span_unordered_ok(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """Lucene NearSpansUnordered over single-term spans with DISTINCT clause
+    terms: the classic smallest-range-over-k-sorted-lists sweep — advance
+    the minimum pointer until the window (max - min + 1) - n fits in slop
+    or some list runs dry."""
+    import heapq
+
+    n = len(pos_lists)
+    iters = [0] * n
+    heap = [(int(pl[0]), i) for i, pl in enumerate(pos_lists)]
+    heapq.heapify(heap)
+    cur_max = max(v for v, _ in heap)
+    while True:
+        mn, i = heap[0]
+        if (cur_max - mn + 1) - n <= slop:
+            return True
+        iters[i] += 1
+        if iters[i] == len(pos_lists[i]):
+            return False
+        v = int(pos_lists[i][iters[i]])
+        heapq.heapreplace(heap, (v, i))
+        if v > cur_max:
+            cur_max = v
+
+
+def _score_spans(
+    readers: list[SegmentReader],
+    span: dict,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    heap: list,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+    get_decoded=None,
+    reader_offset: int = 0,
+    get_dead=None,
+    allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
+) -> None:
+    """ES span queries over the positional index (span_first / span_near).
+
+    ``span``: {"kind": "first"|"near", "clauses": [term, ...],
+    "end": int (first), "slop": int, "in_order": bool (near)}.
+    Matching follows Lucene's span semantics for single-term clause spans
+    (see _span_ordered_ok / _span_unordered_ok; span_first: the term's span
+    must END by ``end``, i.e. 0-based position < end). Scoring — documented
+    simplification vs Lucene's sloppyFreq — is plain BM25 over the unique
+    clause terms in ascending-term order, the repo-wide rule, which keeps
+    ranks oracle-checkable bit-for-bit (the naive oracle and the FULL SQL
+    entry replay the same definition)."""
+    clauses: list[str] = span["clauses"]
+    uniq = sorted(set(clauses))
+    kind = span["kind"]
+    for ri, rd in enumerate(readers, reader_offset):
+        data = {}
+        for t in uniq:
+            arrs = get_decoded(ri, t) if get_decoded is not None else None
+            if arrs is None:
+                blob = rd.posting_blob(t)
+                arrs = decode_posting(blob) if blob is not None else None
+            if arrs is None:
+                data = None
+                break
+            data[t] = arrs
+        if data is None:
+            continue
+        cand = data[uniq[0]][0]
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, data[t][0], assume_unique=True)
+            if cand.size == 0:
+                break
+        dd = get_dead(ri) if get_dead is not None else None
+        if dd is not None and cand.size:
+            from .tombstones import in_sorted
+
+            cand = cand[~in_sorted(cand, dd)]
+        if allowed is not None and cand.size:
+            from .tombstones import in_sorted
+
+            cand = cand[in_sorted(cand, allowed)]
+        if cand.size == 0:
+            continue
+        posmap: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in uniq:
+            ids, tfs, dls = data[t]
+            sel = np.searchsorted(ids, cand)
+            flat, counts = rd.term_positions(t, tfs, sel)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            posmap[t] = (flat.astype(np.int64), offs)
+            scores += bm25.contribution(idfs[t], tfs[sel], dls[sel], avgdl, k1, b)
+        if kind == "first":
+            t = clauses[0]
+            flat, offs = posmap[t]
+            end = int(span["end"])
+            # any occurrence with 0-based position < end (span end <= end)
+            hit = np.flatnonzero(flat < end)
+            survivor_idx = np.unique(np.searchsorted(offs, hit, side="right") - 1)
+        else:
+            slop = int(span["slop"])
+            in_order = bool(span["in_order"])
+            survivors = []
+            for ci in range(len(cand)):
+                pls = []
+                for t in clauses:
+                    flat, offs = posmap[t]
+                    pls.append(flat[offs[ci] : offs[ci + 1]])
+                ok = (
+                    _span_ordered_ok(pls, slop)
+                    if in_order
+                    else _span_unordered_ok(pls, slop)
+                )
+                if ok:
+                    survivors.append(ci)
+            survivor_idx = np.array(survivors, dtype=np.int64)
+        for ci in survivor_idx:
+            s, d = float(scores[ci]), int(cand[ci])
+            if after is not None and (s, -d) >= (after[0], -int(after[1])):
+                continue
+            _heap_push(heap, k, s, d)
+
+
 def _score_bmw(
     readers: list[SegmentReader],
     terms: list[str],
@@ -1502,6 +1650,13 @@ class QueryShard:
                 get_decoded=self._decoded, reader_offset=ri_lo, get_dead=gd,
                 allowed=allowed, after=after, slop=int(q.get("slop", 0)),
             )
+        elif q["mode"] == "span":
+            if q["terms"]:  # empty = a clause term is unknown → no match
+                _score_spans(
+                    rds, q["span"], idfs, avgdl, k, heap, k1=k1, b=b,
+                    get_decoded=self._decoded, reader_offset=ri_lo,
+                    get_dead=gd, allowed=allowed, after=after,
+                )
         elif (
             q["mode"] == "and"
             or q["method"] == "exhaustive"
@@ -1532,7 +1687,7 @@ class QueryShard:
         takes the block-max path (whose pruning needs a SHARED θ heap)."""
         return not (
             q.get("groups")
-            or q["mode"] in ("phrase", "and")
+            or q["mode"] in ("phrase", "and", "span")
             or q["method"] == "exhaustive"
             or q.get("exclude_terms")
             or q.get("min_should_match")
@@ -1988,6 +2143,14 @@ class QueryEngine:
                 phrase = q.get("phrase_override") or self.analyzer.analyze_query(q["text"])
                 if any(df_map.get(t, 0) == 0 for t in phrase):
                     terms = []  # a never-seen token can match no phrase
+            if mode == "span":
+                if not self.man.config.positions:
+                    raise ValueError(
+                        "span queries need a positional index "
+                        "(IndexConfig(positions=True))"
+                    )
+                if any(df_map.get(t, 0) == 0 for t in q["span"]["clauses"]):
+                    terms = []  # every clause term must exist somewhere
             if mode == "and" and len(terms) < len(terms_all):
                 terms = []  # AND with unknown term matches nothing
             idfs = {t: float(bm25.idf(self.N, df_map[t])) for t in terms}
@@ -2018,6 +2181,7 @@ class QueryEngine:
                  "filters": q.get("filters"), "after": q.get("after"),
                  "allowed_ids": q.get("allowed_ids"),
                  "must_terms": q.get("must_terms"),
+                 "span": q.get("span"),
                  "min_should_match": q.get("min_should_match")}
             )
         shard_results = ray.get([a.search_batch.remote(prepared) for a in self._actors])
@@ -2034,6 +2198,56 @@ class QueryEngine:
             top = bm25.topk_indices(scores, docs, k)
             out.append([(int(docs[i]), float(scores[i])) for i in top])
         return out
+
+    def span_near_search(
+        self,
+        text: str,
+        *,
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES span_near over single-term clause spans: the analyzed tokens of
+        ``text`` (duplicates kept, order kept) must co-occur within a window
+        of width (span - n) <= slop — strictly increasing positions when
+        ``in_order``, any arrangement otherwise (distinct clause terms
+        required for unordered: Lucene's overlapping-span rules for repeated
+        terms are out of scope and raise). Ranked by BM25 over the unique
+        clause terms (documented simplification vs Lucene sloppyFreq)."""
+        clauses = self.analyzer.analyze_query(text)
+        if not clauses:
+            return []
+        if not in_order and len(set(clauses)) != len(clauses):
+            raise ValueError(
+                "unordered span_near with repeated clause terms is not supported"
+            )
+        return self.search_many(
+            [{
+                "text": " ".join(clauses), "mode": "span",
+                "span": {"kind": "near", "clauses": clauses,
+                         "slop": max(0, int(slop)), "in_order": bool(in_order)},
+            }],
+            k=k,
+        )[0]
+
+    def span_first_search(
+        self, text: str, end: int, *, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES span_first: the (single) analyzed term must occur with its span
+        ending by ``end`` — 0-based position < end. Ranked by the term's
+        BM25 (every occurrence counts toward tf exactly as a term query)."""
+        clauses = self.analyzer.analyze_query(text)
+        if len(clauses) != 1:
+            raise ValueError(f"span_first takes exactly one term, got {clauses!r}")
+        if end <= 0:
+            return []
+        return self.search_many(
+            [{
+                "text": clauses[0], "mode": "span",
+                "span": {"kind": "first", "clauses": clauses, "end": int(end)},
+            }],
+            k=k,
+        )[0]
 
     def search_prefix(
         self, text: str, k: int = 10, max_expansions: int = 50
