@@ -36,9 +36,13 @@ subqueries in WHERE are planned recursively and spliced back as literals
 before pushdown; ORDER BY accepts expressions over the output columns
 (computed into a temp column before the sort, dropped after).
 
+Plain UNION (set semantics) distributes as concat + per-batch DISTINCT
+combiner + one global dedup groupby; mixing UNION and UNION ALL in one
+statement is non-associative and falls back.
+
 Anything outside the subset (window fns beyond OVER(PARTITION BY), wider
 correlation than one equi-conjunct, non-equi joins, SUM/AVG DISTINCT,
-UNION distinct, cross joins) raises ``PlanError``;
+mixed UNION/UNION ALL, cross joins) raises ``PlanError``;
 ``distributed_sql_query`` then falls back to the bounded driver-side
 ``sqlexpr.sql_query`` so the config surface never shrinks — it only scales
 further when the statement allows.
@@ -887,9 +891,14 @@ def _per_batch(ds: ray.data.Dataset, query: str, *, normalize: bool = False,
     )
 
 
-def _split_union_all(toks: list[Tok]) -> list[list[Tok]]:
-    """Split at depth-0 UNION ALL; plain UNION (set semantics) is rejected."""
+def _split_union_all(toks: list[Tok]) -> tuple[list[list[Tok]], bool]:
+    """Split at depth-0 UNION [ALL]. Returns (parts, distinct) — distinct
+    when EVERY separator is a plain UNION (set semantics: concat then one
+    global dedup, associative so the left-fold order doesn't matter). Mixing
+    UNION and UNION ALL is NOT associative (each plain UNION dedupes its
+    left fold) and raises → driver-side fallback."""
     out: list[list[Tok]] = [[]]
+    kinds: list[bool] = []  # True per separator iff plain UNION
     depth = 0
     i = 0
     while i < len(toks):
@@ -900,13 +909,21 @@ def _split_union_all(toks: list[Tok]) -> list[list[Tok]]:
             depth -= 1
         if depth == 0 and t.isword("union"):
             if i + 1 < len(toks) and toks[i + 1].isword("all"):
+                kinds.append(False)
                 out.append([])
                 i += 2
                 continue
-            raise PlanError("UNION (distinct) is not distributable; use UNION ALL")
+            kinds.append(True)
+            out.append([])
+            i += 1
+            continue
         out[-1].append(t)
         i += 1
-    return out
+    if kinds and any(kinds) and not all(kinds):
+        raise PlanError(
+            "mixed UNION and UNION ALL is not distributable (non-associative)"
+        )
+    return out, bool(kinds) and all(kinds)
 
 
 def _alias_scalar_select(subsql: str) -> str:
@@ -973,7 +990,7 @@ def plan_sql(
     # UNION ALL of compatible SELECTs → plan each side, Dataset.union (row
     # concat, no exchange). Column names must line up; sides must not carry
     # their own ORDER BY/LIMIT (a global one would misparse anyway).
-    union_parts = _split_union_all(_tokenize(query.strip().rstrip(";")))
+    union_parts, union_distinct = _split_union_all(_tokenize(query.strip().rstrip(";")))
     if len(union_parts) > 1:
         names: list[str] | None = None
         planned = []
@@ -994,6 +1011,20 @@ def plan_sql(
         out = planned[0]
         for nxt in planned[1:]:
             out = out.union(nxt)
+        if union_distinct:
+            # UNION set semantics: per-batch DISTINCT combiner shrinks what
+            # rides the exchange, then ONE groupby over all output columns
+            # dedupes globally (SQL's NULLs-are-equal dedup rule is the
+            # groupby key rule too)
+            from ray.data.aggregate import Count
+
+            out = _per_batch(out, "SELECT DISTINCT * FROM t",
+                             concurrency=concurrency)
+            out = (
+                out.groupby(list(names or []))
+                .aggregate(Count(alias_name="__n"))
+                .select_columns(list(names or []))
+            )
         return out
 
     st = parse(query, set(views))

@@ -310,10 +310,31 @@ def test_union_all_mismatched_columns(views):
         )
 
 
-def test_union_distinct_falls_back(views, oracle):
+def test_union_distinct_distributes(views, oracle):
+    """r5: plain UNION = concat + one global dedup groupby."""
     sql = ("SELECT n_regionkey AS k FROM nation UNION "
            "SELECT r_regionkey AS k FROM region")
-    with pytest.raises(PlanError, match="UNION ALL"):
+    check(sql, views, oracle)
+    sql3 = ("SELECT n_regionkey AS k FROM nation UNION "
+            "SELECT r_regionkey AS k FROM region UNION "
+            "SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 7")
+    check(sql3, views, oracle)
+
+
+def test_union_two_column_distinct(views, oracle):
+    check(
+        "SELECT n_regionkey AS a, n_name AS b FROM nation UNION "
+        "SELECT r_regionkey AS a, r_name AS b FROM region",
+        views,
+        oracle,
+    )
+
+
+def test_union_mixed_all_falls_back(views, oracle):
+    sql = ("SELECT n_regionkey AS k FROM nation UNION "
+           "SELECT r_regionkey AS k FROM region UNION ALL "
+           "SELECT n_nationkey AS k FROM nation")
+    with pytest.raises(PlanError, match="mixed UNION"):
         plan_sql(sql, views)
     got = distributed_sql_query(sql, views).to_pandas()
     want = oracle.execute(sql).df()
