@@ -1800,6 +1800,30 @@ def _phrase_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _match_bool_prefix_search(sf_dir: str):
+    """ES match_bool_prefix: whole-term bool clauses + the last token as a
+    prefix query (search-as-you-type over a PLAIN index — no edge grams).
+    FULL SQL: the prefix expansion is recomputed from the corpus vocabulary
+    (LIKE + ORDER BY term LIMIT cap = the engine's capped-union contract)
+    and the score folds matched-term contributions in ascending-term order.
+    Queries chosen so expansions don't overlap the must terms; the overlap
+    waiver is pinned separately in tests/test_match_bool_prefix.py."""
+    eng = _dv_engine(sf_dir)
+    try:
+        results = [
+            eng.match_bool_prefix("hash join quer", k=10, operator="and"),
+            eng.match_bool_prefix("vector sc", k=10, operator="or"),
+        ]
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                         "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _span_search(sf_dir: str):
     """ES span queries over the positional index: span_near (ordered +
     unordered single-term clause spans, Lucene's window rule
@@ -2536,6 +2560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "search_as_you_type": _search_as_you_type,
             "phrase_search": _phrase_search,
             "span_search": _span_search,
+            "match_bool_prefix_search": _match_bool_prefix_search,
             "phrase_slop_search": _phrase_slop_search,
             "suggest_terms": _suggest_terms,
             "suggest_phrase": _suggest_phrase,
@@ -3053,6 +3078,63 @@ def _bm25_oracles() -> dict[str, str]:
         {exp_ctes},
         {sc_ctes}
         {finals}
+    """
+
+    # match_bool_prefix_search: term set = must terms (from vocab) UNION the
+    # prefix expansion (LIKE + ORDER BY term LIMIT 50 = the engine's global
+    # capped-union contract); operator=and keeps docs matching EVERY must
+    # term and ≥1 expansion-only term (the entry's prefixes never expand to
+    # a must term, so the engine's overlap waiver can't trigger here).
+    mbp = [
+        # (must terms, prefix, operator)
+        (["hash", "join"], "quer", "and"),
+        (["vector"], "sc", "or"),
+    ]
+    mbp_ctes = []
+    mbp_finals = []
+    for i, (must, pre, op) in enumerate(mbp):
+        must_list = ", ".join(_sqlq(t) for t in sorted(must))
+        mbp_ctes.append(
+            f"terms_q{i} AS (SELECT term, df FROM vocab WHERE term IN ({must_list})\n"
+            f"            UNION SELECT term, df FROM\n"
+            f"            (SELECT term, df FROM vocab WHERE term LIKE {_sqlq(pre + '%')}\n"
+            f"             ORDER BY term LIMIT 50))"
+        )
+        mbp_ctes.append(
+            f"""sc_q{i} AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list(ln(1 + (N - df + 0.5) / (df + 0.5))
+                            * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+                            ORDER BY term),
+                       (a, b) -> a + b) AS score,
+                   count(*) FILTER (term IN ({must_list})) AS n_must,
+                   count(*) FILTER (term NOT IN ({must_list})) AS n_exp
+            FROM pt JOIN terms_q{i} USING (term), st
+            GROUP BY doc_id
+        )"""
+        )
+        where = f"n_must = {len(set(must))} AND n_exp >= 1" if op == "and" else "TRUE"
+        mbp_finals.append(
+            f"""SELECT * FROM (
+            SELECT {i} AS query_idx,
+                   ROW_NUMBER() OVER (ORDER BY sc_q{i}.score DESC, doc_id) AS "rank",
+                   doc_id, ROUND(sc_q{i}.score, 6) AS score
+            FROM sc_q{i} WHERE {where} ORDER BY sc_q{i}.score DESC, doc_id LIMIT 10)"""
+        )
+    out["match_bool_prefix_search"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+        ),
+        st AS (SELECT count(*) AS N, sum(len(toks)) / count(*) AS avgdl FROM d),
+        pt AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM d)
+            GROUP BY doc_id, term
+        ),
+        vocab AS (SELECT term, count(*)::DOUBLE AS df FROM pt GROUP BY term),
+        {",".join(mbp_ctes)}
+        {" UNION ALL ".join(mbp_finals)}
     """
 
     # collapse_search: one best hit (score desc, doc_id asc) per source

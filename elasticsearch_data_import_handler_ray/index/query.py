@@ -2271,6 +2271,50 @@ class QueryEngine:
             [{"text": text, "mode": "or", "terms_override": terms}], k=k
         )[0]
 
+    def match_bool_prefix(
+        self, text: str, k: int = 10, *, operator: str = "or", max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES match_bool_prefix: every analyzed token is a bool clause, the
+        LAST one as a prefix query. ``operator="or"`` = any clause may match
+        (ES's default bool should); ``operator="and"`` = every whole-term
+        clause must match AND the prefix must match (≥1 dictionary
+        expansion present — waived when an expansion IS one of the must
+        terms, which already guarantees it). Expansion is the shared
+        capped-union contract (global first ``max_expansions`` dictionary
+        terms); scoring is BM25 over the doc's matched terms in
+        ascending-term order, the repo-wide convention for expanded
+        queries."""
+        toks = self.analyzer.analyze_query(text)
+        if not toks:
+            return []
+        prefix, rest = toks[-1], toks[:-1]
+        per = ray.get(
+            [a.expand_prefix.remote(prefix, max_expansions) for a in self._actors]
+        )
+        expanded = sorted(set().union(*map(set, per)))[:max_expansions]
+        if operator == "and":
+            if not expanded:
+                return []  # the prefix clause is a must; nothing expands
+            if not rest:
+                return self.search_many(
+                    [{"text": text, "mode": "or", "terms_override": expanded}], k=k
+                )[0]
+            terms = sorted(set(rest) | set(expanded))
+            msm = None if set(expanded) & set(rest) else 1
+            return self.search_many(
+                [{
+                    "text": text, "mode": "or", "terms_override": terms,
+                    "must_terms": sorted(set(rest)), "min_should_match": msm,
+                }],
+                k=k,
+            )[0]
+        terms = sorted(set(rest) | set(expanded))
+        if not terms:
+            return []
+        return self.search_many(
+            [{"text": text, "mode": "or", "terms_override": terms}], k=k
+        )[0]
+
     def search_phrase_prefix(
         self, text: str, k: int = 10, *, max_expansions: int = 50, slop: int = 0
     ) -> list[tuple[int, float]]:
