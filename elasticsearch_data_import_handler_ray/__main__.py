@@ -81,6 +81,27 @@ def main(argv: list[str] | None = None) -> int:
                    help="print per-FIELD doc counts over ALL matches instead of top-k")
     q.add_argument("--count", action="store_true",
                    help="print only the match count (ES _count)")
+    q.add_argument("--span-near", default=None, type=int, metavar="SLOP",
+                   help="ES span_near: the analyzed tokens as single-term "
+                        "spans within (span - n) <= SLOP; --unordered for "
+                        "any arrangement (needs a positional index)")
+    q.add_argument("--unordered", action="store_true",
+                   help="with --span-near: drop the in-order requirement")
+    q.add_argument("--span-first", default=None, type=int, metavar="END",
+                   help="ES span_first: the (single) term must occur with "
+                        "its span ending by END")
+    q.add_argument("--match-bool-prefix", action="store_true",
+                   dest="match_bool_prefix",
+                   help="ES match_bool_prefix: whole-term bool clauses + the "
+                        "last token as a prefix clause (--mode = operator)")
+    q.add_argument("--multi-terms", default=None, metavar="F1,F2[,...]",
+                   help="ES multi_terms agg: doc counts per composite key of "
+                        "2+ doc-value fields over all matches")
+    q.add_argument("--rare-terms", default=None, metavar="FIELD[:MAX]",
+                   help="ES rare_terms agg (exact): FIELD buckets with <= MAX "
+                        "matching docs (default 1), rarest first")
+    q.add_argument("--weighted-avg", default=None, metavar="VALUE:WEIGHT",
+                   help="ES weighted_avg agg over all matches")
     q.add_argument("--filter", action="append", default=[], metavar="FIELD OP VALUE",
                    nargs=3, help="doc-values filter clause, e.g. --filter lang eq en "
                    "or --filter n_chars gte 200 (ops: eq gte gt lte lt); repeatable")
@@ -315,6 +336,43 @@ def main(argv: list[str] | None = None) -> int:
                     for t in args.text:
                         buckets = eng.date_histogram(t, field, interval=interval, mode=args.mode)
                         print(json.dumps({"query": t, "buckets": [{"key": b, "n": n} for b, n in buckets]}))
+                    results = []
+                elif args.span_near is not None:
+                    results = [
+                        eng.span_near_search(t, slop=args.span_near,
+                                             in_order=not args.unordered, k=args.k)
+                        for t in args.text
+                    ]
+                elif args.span_first is not None:
+                    results = [
+                        eng.span_first_search(t, args.span_first, k=args.k)
+                        for t in args.text
+                    ]
+                elif args.match_bool_prefix:
+                    results = [
+                        eng.match_bool_prefix(t, k=args.k, operator=args.mode)
+                        for t in args.text
+                    ]
+                elif args.multi_terms:
+                    fields = [f for f in args.multi_terms.split(",") if f]
+                    for t in args.text:
+                        buckets = eng.multi_terms(t, fields, mode=args.mode, top=args.k)
+                        print(json.dumps({"query": t, "buckets": [
+                            {"key": list(kv), "n": n} for kv, n in buckets]}))
+                    results = []
+                elif args.rare_terms:
+                    field, _, mx = args.rare_terms.partition(":")
+                    for t in args.text:
+                        buckets = eng.rare_terms(t, field, max_doc_count=int(mx or 1),
+                                                 mode=args.mode)
+                        print(json.dumps({"query": t, "buckets": [
+                            {"value": v, "n": n} for v, n in buckets]}))
+                    results = []
+                elif args.weighted_avg:
+                    vf, _, wf = args.weighted_avg.partition(":")
+                    for t in args.text:
+                        print(json.dumps({"query": t, "weighted_avg":
+                                          eng.weighted_avg(t, vf, wf, mode=args.mode)}))
                     results = []
                 elif args.significant:
                     for t in args.text:
