@@ -38,11 +38,15 @@ before pushdown; ORDER BY accepts expressions over the output columns
 
 Plain UNION (set semantics) distributes as concat + per-batch DISTINCT
 combiner + one global dedup groupby; mixing UNION and UNION ALL in one
-statement is non-associative and falls back.
+statement is non-associative and falls back. CROSS JOIN distributes as a
+bounded broadcast nested-loop (right side dimension-sized by a cap-guarded
+contract; left streams, output sliced to ~200k-row pieces). Equi-join keys
+of different numeric widths are widened before the hash join (SQL's
+implicit comparison widening; pa.Table.join requires identical types).
 
 Anything outside the subset (window fns beyond OVER(PARTITION BY), wider
-correlation than one equi-conjunct, non-equi joins, SUM/AVG DISTINCT,
-mixed UNION/UNION ALL, cross joins) raises ``PlanError``;
+correlation than one equi-conjunct, non-equi ON conditions, SUM/AVG
+DISTINCT, mixed UNION/UNION ALL, comma joins) raises ``PlanError``;
 ``distributed_sql_query`` then falls back to the bounded driver-side
 ``sqlexpr.sql_query`` so the config surface never shrinks — it only scales
 further when the statement allows.
@@ -300,12 +304,18 @@ def _parse_from(toks: list[Tok]) -> tuple[str, str, list[tuple]]:
             if i < len(toks) and toks[i].isword("outer"):
                 i += 1
         elif t.isword("cross"):
-            raise PlanError(f"{t.text.upper()} JOIN is not distributable")
+            how = "cross"
+            i += 1
         if i >= len(toks) or not toks[i].isword("join"):
             raise PlanError(f"expected JOIN in FROM clause near {toks[i].text!r}")
         i += 1
         view = _ident()
         alias = _opt_alias(view)
+        if how == "cross":
+            if i < len(toks) and toks[i].isword("on"):
+                raise PlanError("CROSS JOIN takes no ON condition")
+            joins.append((view, alias, how, []))
+            continue
         if i >= len(toks) or not toks[i].isword("on"):
             raise PlanError("JOIN requires an ON condition")
         i += 1
@@ -880,6 +890,57 @@ def _semi_filter_batch(batch: pa.Table, *, col: str, vref, mode: str = "semi") -
     return batch.filter(keep)
 
 
+_CROSS_MAX_ROWS = 100_000
+
+
+def _cross_join_batch(batch: pa.Table, *, rref, slice_rows: int):
+    """Generator map fn: cross-product of each left slice with the broadcast
+    right table (DuckDB comma join), sliced so one yielded piece stays
+    bounded regardless of the incoming batch size."""
+    import duckdb
+
+    import ray as _ray
+
+    right = _ray.get(rref)
+    if not _WORKER_CON:
+        _WORKER_CON.append(duckdb.connect())
+    con = _WORKER_CON[0]
+    for lo in range(0, max(batch.num_rows, 1), slice_rows):
+        piece = batch.slice(lo, slice_rows)
+        con.register("l", piece)
+        con.register("r", right)
+        try:
+            yield con.execute("SELECT * FROM l, r").arrow()
+        finally:
+            con.unregister("l")
+            con.unregister("r")
+
+
+def _broadcast_cross(left: ray.data.Dataset, right: ray.data.Dataset) -> ray.data.Dataset:
+    import functools
+
+    parts = [
+        b for b in right.iter_batches(batch_format="pyarrow") if b.num_columns
+    ]
+    if parts:
+        rt = pa.concat_tables(parts)
+    else:
+        sch = right.schema()
+        rt = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    if rt.num_rows > _CROSS_MAX_ROWS:
+        raise PlanError(
+            f"CROSS JOIN right side has {rt.num_rows} rows "
+            f"(> {_CROSS_MAX_ROWS}): not dimension-sized, falling back"
+        )
+    slice_rows = max(1, 200_000 // max(rt.num_rows, 1))
+    rref = ray.put(rt)
+    return left.map_batches(
+        functools.partial(_cross_join_batch, rref=rref, slice_rows=slice_rows),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _per_batch(ds: ray.data.Dataset, query: str, *, normalize: bool = False,
                concurrency=None) -> ray.data.Dataset:
     import functools
@@ -1091,6 +1152,11 @@ def plan_sql(
     join_cond_ids: list[set] = []  # mangled ids per join cond (in join order)
     left_aliases = {st.root_alias}
     for view, alias, how, cond in pending:
+        if how == "cross":
+            join_cond_ids.append(set())
+            joins.append(_Join(view, alias, "cross", []))
+            left_aliases.add(alias)
+            continue
         _mangle_tokens(cond, aliases, schemas, used)
         join_cond_ids.append({t.text for t in cond if t.kind == "id"})
         keys: list[tuple[str, str]] = []
@@ -1173,9 +1239,48 @@ def plan_sql(
 
         return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
+    # join-key TYPE alignment: pa.Table.join requires identical key types
+    # while SQL widens implicitly (int32 = int64 is fine in DuckDB). Widen
+    # the narrower side: integers → int64 (uint64 when both unsigned),
+    # any float in the pair → float64; anything else mismatched → PlanError.
+    view_types: dict[str, "pa.DataType"] = {}
+    for a, v in aliases.items():
+        sch = views[v].schema()
+        for nm, ty in zip(sch.names, sch.types):
+            view_types[_mangle(a, nm)] = ty
+
+    def _widen(lt, rt):
+        import pyarrow.types as pt
+
+        if lt == rt:
+            return None
+        if pt.is_integer(lt) and pt.is_integer(rt):
+            return pa.uint64() if pt.is_unsigned_integer(lt) and pt.is_unsigned_integer(rt) else pa.int64()
+        if (pt.is_floating(lt) or pt.is_floating(rt)) and all(
+            pt.is_integer(t) or pt.is_floating(t) for t in (lt, rt)
+        ):
+            return pa.float64()
+        raise PlanError(f"join key types {lt} and {rt} are not comparable")
+
+    def _cast_cols(ds: ray.data.Dataset, casts: list) -> ray.data.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            for col, ty in casts:
+                i = t.schema.get_field_index(col)
+                t = t.set_column(i, pa.field(col, ty), t[col].cast(ty))
+            return t
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
     out = scan(st.root_alias)
     for ji, j in enumerate(joins):
         right = scan(j.alias)
+        if j.how == "cross":
+            # bounded broadcast nested-loop: a CROSS JOIN's right side is
+            # dimension-sized by contract (a cap guards the contract); the
+            # left side streams, each batch is sliced so one output piece
+            # stays ~200k rows, and the product is DuckDB's own comma join
+            out = _broadcast_cross(out, right)
+            continue
         need = mangled_outside.union(*join_cond_ids[ji + 1 :], set())
         ldups, rdups, restore = [], [], []
         for n, (lc, rc) in enumerate(j.keys):
@@ -1191,6 +1296,21 @@ def plan_sql(
             out = _dup_cols(out, ldups)
         if rdups:
             right = _dup_cols(right, rdups)
+        lcasts, rcasts = [], []
+        for lc, rc in j.keys:
+            target = _widen(view_types[lc], view_types[rc])
+            if target is None:
+                continue
+            if view_types[lc] != target:
+                lcasts.append((lc, target))
+                view_types[lc] = target
+            if view_types[rc] != target:
+                rcasts.append((rc, target))
+                view_types[rc] = target
+        if lcasts:
+            out = _cast_cols(out, lcasts)
+        if rcasts:
+            right = _cast_cols(right, rcasts)
         lk = tuple(k for k, _ in j.keys)
         rk = tuple(k for _, k in j.keys)
         out = out.join(

@@ -183,10 +183,61 @@ def test_three_way_mixed_outer_chain(views, oracle):
     )
 
 
-def test_cross_join_still_rejected(views):
-    with pytest.raises(PlanError):
+def test_cross_join_with_on_rejected(views):
+    # r5: CROSS JOIN distributes (broadcast nested-loop) but takes no ON
+    with pytest.raises(PlanError, match="no ON"):
         parse("SELECT * FROM orders CROSS JOIN customer ON true",
               {"orders", "customer"})
+
+
+def test_cross_join_broadcast(views, oracle):
+    check(
+        "SELECT n.n_name AS nn, r.r_name AS rn "
+        "FROM nation n CROSS JOIN region r",
+        views,
+        oracle,
+    )
+    # cross + residual WHERE relating both sides (the comma-join pattern)
+    check(
+        "SELECT n.n_name AS nn, r.r_name AS rn "
+        "FROM nation n CROSS JOIN region r WHERE n.n_regionkey = r.r_regionkey",
+        views,
+        oracle,
+    )
+
+
+def test_cross_join_then_equi_join_and_agg(views, oracle):
+    check(
+        "SELECT c.c_mktsegment AS seg, r.r_name AS rname, count(*)::BIGINT AS n "
+        "FROM customer c CROSS JOIN region r "
+        "GROUP BY c.c_mktsegment, r.r_name",
+        views,
+        oracle,
+    )
+
+
+def test_cross_join_cap(views, monkeypatch):
+    # the right side must be dimension-sized (cap-guarded contract)
+    import elasticsearch_data_import_handler_ray.pipelines.sqlplan as sp
+
+    monkeypatch.setattr(sp, "_CROSS_MAX_ROWS", 10)
+    with pytest.raises(PlanError, match="dimension-sized"):
+        plan_sql(
+            "SELECT c.c_custkey AS a, o.o_orderkey AS b "
+            "FROM customer c CROSS JOIN orders o",
+            {"customer": views["customer"], "orders": views["orders"]},
+        )
+
+
+def test_join_key_width_mismatch_widens(views, oracle):
+    # int32 nation key vs int64 custkey: SQL widens implicitly; the planner
+    # must too (pa.Table.join would otherwise crash on the type mismatch)
+    check(
+        "SELECT n.n_name AS nn, c.c_custkey AS ck "
+        "FROM nation n JOIN customer c ON n.n_nationkey = c.c_custkey",
+        views,
+        oracle,
+    )
 
 
 def test_three_way_join_unqualified(views, oracle):
