@@ -732,6 +732,60 @@ def _adjacency_matrix_search(sf_dir: str):
     )
 
 
+def _significant_text_search(sf_dir: str):
+    """ES significant_text: terms over-represented in the re-analyzed stored
+    text of the match set vs the whole index, JLH with doc totals. Exact
+    (no sampling) here so the whole aggregation is SQL-expressible: fg = per
+    term the distinct matching docs containing it, bg = df, score =
+    (fg/fgN - bg/N) * (fg/fgN) / (bg/N) replayed operation-for-operation."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "mlt_ws"))
+    try:
+        rows = eng.significant_text("hash join", mode="and", top=15, min_doc_count=3)
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(
+        [
+            {"term": r["term"], "fg_count": r["fg_count"], "bg_count": r["bg_count"],
+             "score": round(r["score"], 6)}
+            for r in rows
+        ]
+    )
+
+
+_SIG_TEXT_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), fg AS (
+    SELECT doc_id, toks FROM d
+    WHERE len(list_intersect(toks, ['hash'])) > 0
+      AND len(list_intersect(toks, ['join'])) > 0
+), fgt AS (
+    SELECT DISTINCT doc_id, tok.t AS term FROM fg, unnest(toks) AS tok(t)
+), fgc AS (
+    SELECT term, count(*)::BIGINT AS fg_count FROM fgt GROUP BY term
+    HAVING count(*) >= 3
+), bgt AS (
+    SELECT DISTINCT doc_id, tok.t AS term FROM d, unnest(toks) AS tok(t)
+), bgc AS (
+    SELECT term, count(*)::BIGINT AS bg_count FROM bgt GROUP BY term
+), tot AS (
+    SELECT (SELECT count(*) FROM fg)::DOUBLE AS fgN,
+           (SELECT count(*) FROM d)::DOUBLE AS bgN
+)
+SELECT term, fg_count, bg_count,
+       ROUND((fg_count / fgN - bg_count / bgN)
+             * (fg_count / fgN) / (bg_count / bgN), 6) AS score
+FROM fgc JOIN bgc USING (term), tot
+ORDER BY (fg_count / fgN - bg_count / bgN) * (fg_count / fgN) / (bg_count / bgN) DESC,
+         term
+LIMIT 15
+"""
+
+
 def _rare_terms_search(sf_dir: str):
     """ES rare_terms aggregation under a query — EXACT here (ES approximates
     with a CuckooFilter): n_chars buckets with ≤ 2 matching docs, rarest
@@ -2615,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multi_terms_search": _multi_terms_search,
             "adjacency_matrix_search": _adjacency_matrix_search,
             "rare_terms_search": _rare_terms_search,
+            "significant_text_search": _significant_text_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -4775,6 +4830,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'ms&vs', count(*) FILTER (ms AND vs)::BIGINT FROM f
             UNION ALL SELECT 'vs', count(*) FILTER (vs)::BIGINT FROM f
         """,
+        "significant_text_search": _SIG_TEXT_SQL,
         "rare_terms_search": """
             SELECT CAST(n_chars AS VARCHAR) AS term, count(*)::BIGINT AS n
             FROM documents

@@ -1323,6 +1323,41 @@ class QueryShard:
         w = self._values_of(weight_field, ids).astype(np.float64)
         return (float((v * w).sum()), float(w.sum()))
 
+    def sig_text_counts(
+        self,
+        terms: list[str],
+        mode: str,
+        field: str,
+        analyzer_name: str,
+        shard_sample: int | None,
+    ):
+        """ES significant_text partial: re-analyze the STORED text of this
+        shard's matching docs (lowest doc_ids first when sampled — a
+        deterministic stand-in for ES's sampler) and count, per term, the
+        number of foreground docs containing it. Returns
+        (n_docs_counted, {term: doc_count}) — partial sizes are bounded by
+        the foreground's distinct-term set."""
+        ids = np.sort(self.match_doc_ids(terms, mode))
+        if shard_sample is not None:
+            ids = ids[: int(shard_sample)]
+        if len(ids) == 0:
+            return None
+        from ..functions.analysis import get_analyzer
+
+        az = get_analyzer(analyzer_name)
+        vals = self._values_of(field, ids)
+        toks = az.tokens_of(pa.array([str(v) for v in vals], type=pa.large_string()))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.fill_null(pc.not_equal(flat, ""), False)
+        pairs = pa.table({"d": parent.filter(keep), "t": flat.filter(keep)})
+        uniq = pairs.group_by(["d", "t"]).aggregate([])
+        counts = uniq.group_by(["t"]).aggregate([([], "count_all")])
+        return (
+            int(len(ids)),
+            {r["t"]: int(r["count_all"]) for r in counts.to_pylist()},
+        )
+
     def adjacency_counts(self, named: dict[str, tuple[list[str], str]]):
         """ES adjacency_matrix partial: named match sets evaluated locally,
         then every single and pairwise-intersection count — docs are
@@ -3878,6 +3913,65 @@ class QueryEngine:
                 {"value": v, "fg_count": n, "bg_count": bg[v], "score": float(score)}
             )
         out.sort(key=lambda r: (-r["score"], r["value"]))
+        return out[:top]
+
+    def significant_text(
+        self,
+        text: str,
+        *,
+        field: str = "text",
+        mode: str = "or",
+        top: int = 10,
+        min_doc_count: int = 3,
+        shard_sample: int | None = None,
+    ) -> list[dict]:
+        """ES significant_text aggregation: terms over-represented in the
+        RE-ANALYZED stored text of the query's match set vs the whole index,
+        JLH-scored exactly like significant_terms but with DOC totals
+        (subset = foreground docs counted, superset = N). Foreground term
+        doc-counts come from per-shard stored-text re-analysis (one
+        scatter); background df is the index's own global_dfs — no second
+        corpus pass. ``shard_sample`` caps each shard's foreground at its
+        lowest-doc_id matches — a deterministic stand-in for ES's sampler
+        (ES samples top-scoring hits; same cost bound, reproducible).
+        Output rows {term, fg_count, bg_count, score}, (score desc, term
+        asc), top ``top``."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.sig_text_counts.remote(
+                    terms, mode, field, self.man.config.analyzer, shard_sample
+                )
+                for a in self._actors
+            ]
+        )
+        fg: dict[str, int] = {}
+        fg_total = 0
+        for p in per:
+            if p is None:
+                continue
+            fg_total += p[0]
+            for t, n in p[1].items():
+                fg[t] = fg.get(t, 0) + n
+        if fg_total == 0:
+            return []
+        cand = sorted(t for t, n in fg.items() if n >= min_doc_count)
+        if not cand:
+            return []
+        bg = dict(zip(cand, self.global_dfs(cand).tolist()))
+        out = []
+        for t in cand:
+            fgp = fg[t] / fg_total
+            bgp = bg[t] / self.N
+            score = (fgp - bgp) * fgp / bgp
+            out.append(
+                {"term": t, "fg_count": fg[t], "bg_count": int(bg[t]),
+                 "score": float(score)}
+            )
+        out.sort(key=lambda r: (-r["score"], r["term"]))
         return out[:top]
 
     def percentiles(

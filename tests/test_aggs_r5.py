@@ -43,7 +43,7 @@ def engine(corpus, tmp_path_factory):
         path, idx, mode="full",
         config=IndexConfig(
             analyzer="whitespace", num_segments=4, doc_id_col="doc_id",
-            content_col="text", store_cols=("lang", "n_chars", "weight"),
+            content_col="text", store_cols=("lang", "n_chars", "weight", "text"),
         ),
     )
     eng = QueryEngine(idx)
@@ -121,3 +121,46 @@ def test_rare_terms(engine, corpus):
             key=lambda kv: (kv[1], kv[0]),
         )
         assert got == want
+
+
+def test_significant_text(engine, corpus):
+    """significant_text vs a direct pandas/set recompute: fg = docs in the
+    match set containing the term (re-tokenized), bg = df, JLH with doc
+    totals, (score desc, term asc)."""
+    _, df = corpus
+    got = engine.significant_text("hash join", mode="and", top=8, min_doc_count=2)
+    m = df[_match(df, "hash join", "and")]
+    toks_all = df["text"].str.split().apply(set)
+    toks_fg = m["text"].str.split().apply(set)
+    fgN, bgN = len(m), len(df)
+    fg: dict = {}
+    for ts in toks_fg:
+        for t in ts:
+            fg[t] = fg.get(t, 0) + 1
+    want = []
+    for t, n in fg.items():
+        if n < 2:
+            continue
+        bg = int(toks_all.apply(lambda ts: t in ts).sum())
+        fgp, bgp = n / fgN, bg / bgN
+        want.append({"term": t, "fg_count": n, "bg_count": bg,
+                     "score": (fgp - bgp) * fgp / bgp})
+    want.sort(key=lambda r: (-r["score"], r["term"]))
+    want = want[:8]
+    assert [(r["term"], r["fg_count"], r["bg_count"]) for r in got] == [
+        (r["term"], r["fg_count"], r["bg_count"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+
+
+def test_significant_text_shard_sample_bounds_cost(engine):
+    # sampled foreground: counts can only shrink, output stays deterministic
+    full = engine.significant_text("hash join", mode="and", min_doc_count=1, top=100)
+    samp = engine.significant_text("hash join", mode="and", min_doc_count=1,
+                                   top=100, shard_sample=3)
+    fg_full = {r["term"]: r["fg_count"] for r in full}
+    for r in samp:
+        assert r["fg_count"] <= fg_full.get(r["term"], 10**9)
+    assert samp == engine.significant_text("hash join", mode="and",
+                                           min_doc_count=1, top=100, shard_sample=3)
