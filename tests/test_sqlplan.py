@@ -666,3 +666,26 @@ def test_scalar_subquery_multirow_raises(views):
             "WHERE c_acctbal > (SELECT o_totalprice FROM orders)",
             views,
         )
+
+
+def test_window_frames_and_cumulative(views, oracle):
+    """Frame clauses and running windows work through the bucketed path —
+    each bucket evaluates the ORIGINAL window SQL over whole partitions."""
+    check(
+        "SELECT o_custkey AS c, o_orderkey AS k, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM orders",
+        views,
+        oracle,
+    )
+    check(
+        "SELECT o_custkey AS c, o_orderkey AS k, "
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rc, "
+        "lead(o_orderkey, 2, -1) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey) AS nxt "
+        "FROM orders",
+        views,
+        oracle,
+    )

@@ -71,6 +71,11 @@ _WINDOWS = [
     "sum(v) OVER (PARTITION BY k)",
     "lag(v) OVER (PARTITION BY k ORDER BY v, s)",
     "count(*) OVER (PARTITION BY k)",
+    # frame clauses + running windows (whole partitions per bucket, so the
+    # original frame SQL evaluates exactly)
+    "sum(v) OVER (PARTITION BY k ORDER BY v, s ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+    "count(*) OVER (PARTITION BY k ORDER BY v, s)",
+    "lead(v, 2, -999) OVER (PARTITION BY k ORDER BY v, s)",
 ]
 
 
