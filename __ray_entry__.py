@@ -57,6 +57,9 @@ def _index_cfg(kind: str):
         return IndexConfig(
             analyzer="whitespace", store_cols=("lang", "n_chars", "source"), **base
         )
+    if kind == "tsset":
+        # terms_set: per-doc minimum_should_match doc-value (derived parquet)
+        return IndexConfig(analyzer="whitespace", store_cols=("msm",), **base)
     if kind == "edge":
         # edge_ngram index analyzer + whitespace search analyzer (the ES
         # search-as-you-type mapping); 12 keeps the SQL oracle's gram
@@ -79,9 +82,23 @@ def _shared_index(sf_dir: str, kind: str) -> str:
     if got is None:
         from elasticsearch_data_import_handler_ray.index.build import build_index
 
+        src = os.path.join(sf_dir, "documents.parquet")
+        if kind == "tsset":
+            # derive the per-doc minimum_should_match value ONCE: a small
+            # deterministic 1..3 from doc_id (the oracle recomputes the same
+            # expression in SQL)
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(src, columns=["doc_id", "text"])
+            msm = t["doc_id"].to_numpy(zero_copy_only=False) % 3 + 1
+            t = t.append_column("msm", pa.array(msm.astype(_np.int64)))
+            src = os.path.join(tempfile.mkdtemp(prefix="edih_tsset_src_"),
+                               "documents.parquet")
+            _pq.write_table(t, src)
         got = tempfile.mkdtemp(prefix=f"edih_{kind}_idx_")
         build_index(
-            os.path.join(sf_dir, "documents.parquet"),
+            src,
             got,
             mode="full",
             config=_index_cfg(kind),
@@ -729,6 +746,25 @@ def _adjacency_matrix_search(sf_dir: str):
         eng.close()
     return pa.Table.from_pylist(
         [{"bucket": k, "n": n} for k, n in sorted(counts.items())]
+    )
+
+
+def _terms_set_search(sf_dir: str):
+    """ES terms_set query: matched-term count ≥ the doc's OWN
+    minimum_should_match_field value (msm = doc_id % 3 + 1, stored as a
+    doc-value; the oracle recomputes the same expression). FULL SQL: the
+    match flags and BM25 algebra are the shared machinery, the per-doc
+    threshold is (m_0+m_1+m_2) >= doc_id % 3 + 1."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "tsset"))
+    try:
+        res = eng.terms_set_search("hash join query", "msm", k=20)
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(
+        [{"rank": i, "doc_id": int(d), "score": round(s, 6)}
+         for i, (d, s) in enumerate(res, 1)]
     )
 
 
@@ -2670,6 +2706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "adjacency_matrix_search": _adjacency_matrix_search,
             "rare_terms_search": _rare_terms_search,
             "significant_text_search": _significant_text_search,
+            "terms_set_search": _terms_set_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -3039,6 +3076,19 @@ def _bm25_oracles() -> dict[str, str]:
         UNION ALL
         {_bm25_topk_select('q2', 2,
             f"({c2['filter']}::INT + {c2['query']}::INT + {c2['scan']}::INT) >= 2", 10)}
+    """
+
+    # terms_set_search: per-doc minimum_should_match — matched-flag count
+    # compared against the SAME doc_id-derived threshold the index stored.
+    w = _bm25_with({"q0": {"terms": ["hash", "join", "query"]}})
+    out["terms_set_search"] = f"""
+        {w}
+        SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY sc_q0.score DESC, doc_id) AS "rank",
+               doc_id, ROUND(sc_q0.score, 6) AS score
+        FROM sc_q0
+        WHERE (m_0::INT + m_1::INT + m_2::INT) >= doc_id % 3 + 1
+        ORDER BY sc_q0.score DESC, doc_id LIMIT 20)
     """
 
     # span_search: Lucene span semantics as token-position list predicates —

@@ -1323,6 +1323,53 @@ class QueryShard:
         w = self._values_of(weight_field, ids).astype(np.float64)
         return (float((v * w).sum()), float(w.sum()))
 
+    def terms_set_topk(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        msm_field: str,
+        k: int,
+        k1: float,
+        b: float,
+    ):
+        """ES terms_set partial: docs whose matched-term count ≥ their OWN
+        value of ``msm_field`` (the minimum_should_match_field), scored by
+        the standard ascending-term BM25 sum over the matched terms. Local
+        top-k only rides to the driver."""
+        from .tombstones import in_sorted
+
+        cand_docs: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        for ri in range(len(self.readers)):
+            per = [(t, self._decoded(ri, t)) for t in terms]
+            per = [(t, a) for t, a in per if a is not None]
+            if not per:
+                continue
+            union = np.unique(np.concatenate([a[0] for _, a in per]))
+            scores = np.zeros(len(union), dtype=np.float64)
+            hits = np.zeros(len(union), dtype=np.int64)
+            for t, (ids, tfs, dls) in per:  # ascending-term accumulation
+                pos = np.searchsorted(union, ids)
+                scores[pos] += bm25.contribution(idfs[t], tfs, dls, avgdl, k1, b)
+                hits[pos] += 1
+            dd = self.dead[ri]
+            if dd is not None:
+                alive = ~in_sorted(union, dd)
+                union, scores, hits = union[alive], scores[alive], hits[alive]
+            if len(union) == 0:
+                continue
+            msm = self._values_of(msm_field, union).astype(np.int64)
+            m = hits >= msm
+            cand_docs.append(union[m])
+            cand_scores.append(scores[m])
+        if not cand_docs:
+            return []
+        docs = np.concatenate(cand_docs)
+        scores = np.concatenate(cand_scores)
+        top = bm25.topk_indices(scores, docs, k)
+        return [(float(scores[i]), int(docs[i])) for i in top]
+
     def sig_text_counts(
         self,
         terms: list[str],
@@ -2233,6 +2280,40 @@ class QueryEngine:
             top = bm25.topk_indices(scores, docs, k)
             out.append([(int(docs[i]), float(scores[i])) for i in top])
         return out
+
+    def terms_set_search(
+        self, text: str, msm_field: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES terms_set query: a doc matches when the number of query terms
+        it contains is ≥ its OWN value of ``msm_field`` (ES's
+        minimum_should_match_field — per-doc, unlike the query-level msm).
+        Scored by the ascending-term BM25 sum over the matched terms; terms
+        absent from the index simply never count (ES behavior)."""
+        terms_all = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms_all:
+            return []
+        dfs = self.global_dfs(terms_all)
+        terms = [t for t, df in zip(terms_all, dfs.tolist()) if df > 0]
+        if not terms:
+            return []
+        idfs = {t: float(bm25.idf(self.N, df))
+                for t, df in zip(terms_all, dfs.tolist()) if df > 0}
+        self._ensure_doc_values([msm_field])
+        per = ray.get(
+            [
+                a.terms_set_topk.remote(
+                    terms, idfs, self.avgdl, msm_field, k, self.k1, self.b
+                )
+                for a in self._actors
+            ]
+        )
+        cand = [c for p in per for c in p]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        top = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in top]
 
     def span_near_search(
         self,

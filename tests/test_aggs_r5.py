@@ -164,3 +164,36 @@ def test_significant_text_shard_sample_bounds_cost(engine):
         assert r["fg_count"] <= fg_full.get(r["term"], 10**9)
     assert samp == engine.significant_text("hash join", mode="and",
                                            min_doc_count=1, top=100, shard_sample=3)
+
+
+def test_terms_set_search(engine, corpus):
+    """terms_set: matched-term count >= the doc's OWN weight value (1..5 —
+    thresholds above the 3 query terms are legitimately unmatchable)."""
+    from elasticsearch_data_import_handler_ray.functions import bm25
+
+    _, df = corpus
+    got = engine.terms_set_search("hash join query", "weight", k=15)
+    terms = ["hash", "join", "query"]
+    N = len(df)
+    toks = df["text"].str.split()
+    avgdl = toks.apply(len).sum() / N
+    dfs = {t: int(toks.apply(lambda ts: t in ts).sum()) for t in terms}
+    want = []
+    for _, row in df.iterrows():
+        ts = row["text"].split()
+        present = [t for t in terms if t in ts]
+        if len(present) < row["weight"]:
+            continue
+        score = 0.0
+        for t in present:
+            score += bm25.contribution(
+                bm25.idf(N, dfs[t]), np.array([ts.count(t)]),
+                np.array([len(ts)]), avgdl, 1.2, 0.75,
+            )[0]
+        want.append((score, int(row["doc_id"])))
+    want.sort(key=lambda sd: (-sd[0], sd[1]))
+    want = [(d, s) for s, d in want[:15]]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    assert got
