@@ -822,6 +822,29 @@ LIMIT 15
 """
 
 
+def _composite_agg_search(sf_dir: str):
+    """ES composite aggregation: ascending-key (lang, source) buckets walked
+    page by page with the after cursor until exhaustion (size=7 forces many
+    pages). The page column proves the cursor actually advanced; the oracle
+    derives it as (row_number()-1)/7 over the same key order."""
+    eng = _dv_engine(sf_dir)
+    rows, page, after = [], 0, None
+    try:
+        while True:
+            batch, after = eng.composite_agg(
+                "hash join query", ["lang", "source"], mode="or",
+                size=7, after=after,
+            )
+            for r in batch:
+                rows.append({"page": page, **r})
+            if after is None:
+                break
+            page += 1
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(rows)
+
+
 def _rare_terms_search(sf_dir: str):
     """ES rare_terms aggregation under a query — EXACT here (ES approximates
     with a CuckooFilter): n_chars buckets with ≤ 2 matching docs, rarest
@@ -2707,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rare_terms_search": _rare_terms_search,
             "significant_text_search": _significant_text_search,
             "terms_set_search": _terms_set_search,
+            "composite_agg_search": _composite_agg_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -4854,6 +4878,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY lang
+        """,
+        "composite_agg_search": """
+            WITH b AS (
+                SELECT lang, source, count(*)::BIGINT AS doc_count
+                FROM documents
+                WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                         ['hash', 'join', 'query'])) > 0
+                GROUP BY lang, source
+            )
+            SELECT ((row_number() OVER (ORDER BY lang, source) - 1) // 7)::BIGINT
+                       AS page,
+                   lang, source, doc_count
+            FROM b
         """,
         "multi_terms_search": """
             SELECT lang, source, count(*)::BIGINT AS n FROM documents

@@ -3807,6 +3807,50 @@ class QueryEngine:
                 out.setdefault(f"{a_}&{b_}", 0)
         return out
 
+    def composite_agg(
+        self,
+        text: str,
+        fields: list[str],
+        *,
+        mode: str = "or",
+        size: int = 10,
+        after: tuple | None = None,
+    ) -> tuple[list[dict], tuple | None]:
+        """ES composite aggregation: (field-tuple, doc count) buckets in
+        ASCENDING key order with cursor pagination — the agg ES built for
+        scroll-style full-bucket exports. Reuses the multi_terms scatter
+        (per-shard Arrow group_by partials); ``after`` is the last key tuple
+        of the previous page (exclusive). Returns (rows, after_key) where
+        after_key is None on the final page — exactly ES's response shape."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return [], None
+        self._ensure_doc_values(list(fields))
+        per = ray.get(
+            [
+                a.multi_terms_under_query.remote(terms, mode, list(fields))
+                for a in self._actors
+            ]
+        )
+        agg: dict[tuple, int] = {}
+        for p in per:
+            if p is None:
+                continue
+            for row in p:
+                key = tuple(row[f] for f in fields)
+                agg[key] = agg.get(key, 0) + int(row["count_all"])
+        keys = sorted(agg)
+        if after is not None:
+            after_t = tuple(after)
+            keys = [k for k in keys if k > after_t]
+        page = keys[: max(0, int(size))]
+        rows = [
+            {**{f: k[i] for i, f in enumerate(fields)}, "doc_count": agg[k]}
+            for k in page
+        ]
+        after_key = tuple(page[-1]) if page and len(keys) > len(page) else None
+        return rows, after_key
+
     def rare_terms(
         self, text: str, field: str, *, max_doc_count: int = 1, mode: str = "or"
     ) -> list[tuple[str, int]]:

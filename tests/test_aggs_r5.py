@@ -197,3 +197,37 @@ def test_terms_set_search(engine, corpus):
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-12)
     assert got
+
+
+def test_composite_agg_pagination(engine, corpus):
+    """composite: ascending-key pages walked by cursor reassemble the full
+    bucket list; last page returns after_key=None."""
+    _, df = corpus
+    m = df[_match(df, "hash join", "or")]
+    want = (
+        m.groupby(["lang", "n_chars"]).size().reset_index(name="doc_count")
+        .sort_values(["lang", "n_chars"]).to_dict("records")
+    )
+    got, after, rounds = [], None, 0
+    while True:
+        rows, after = engine.composite_agg(
+            "hash join", ["lang", "n_chars"], mode="or", size=5, after=after
+        )
+        got.extend(rows)
+        rounds += 1
+        if after is None:
+            break
+        assert len(rows) == 5  # only the final page may be short
+    assert rounds >= 3
+    assert [(r["lang"], str(r["n_chars"]), r["doc_count"]) for r in got] == [
+        (r["lang"], str(r["n_chars"]), r["doc_count"]) for r in want
+    ]
+
+
+def test_composite_agg_after_resumes_mid_stream(engine):
+    full, _ = engine.composite_agg("hash join", ["lang"], size=100)
+    keys = [(r["lang"],) for r in full]
+    mid, after = engine.composite_agg("hash join", ["lang"], size=100,
+                                      after=keys[0])
+    assert [(r["lang"],) for r in mid] == keys[1:]
+    assert after is None
