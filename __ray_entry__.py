@@ -822,6 +822,25 @@ LIMIT 15
 """
 
 
+def _distance_feature_search(sf_dir: str):
+    """ES distance_feature: BM25 + weight · pivot/(pivot + |n_chars − origin|)
+    — the ADDITIVE proximity/recency boost (bool-should), vs
+    function_score's multiplicative re-rank. FULL SQL: the kernel is plain
+    arithmetic over the doc-value, replayed operation-for-operation."""
+    eng = _dv_engine(sf_dir)
+    try:
+        res = eng.search_distance_feature(
+            "hash join query", "n_chars", origin=120.0, pivot=200.0,
+            weight=1.5, k=10,
+        )
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(
+        [{"rank": i, "doc_id": int(d), "score": round(s, 6)}
+         for i, (d, s) in enumerate(res, 1)]
+    )
+
+
 def _composite_agg_search(sf_dir: str):
     """ES composite aggregation: ascending-key (lang, source) buckets walked
     page by page with the after cursor until exhaustion (size=7 forces many
@@ -2731,6 +2750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "significant_text_search": _significant_text_search,
             "terms_set_search": _terms_set_search,
             "composite_agg_search": _composite_agg_search,
+            "distance_feature_search": _distance_feature_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -3330,6 +3350,20 @@ def _bm25_oracles() -> dict[str, str]:
         for i, m_ in enumerate(mults)
     )
     out["function_score_search"] = f"{w}\n        {fs}"
+
+    # distance_feature_search: ADDITIVE boost (bool-should, unlike
+    # function_score's multiply) — score + w · pivot/(pivot + |v − origin|),
+    # distance_feature_apply (index/query.py) replayed op-for-op on n_chars
+    w = _bm25_with({"q0": {"terms": ["hash", "join", "query"]}})
+    dfe = f"(sc_q0.score + 1.5 * (200.0 / (200.0 + abs({v} - 120.0))))"
+    out["distance_feature_search"] = f"""
+        {w}
+        SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {dfe} DESC, doc_id) AS "rank",
+               doc_id, ROUND({dfe}, 6) AS score
+        FROM sc_q0 WHERE m_0 OR m_1 OR m_2
+        ORDER BY {dfe} DESC, doc_id LIMIT 10)
+    """
 
     # suggest_terms: per misspelled token the <=2-edit vocabulary slice
     # ranked (distance asc, df desc, term asc) top-5 — DuckDB levenshtein is

@@ -111,6 +111,16 @@ def decay_apply(
     return np.maximum((s - d) / s, 0.0)
 from .segment import SegmentReader
 
+def distance_feature_apply(vals: np.ndarray, origin: float, pivot: float) -> np.ndarray:
+    """ES distance_feature kernel: ``pivot / (pivot + |value − origin|)`` —
+    1.0 at the origin, exactly 0.5 at distance ``pivot``, decaying toward 0.
+    (The geo variant uses haversine distance; the numeric/date shape here.)"""
+    if pivot <= 0:
+        raise ValueError("distance_feature pivot must be > 0")
+    d = np.abs(np.asarray(vals, dtype=np.float64) - float(origin))
+    return pivot / (pivot + d)
+
+
 def _heap_push(heap: list, k: int, score: float, doc_id: int) -> None:
     """Min-heap of (score, -doc_id): worst = lowest score, then largest doc_id.
     DAAT visits ascending doc_id, so equal-score later docs are correctly
@@ -1562,6 +1572,22 @@ class QueryShard:
             return []
         vals = self._values_of(field, ids).astype(np.float64)
         final = scores * (weight * decay_apply(vals, fn, origin, scale, offset, decay))
+        top = bm25.topk_indices(final, ids, k)
+        return [(float(final[i]), int(ids[i])) for i in top]
+
+    def distance_feature_topk(
+        self, terms: list[str], mode: str, k: int, field: str, origin: float,
+        pivot: float, weight: float, idfs: dict, avgdl: float, k1: float, b: float,
+    ) -> list[tuple]:
+        """ES distance_feature partial: unlike function_score's multiply,
+        the boost is ADDITIVE — final = BM25 + weight · pivot/(pivot+dist)
+        (the bool-should clause ES models it as). Same every-match re-rank
+        + local top-k shape as boosted_topk."""
+        ids, scores = self._score_all_matches(terms, mode, idfs, avgdl, k1, b)
+        if len(ids) == 0:
+            return []
+        vals = self._values_of(field, ids).astype(np.float64)
+        final = scores + weight * distance_feature_apply(vals, origin, pivot)
         top = bm25.topk_indices(final, ids, k)
         return [(float(final[i]), int(ids[i])) for i in top]
 
@@ -4309,6 +4335,45 @@ class QueryEngine:
                     terms, mode, k, field, fn, float(origin), float(scale),
                     float(offset), float(decay), float(weight),
                     idfs, self.avgdl, self.k1, self.b,
+                )
+                for a in self._actors
+            ]
+        )
+        cand = [c for p in per for c in p]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        topi = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in topi]
+
+    def search_distance_feature(
+        self,
+        text: str,
+        field: str,
+        *,
+        origin: float = 0.0,
+        pivot: float = 1.0,
+        weight: float = 1.0,
+        k: int = 10,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES distance_feature query (bool-should shape): final score =
+        BM25 + weight · pivot/(pivot + |doc_value − origin|) — ADDITIVE,
+        unlike function_score's multiply; the multiplier is 1 at the origin
+        and exactly 0.5 at distance ``pivot`` (ES's recency/proximity
+        boost). Same shard-local re-rank + driver merge as search_boosted."""
+        if pivot <= 0:
+            raise ValueError("distance_feature pivot must be > 0")
+        terms, idfs = self._query_idfs(text, mode)
+        if not terms or k <= 0:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.distance_feature_topk.remote(
+                    terms, mode, k, field, float(origin), float(pivot),
+                    float(weight), idfs, self.avgdl, self.k1, self.b,
                 )
                 for a in self._actors
             ]

@@ -231,3 +231,41 @@ def test_composite_agg_after_resumes_mid_stream(engine):
                                       after=keys[0])
     assert [(r["lang"],) for r in mid] == keys[1:]
     assert after is None
+
+
+def test_distance_feature(engine, corpus):
+    """distance_feature: ADDITIVE boost BM25 + w * pivot/(pivot+|v-origin|)."""
+    from elasticsearch_data_import_handler_ray.functions import bm25
+
+    _, df = corpus
+    got = engine.search_distance_feature(
+        "hash join", "n_chars", origin=20.0, pivot=8.0, weight=2.0, k=10
+    )
+    terms = ["hash", "join"]
+    N = len(df)
+    toks = df["text"].str.split()
+    avgdl = toks.apply(len).sum() / N
+    dfs = {t: int(toks.apply(lambda ts: t in ts).sum()) for t in terms}
+    want = []
+    for _, row in df.iterrows():
+        ts = row["text"].split()
+        if not any(t in ts for t in terms):
+            continue
+        s = 0.0
+        for t in terms:
+            s += bm25.contribution(
+                bm25.idf(N, dfs[t]), np.array([ts.count(t)]),
+                np.array([len(ts)]), avgdl, 1.2, 0.75,
+            )[0]
+        s = s + 2.0 * (8.0 / (8.0 + abs(float(row["n_chars"]) - 20.0)))
+        want.append((s, int(row["doc_id"])))
+    want.sort(key=lambda sd: (-sd[0], sd[1]))
+    want = [(d, s) for s, d in want[:10]]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_distance_feature_pivot_validation(engine):
+    with pytest.raises(ValueError, match="pivot"):
+        engine.search_distance_feature("hash", "n_chars", pivot=0.0)
