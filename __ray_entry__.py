@@ -822,6 +822,26 @@ LIMIT 15
 """
 
 
+def _terms_stats_search(sf_dir: str):
+    """ES terms agg + nested stats sub-agg (`terms(lang){stats(n_chars)}`):
+    per-bucket count/sum/min/max/avg over ALL matching docs, buckets
+    (count desc, key asc). FULL SQL: a plain GROUP BY with the same
+    aggregate set; integer sums stay exact until the avg division."""
+    eng = _dv_engine(sf_dir)
+    try:
+        rows = eng.terms_stats("hash join query", "lang", "n_chars", mode="or", top=100)
+    finally:
+        eng.close()
+    return pa.Table.from_pylist(
+        [
+            {"key": r["key"], "n": r["count"], "sum_v": int(r["sum"]),
+             "min_v": int(r["min"]), "max_v": int(r["max"]),
+             "avg_v": round(r["avg"], 6)}
+            for r in rows
+        ]
+    )
+
+
 def _distance_feature_search(sf_dir: str):
     """ES distance_feature: BM25 + weight · pivot/(pivot + |n_chars − origin|)
     — the ADDITIVE proximity/recency boost (bool-should), vs
@@ -2751,6 +2771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "terms_set_search": _terms_set_search,
             "composite_agg_search": _composite_agg_search,
             "distance_feature_search": _distance_feature_search,
+            "terms_stats_search": _terms_stats_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -4909,6 +4930,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "facet_search": """
             SELECT lang, count(*)::BIGINT AS n FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
+            GROUP BY lang
+        """,
+        "terms_stats_search": """
+            SELECT lang AS key, count(*)::BIGINT AS n,
+                   sum(n_chars)::BIGINT AS sum_v,
+                   min(n_chars)::BIGINT AS min_v,
+                   max(n_chars)::BIGINT AS max_v,
+                   ROUND(sum(n_chars)::DOUBLE / count(*), 6) AS avg_v
+            FROM documents
             WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY lang

@@ -1321,6 +1321,24 @@ class QueryShard:
         g = t.group_by(list(fields)).aggregate([([], "count_all")])
         return g.to_pylist()  # [{f0:…, f1:…, "count_all": n}]
 
+    def terms_stats_under_query(
+        self, terms: list[str], mode: str, group_field: str, value_field: str
+    ):
+        """ES terms aggregation with a stats SUB-aggregation, shard partial:
+        one Arrow group_by over the matched doc-values → per-bucket
+        (count, sum, min, max). Only bucket-sized partials leave the shard."""
+        ids = self.match_doc_ids(terms, mode)
+        if len(ids) == 0:
+            return None
+        t = pa.table({
+            "g": pa.array(self._values_of(group_field, ids)),
+            "v": pa.array(self._values_of(value_field, ids)),
+        })
+        agg = t.group_by(["g"]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        return agg.to_pylist()
+
     def weighted_avg_under_query(
         self, terms: list[str], mode: str, value_field: str, weight_field: str
     ):
@@ -3784,6 +3802,52 @@ class QueryEngine:
                 agg[key] = agg.get(key, 0) + int(row["count_all"])
         out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
         return [(k, n) for k, n in out]
+
+    def terms_stats(
+        self,
+        text: str,
+        group_field: str,
+        value_field: str,
+        *,
+        mode: str = "or",
+        top: int = 10,
+    ) -> list[dict]:
+        """ES terms aggregation with a nested stats sub-aggregation — the
+        bread-and-butter ES shape (`terms(lang) { stats(n_chars) }`): per
+        bucket count/sum/min/max/avg of a numeric doc-value over ALL
+        matching docs. Per-shard Arrow group_by partials combine exactly
+        (integer sums stay integers until the avg division); buckets
+        ordered (count desc, key asc), ES's terms default."""
+        terms = sorted(set(self.analyzer.analyze_query(text)))
+        if not terms:
+            return []
+        self._ensure_doc_values([group_field, value_field])
+        per = ray.get(
+            [
+                a.terms_stats_under_query.remote(terms, mode, group_field, value_field)
+                for a in self._actors
+            ]
+        )
+        agg: dict = {}
+        for p in per:
+            if p is None:
+                continue
+            for r in p:
+                cur = agg.get(r["g"])
+                if cur is None:
+                    agg[r["g"]] = [r["v_count"], r["v_sum"], r["v_min"], r["v_max"]]
+                else:
+                    cur[0] += r["v_count"]
+                    cur[1] += r["v_sum"]
+                    cur[2] = min(cur[2], r["v_min"])
+                    cur[3] = max(cur[3], r["v_max"])
+        out = [
+            {"key": g, "count": int(c), "sum": float(s), "min": float(mn),
+             "max": float(mx), "avg": float(s) / int(c)}
+            for g, (c, s, mn, mx) in agg.items()
+        ]
+        out.sort(key=lambda r: (-r["count"], r["key"]))
+        return out[: max(0, int(top))]
 
     def weighted_avg(
         self, text: str, value_field: str, weight_field: str, *, mode: str = "or"

@@ -269,3 +269,21 @@ def test_distance_feature(engine, corpus):
 def test_distance_feature_pivot_validation(engine):
     with pytest.raises(ValueError, match="pivot"):
         engine.search_distance_feature("hash", "n_chars", pivot=0.0)
+
+
+def test_terms_stats_subagg(engine, corpus):
+    """terms agg + stats sub-agg: per-lang count/sum/min/max/avg of n_chars
+    over the match set, buckets (count desc, key asc)."""
+    _, df = corpus
+    got = engine.terms_stats("hash join", "lang", "n_chars", mode="or", top=100)
+    m = df[_match(df, "hash join", "or")]
+    g = m.groupby("lang")["n_chars"]
+    want = [
+        {"key": k, "count": int(s.count()), "sum": float(s.sum()),
+         "min": float(s.min()), "max": float(s.max()),
+         "avg": float(s.sum()) / int(s.count())}
+        for k, s in g
+    ]
+    want.sort(key=lambda r: (-r["count"], r["key"]))
+    assert got == want
+    assert got
