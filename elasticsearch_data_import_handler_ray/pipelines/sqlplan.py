@@ -1053,6 +1053,37 @@ def plan_sql(
     # their own ORDER BY/LIMIT (a global one would misparse anyway).
     union_parts, union_distinct = _split_union_all(_tokenize(query.strip().rstrip(";")))
     if len(union_parts) > 1:
+        # a trailing ORDER BY/LIMIT lexically sits inside the LAST part but
+        # binds to the WHOLE union in SQL — strip it and apply post-union
+        # (post-dedup for plain UNION). Plain output columns + ASC/DESC only.
+        trailing_order: list[tuple[str, bool]] = []
+        trailing_limit: int | None = None
+        last_clauses = _split_clauses(union_parts[-1])
+        if "order" in last_clauses or "limit" in last_clauses:
+            for item in _split_toplevel(last_clauses.pop("order", []) or [], ","):
+                if not item:
+                    continue
+                desc = False
+                if item[-1].isword("desc"):
+                    desc, item = True, item[:-1]
+                elif item[-1].isword("asc"):
+                    item = item[:-1]
+                if len(item) != 1 or item[0].kind not in ("id", "qid"):
+                    raise PlanError(
+                        "ORDER BY after UNION supports plain output columns only"
+                    )
+                trailing_order.append((item[0].text.strip('"'), desc))
+            lim = last_clauses.pop("limit", None)
+            if lim is not None:
+                if len(lim) != 1 or lim[0].kind != "num":
+                    raise PlanError("LIMIT must be a number")
+                trailing_limit = int(lim[0].text)
+            rebuilt = ["SELECT", _text(last_clauses["select"])]
+            for w in ("from", "where", "group", "having"):
+                if w in last_clauses:
+                    rebuilt.append(w.upper() + (" BY" if w == "group" else ""))
+                    rebuilt.append(_text(last_clauses[w]))
+            union_parts[-1] = _tokenize(" ".join(rebuilt))
         names: list[str] | None = None
         planned = []
         for part in union_parts:
@@ -1086,6 +1117,16 @@ def plan_sql(
                 .aggregate(Count(alias_name="__n"))
                 .select_columns(list(names or []))
             )
+        if trailing_order:
+            bad = [c for c, _ in trailing_order if c not in (names or [])]
+            if bad:
+                raise PlanError(f"ORDER BY after UNION: unknown columns {bad}")
+            out = out.sort(
+                [c for c, _ in trailing_order],
+                descending=[d for _, d in trailing_order],
+            )
+        if trailing_limit is not None:
+            out = out.limit(trailing_limit)
         return out
 
     st = parse(query, set(views))

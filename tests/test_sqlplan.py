@@ -689,3 +689,29 @@ def test_window_frames_and_cumulative(views, oracle):
         views,
         oracle,
     )
+
+
+def test_union_trailing_order_limit(views, oracle):
+    """Trailing ORDER BY/LIMIT binds to the WHOLE union (applied post-dedup
+    for plain UNION); unique keys keep the LIMIT cut deterministic."""
+    check(
+        "SELECT n_name AS k FROM nation UNION ALL "
+        "SELECT r_name AS k FROM region ORDER BY k LIMIT 12",
+        views,
+        oracle,
+    )
+    check(
+        "SELECT n_regionkey AS k FROM nation UNION "
+        "SELECT r_regionkey AS k FROM region ORDER BY k DESC",
+        views,
+        oracle,
+    )
+
+
+def test_union_trailing_order_unknown_column(views):
+    with pytest.raises(PlanError, match="unknown columns"):
+        plan_sql(
+            "SELECT n_name AS k FROM nation UNION ALL "
+            "SELECT r_name AS k FROM region ORDER BY zzz",
+            views,
+        )
