@@ -102,6 +102,23 @@ def main(argv: list[str] | None = None) -> int:
                         "matching docs (default 1), rarest first")
     q.add_argument("--weighted-avg", default=None, metavar="VALUE:WEIGHT",
                    help="ES weighted_avg agg over all matches")
+    q.add_argument("--terms-set", default=None, metavar="MSM_FIELD",
+                   help="ES terms_set query: matched-term count >= the doc's "
+                        "own value of MSM_FIELD")
+    q.add_argument("--distance-feature", default=None,
+                   metavar="FIELD:ORIGIN:PIVOT[:WEIGHT]",
+                   help="ES distance_feature: additive boost "
+                        "weight*pivot/(pivot+|v-origin|)")
+    q.add_argument("--significant-text", action="store_true",
+                   dest="significant_text",
+                   help="ES significant_text: over-represented terms of the "
+                        "match set's re-analyzed stored text (JLH)")
+    q.add_argument("--terms-stats", default=None, metavar="GROUP:VALUE",
+                   help="ES terms agg + stats sub-agg: per-GROUP bucket "
+                        "count/sum/min/max/avg of VALUE over all matches")
+    q.add_argument("--composite", default=None, metavar="F1,F2[:SIZE]",
+                   help="ES composite agg: ascending-key buckets walked with "
+                        "the after cursor to exhaustion")
     q.add_argument("--filter", action="append", default=[], metavar="FIELD OP VALUE",
                    nargs=3, help="doc-values filter clause, e.g. --filter lang eq en "
                    "or --filter n_chars gte 200 (ops: eq gte gt lte lt); repeatable")
@@ -373,6 +390,47 @@ def main(argv: list[str] | None = None) -> int:
                     for t in args.text:
                         print(json.dumps({"query": t, "weighted_avg":
                                           eng.weighted_avg(t, vf, wf, mode=args.mode)}))
+                    results = []
+                elif args.terms_set:
+                    results = [
+                        eng.terms_set_search(t, args.terms_set, k=args.k)
+                        for t in args.text
+                    ]
+                elif args.distance_feature:
+                    parts_ = args.distance_feature.split(":")
+                    fld, org, piv = parts_[0], float(parts_[1]), float(parts_[2])
+                    wt = float(parts_[3]) if len(parts_) > 3 else 1.0
+                    results = [
+                        eng.search_distance_feature(
+                            t, fld, origin=org, pivot=piv, weight=wt, k=args.k)
+                        for t in args.text
+                    ]
+                elif args.significant_text:
+                    for t in args.text:
+                        print(json.dumps({"query": t, "significant":
+                                          eng.significant_text(t, mode=args.mode,
+                                                               top=args.k)}))
+                    results = []
+                elif args.terms_stats:
+                    gf, _, vf = args.terms_stats.partition(":")
+                    for t in args.text:
+                        print(json.dumps({"query": t, "buckets":
+                                          eng.terms_stats(t, gf, vf,
+                                                          mode=args.mode, top=args.k)}))
+                    results = []
+                elif args.composite:
+                    spec, _, sz = args.composite.partition(":")
+                    fields = [f for f in spec.split(",") if f]
+                    for t in args.text:
+                        after, rows = None, []
+                        while True:
+                            batch, after = eng.composite_agg(
+                                t, fields, mode=args.mode,
+                                size=int(sz or 10), after=after)
+                            rows.extend(batch)
+                            if after is None:
+                                break
+                        print(json.dumps({"query": t, "buckets": rows}))
                     results = []
                 elif args.significant:
                     for t in args.text:
