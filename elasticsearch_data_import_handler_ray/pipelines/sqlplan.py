@@ -1177,7 +1177,27 @@ def plan_sql(
         semi_cols.append((lst[0].text, subsql, mode))
     if st.where:
         _mangle_tokens(st.where, aliases, schemas, used)
-    for g in st.group:
+    # GROUP BY alias / ordinal (SQL convenience DuckDB also allows): a bare
+    # ordinal or a name matching a select item's OUTPUT alias (and not a
+    # real column — select items are already mangled, so an unmangled bare
+    # id here is never a column) substitutes that item's expression.
+    out_names = [_item_output_name(it)[1] for it in st.select]
+    out_exprs = [_item_output_name(it)[0] for it in st.select]
+    for gi, g in enumerate(st.group):
+        if len(g) == 1 and g[0].kind == "num" and g[0].text.isdigit():
+            k = int(g[0].text)
+            if not (1 <= k <= len(out_exprs)):
+                raise PlanError(f"GROUP BY ordinal {k} out of range")
+            st.group[gi] = list(out_exprs[k - 1])
+            continue
+        if (
+            len(g) == 1
+            and g[0].kind == "id"
+            and g[0].text in out_names
+            and not any(g[0].text in s for s in schemas.values())
+        ):
+            st.group[gi] = list(out_exprs[out_names.index(g[0].text)])
+            continue
         _mangle_tokens(g, aliases, schemas, used)
     if st.having:
         _mangle_tokens(st.having, aliases, schemas, used)

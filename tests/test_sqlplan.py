@@ -715,3 +715,32 @@ def test_union_trailing_order_unknown_column(views):
             "SELECT r_name AS k FROM region ORDER BY zzz",
             views,
         )
+
+
+def test_group_by_alias_and_ordinal(views, oracle):
+    """GROUP BY an output alias or a 1-based ordinal (DuckDB conveniences)."""
+    check(
+        "SELECT c.c_mktsegment AS seg, count(*)::BIGINT AS n "
+        "FROM customer c GROUP BY seg",
+        views,
+        oracle,
+    )
+    check(
+        "SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m, "
+        "count(*)::BIGINT AS n FROM orders GROUP BY 1, 2",
+        views,
+        oracle,
+    )
+    # alias shadowing nothing + expression key mixed with ordinal
+    check(
+        "SELECT n_regionkey % 2 AS par, upper(n_name) AS nm, count(*)::BIGINT AS n "
+        "FROM nation GROUP BY par, 2",
+        views,
+        oracle,
+    )
+
+
+def test_group_by_ordinal_out_of_range(views):
+    with pytest.raises(PlanError, match="out of range"):
+        plan_sql("SELECT n_name AS x, count(*) AS n FROM nation GROUP BY 9",
+                 views)
