@@ -640,7 +640,13 @@ def parse(sql: str, view_names: set[str]) -> _Stmt:
                 desc, item = True, item[:-1]
             elif item[-1].isword("asc"):
                 item = item[:-1]
-            if len(item) == 1 and item[0].kind in ("id", "qual", "qid"):
+            if len(item) == 1 and item[0].kind == "num" and item[0].text.isdigit():
+                # ORDER BY ordinal → the k-th select item's OUTPUT name
+                k = int(item[0].text)
+                if not (1 <= k <= len(st.select)):
+                    raise PlanError(f"ORDER BY ordinal {k} out of range")
+                st.order.append((_item_output_name(st.select[k - 1])[1], desc))
+            elif len(item) == 1 and item[0].kind in ("id", "qual", "qid"):
                 st.order.append((item[0].text.strip('"'), desc))
             else:
                 # expression item: computed into a temp column over the

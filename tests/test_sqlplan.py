@@ -744,3 +744,14 @@ def test_group_by_ordinal_out_of_range(views):
     with pytest.raises(PlanError, match="out of range"):
         plan_sql("SELECT n_name AS x, count(*) AS n FROM nation GROUP BY 9",
                  views)
+
+
+def test_order_by_ordinal(views, oracle):
+    check(
+        "SELECT c_mktsegment AS seg, count(*)::BIGINT AS n "
+        "FROM customer GROUP BY seg ORDER BY 2 DESC, 1",
+        views,
+        oracle,
+    )
+    with pytest.raises(PlanError, match="out of range"):
+        plan_sql("SELECT n_name AS x FROM nation ORDER BY 3", views)
