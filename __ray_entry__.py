@@ -822,6 +822,32 @@ LIMIT 15
 """
 
 
+def _rank_feature_search(sf_dir: str):
+    """ES rank_feature query — all three Lucene FeatureField kernels
+    (saturation / log / sigmoid) as ADDITIVE bool-should boosts over the
+    n_chars doc-value. FULL SQL: plain arithmetic replayed op-for-op."""
+    eng = _dv_engine(sf_dir)
+    try:
+        results = [
+            eng.search_rank_feature("hash join query", "n_chars",
+                                    fn="saturation", pivot=300.0, k=10),
+            eng.search_rank_feature("hash join query", "n_chars",
+                                    fn="log", scaling_factor=0.01,
+                                    weight=0.5, k=10),
+            eng.search_rank_feature("hash join query", "n_chars",
+                                    fn="sigmoid", pivot=300.0, exponent=2.0,
+                                    k=10),
+        ]
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                         "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _terms_stats_search(sf_dir: str):
     """ES terms agg + nested stats sub-agg (`terms(lang){stats(n_chars)}`):
     per-bucket count/sum/min/max/avg over ALL matching docs, buckets
@@ -2772,6 +2798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "composite_agg_search": _composite_agg_search,
             "distance_feature_search": _distance_feature_search,
             "terms_stats_search": _terms_stats_search,
+            "rank_feature_search": _rank_feature_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -3371,6 +3398,26 @@ def _bm25_oracles() -> dict[str, str]:
         for i, m_ in enumerate(mults)
     )
     out["function_score_search"] = f"{w}\n        {fs}"
+
+    # rank_feature_search: Lucene FeatureField kernels as additive boosts —
+    # rank_feature_apply (index/query.py) replayed op-for-op on n_chars
+    w = _bm25_with({"q0": {"terms": ["hash", "join", "query"]}})
+    v = "n_chars::DOUBLE"
+    rf_exprs = [
+        f"(sc_q0.score + 1.0 * ({v} / ({v} + 300.0)))",                       # saturation
+        f"(sc_q0.score + 0.5 * ln(0.01 * {v} + 1.0))",                        # log
+        f"(sc_q0.score + 1.0 * (pow({v}, 2.0) / (pow({v}, 2.0) + pow(300.0, 2.0))))",  # sigmoid
+    ]
+    rf = " UNION ALL ".join(
+        f"""SELECT * FROM (
+        SELECT {i} AS query_idx,
+               ROW_NUMBER() OVER (ORDER BY {e} DESC, doc_id) AS "rank",
+               doc_id, ROUND({e}, 6) AS score
+        FROM sc_q0 WHERE m_0 OR m_1 OR m_2
+        ORDER BY {e} DESC, doc_id LIMIT 10)"""
+        for i, e in enumerate(rf_exprs)
+    )
+    out["rank_feature_search"] = f"{w}\n        {rf}"
 
     # distance_feature_search: ADDITIVE boost (bool-should, unlike
     # function_score's multiply) — score + w · pivot/(pivot + |v − origin|),

@@ -121,6 +121,31 @@ def distance_feature_apply(vals: np.ndarray, origin: float, pivot: float) -> np.
     return pivot / (pivot + d)
 
 
+RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
+
+
+def rank_feature_apply(
+    vals: np.ndarray, fn: str, *, pivot: float = 1.0,
+    scaling_factor: float = 1.0, exponent: float = 1.0,
+) -> np.ndarray:
+    """ES rank_feature kernels over a non-negative feature doc-value:
+    saturation v/(v+pivot), log ln(scaling_factor·v + 1), sigmoid
+    v^exp/(v^exp + pivot^exp) — Lucene's FeatureField functions."""
+    v = np.asarray(vals, dtype=np.float64)
+    if fn == "saturation":
+        if pivot <= 0:
+            raise ValueError("saturation pivot must be > 0")
+        return v / (v + pivot)
+    if fn == "log":
+        return np.log(scaling_factor * v + 1.0)
+    if fn == "sigmoid":
+        if pivot <= 0 or exponent <= 0:
+            raise ValueError("sigmoid pivot and exponent must be > 0")
+        ve = np.power(v, exponent)
+        return ve / (ve + pivot ** exponent)
+    raise ValueError(f"rank_feature fn must be one of {RANK_FEATURE_FNS}")
+
+
 def _heap_push(heap: list, k: int, score: float, doc_id: int) -> None:
     """Min-heap of (score, -doc_id): worst = lowest score, then largest doc_id.
     DAAT visits ascending doc_id, so equal-score later docs are correctly
@@ -1606,6 +1631,24 @@ class QueryShard:
             return []
         vals = self._values_of(field, ids).astype(np.float64)
         final = scores + weight * distance_feature_apply(vals, origin, pivot)
+        top = bm25.topk_indices(final, ids, k)
+        return [(float(final[i]), int(ids[i])) for i in top]
+
+    def rank_feature_topk(
+        self, terms: list[str], mode: str, k: int, field: str, fn: str,
+        pivot: float, scaling_factor: float, exponent: float, weight: float,
+        idfs: dict, avgdl: float, k1: float, b: float,
+    ) -> list[tuple]:
+        """ES rank_feature partial: ADDITIVE boost (a bool-should clause,
+        like distance_feature) — final = BM25 + weight · kernel(value)."""
+        ids, scores = self._score_all_matches(terms, mode, idfs, avgdl, k1, b)
+        if len(ids) == 0:
+            return []
+        vals = self._values_of(field, ids).astype(np.float64)
+        final = scores + weight * rank_feature_apply(
+            vals, fn, pivot=pivot, scaling_factor=scaling_factor,
+            exponent=exponent,
+        )
         top = bm25.topk_indices(final, ids, k)
         return [(float(final[i]), int(ids[i])) for i in top]
 
@@ -4438,6 +4481,51 @@ class QueryEngine:
                 a.distance_feature_topk.remote(
                     terms, mode, k, field, float(origin), float(pivot),
                     float(weight), idfs, self.avgdl, self.k1, self.b,
+                )
+                for a in self._actors
+            ]
+        )
+        cand = [c for p in per for c in p]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        topi = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in topi]
+
+    def search_rank_feature(
+        self,
+        text: str,
+        field: str,
+        *,
+        fn: str = "saturation",
+        pivot: float = 1.0,
+        scaling_factor: float = 1.0,
+        exponent: float = 1.0,
+        weight: float = 1.0,
+        k: int = 10,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """ES rank_feature query (bool-should, ADDITIVE like
+        distance_feature): final = BM25 + weight · kernel(doc_value) with
+        Lucene's FeatureField kernels — saturation v/(v+pivot),
+        log ln(scaling_factor·v+1), sigmoid v^e/(v^e+pivot^e). The ES
+        popularity/pagerank boost shape. Shard-local every-match re-rank,
+        local top-k partials only."""
+        if fn not in RANK_FEATURE_FNS:
+            raise ValueError(f"rank_feature fn must be one of {RANK_FEATURE_FNS}")
+        rank_feature_apply(np.array([1.0]), fn, pivot=pivot,
+                           scaling_factor=scaling_factor, exponent=exponent)
+        terms, idfs = self._query_idfs(text, mode)
+        if not terms or k <= 0:
+            return []
+        self._ensure_doc_values([field])
+        per = ray.get(
+            [
+                a.rank_feature_topk.remote(
+                    terms, mode, k, field, fn, float(pivot),
+                    float(scaling_factor), float(exponent), float(weight),
+                    idfs, self.avgdl, self.k1, self.b,
                 )
                 for a in self._actors
             ]

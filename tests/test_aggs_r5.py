@@ -287,3 +287,56 @@ def test_terms_stats_subagg(engine, corpus):
     want.sort(key=lambda r: (-r["count"], r["key"]))
     assert got == want
     assert got
+
+
+def test_rank_feature(engine, corpus):
+    """rank_feature: all three Lucene FeatureField kernels, additive."""
+    from elasticsearch_data_import_handler_ray.functions import bm25
+
+    _, df = corpus
+    terms = ["hash", "join"]
+    N = len(df)
+    toks = df["text"].str.split()
+    avgdl = toks.apply(len).sum() / N
+    dfs = {t: int(toks.apply(lambda ts: t in ts).sum()) for t in terms}
+
+    def base_scores():
+        out = {}
+        for _, row in df.iterrows():
+            ts = row["text"].split()
+            if not any(t in ts for t in terms):
+                continue
+            s = 0.0
+            for t in terms:
+                s += bm25.contribution(
+                    bm25.idf(N, dfs[t]), np.array([ts.count(t)]),
+                    np.array([len(ts)]), avgdl, 1.2, 0.75,
+                )[0]
+            out[int(row["doc_id"])] = (s, float(row["n_chars"]))
+        return out
+
+    base = base_scores()
+    kernels = {
+        "saturation": lambda v: v / (v + 25.0),
+        "log": lambda v: np.log(0.1 * v + 1.0),
+        "sigmoid": lambda v: v ** 2.0 / (v ** 2.0 + 25.0 ** 2.0),
+    }
+    for fn, kf in kernels.items():
+        got = engine.search_rank_feature(
+            "hash join", "n_chars", fn=fn, pivot=25.0, scaling_factor=0.1,
+            exponent=2.0, weight=1.5, k=10,
+        )
+        want = sorted(
+            ((s + 1.5 * kf(v), d) for d, (s, v) in base.items()),
+            key=lambda sd: (-sd[0], sd[1]),
+        )[:10]
+        assert [d for d, _ in got] == [d for _, d in want], fn
+        for (_, gs), (ws, _) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_rank_feature_validation(engine):
+    with pytest.raises(ValueError):
+        engine.search_rank_feature("hash", "n_chars", fn="nope")
+    with pytest.raises(ValueError):
+        engine.search_rank_feature("hash", "n_chars", fn="saturation", pivot=0)
