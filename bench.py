@@ -196,6 +196,10 @@ def run_bench() -> dict:
         # distributed global-rank pattern
         "sql_dist_outer_join",
         "shuffle_order",
+        # round-5 session 2: the edge-gram index (build + prefix queries)
+        # and the span scorer over the positional index
+        "search_as_you_type",
+        "span_search",
     ]
     # cold AND warm per pipeline (VERDICT r4 wrong #4): the first call pays
     # per-worker import cost (duckdb etc.) that cold-only numbers twice
