@@ -822,6 +822,46 @@ LIMIT 15
 """
 
 
+def _termvectors_search(sf_dir: str):
+    """ES _mtermvectors: per-doc (term, tf, first position, index-wide df)
+    re-analyzed from the stored source with the index analyzer. FULL SQL:
+    token-position list algebra + corpus-wide distinct-doc df."""
+    from elasticsearch_data_import_handler_ray.index.query import QueryEngine
+
+    eng = QueryEngine(_shared_index(sf_dir, "mlt_ws"))
+    try:
+        tv = eng.termvectors([1, 2, 3, 5, 8, 13])
+    finally:
+        eng.close()
+    rows = []
+    for d, terms in sorted(tv.items()):
+        for r in terms:
+            rows.append({"doc_id": d, "term": r["term"], "tf": r["tf"],
+                         "first_pos": r["positions"][0], "df": r["df"]})
+    return pa.Table.from_pylist(rows)
+
+
+_TERMVECTORS_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), pos AS (
+    SELECT doc_id, toks[p.i] AS term, p.i - 1 AS pos
+    FROM d, unnest(range(1, len(toks) + 1)) AS p(i)
+    WHERE doc_id IN (1, 2, 3, 5, 8, 13)
+), tv AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf, min(pos)::BIGINT AS first_pos
+    FROM pos GROUP BY doc_id, term
+), bg AS (
+    SELECT tok.t AS term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM d, unnest(toks) AS tok(t) GROUP BY tok.t
+)
+SELECT tv.doc_id, tv.term, tv.tf, tv.first_pos, bg.df
+FROM tv JOIN bg USING (term)
+"""
+
+
 def _rank_feature_search(sf_dir: str):
     """ES rank_feature query — all three Lucene FeatureField kernels
     (saturation / log / sigmoid) as ADDITIVE bool-should boosts over the
@@ -2799,6 +2839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "distance_feature_search": _distance_feature_search,
             "terms_stats_search": _terms_stats_search,
             "rank_feature_search": _rank_feature_search,
+            "termvectors": _termvectors_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -4981,6 +5022,7 @@ def oracle_sql() -> dict[str, str]:
                                      ['hash', 'join', 'query'])) > 0
             GROUP BY lang
         """,
+        "termvectors": _TERMVECTORS_SQL,
         "terms_stats_search": """
             SELECT lang AS key, count(*)::BIGINT AS n,
                    sum(n_chars)::BIGINT AS sum_v,

@@ -2588,6 +2588,46 @@ class QueryEngine:
             if t is not None
         }
 
+    def termvectors(
+        self, doc_ids: list[int], *, with_stats: bool = True
+    ) -> dict[int, list[dict]]:
+        """ES _termvectors / _mtermvectors: per requested doc, its analyzed
+        (term, tf, positions[, df]) rows — re-analyzed from the stored
+        source with the INDEX analyzer, so the stream is exactly what the
+        index saw (ES re-analyzes _source the same way). df (term_statistics)
+        is resolved index-wide in ONE global_dfs round over the union of the
+        docs' terms. Rows per doc sorted by term."""
+        texts = self._stored_texts(doc_ids)
+        per_doc: dict[int, dict[str, dict]] = {}
+        all_terms: set[str] = set()
+        for d, t in texts.items():
+            toks = [x for x in self.analyzer.analyze_query(t) if x]
+            tv: dict[str, dict] = {}
+            for pos, tok in enumerate(toks):
+                e = tv.setdefault(tok, {"tf": 0, "positions": []})
+                e["tf"] += 1
+                e["positions"].append(pos)
+            per_doc[d] = tv
+            all_terms.update(tv)
+        dfs: dict[str, int] = {}
+        if with_stats and all_terms:
+            uniq = sorted(all_terms)
+            dfs = dict(zip(uniq, self.global_dfs(uniq).tolist()))
+        out: dict[int, list[dict]] = {}
+        for d in doc_ids:
+            tv = per_doc.get(int(d))
+            if tv is None:
+                out[int(d)] = []
+                continue
+            rows = []
+            for term in sorted(tv):
+                r = {"term": term, **tv[term]}
+                if with_stats:
+                    r["df"] = int(dfs.get(term, 0))
+                rows.append(r)
+            out[int(d)] = rows
+        return out
+
     def highlight_fragments(
         self,
         text: str,

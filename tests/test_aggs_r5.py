@@ -340,3 +340,26 @@ def test_rank_feature_validation(engine):
         engine.search_rank_feature("hash", "n_chars", fn="nope")
     with pytest.raises(ValueError):
         engine.search_rank_feature("hash", "n_chars", fn="saturation", pivot=0)
+
+
+def test_termvectors(engine, corpus):
+    """_mtermvectors: term/tf/positions/df re-analyzed from stored source."""
+    _, df = corpus
+    ids = [1, 5, 9999]  # 9999 absent
+    got = engine.termvectors(ids)
+    texts = dict(zip(df["doc_id"], df["text"]))
+    toks_all = df["text"].str.split()
+    for d in (1, 5):
+        ts = texts[d].split()
+        want = {}
+        for pos, t in enumerate(ts):
+            e = want.setdefault(t, {"tf": 0, "positions": []})
+            e["tf"] += 1
+            e["positions"].append(pos)
+        rows = got[d]
+        assert [r["term"] for r in rows] == sorted(want)
+        for r in rows:
+            assert r["tf"] == want[r["term"]]["tf"]
+            assert r["positions"] == want[r["term"]]["positions"]
+            assert r["df"] == int(toks_all.apply(lambda x: r["term"] in x).sum())
+    assert got[9999] == []
