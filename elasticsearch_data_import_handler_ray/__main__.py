@@ -277,11 +277,13 @@ def main(argv: list[str] | None = None) -> int:
             def parse_filters(raw):
                 out = []
                 for field, op, val in raw:
-                    if op not in ("eq", "gte", "gt", "lte", "lt", "in"):
+                    if op not in ("eq", "neq", "gte", "gt", "lte", "lt", "in",
+                                  "prefix"):
                         raise SystemExit(f"unknown filter op {op}")
                     try:
-                        v = float(val) if op != "eq" and op != "in" else val
-                        if op != "eq" and op != "in" and v == int(v):
+                        nonnum = ("eq", "neq", "in", "prefix")
+                        v = float(val) if op not in nonnum else val
+                        if op not in nonnum and v == int(v):
                             v = int(v)
                     except ValueError:
                         v = val

@@ -1292,8 +1292,13 @@ class QueryShard:
             _, vals = self._doc_values[fl["field"]]
             if "eq" in fl:
                 keep &= vals == fl["eq"]
+            if "neq" in fl:
+                keep &= vals != fl["neq"]
             if "in" in fl:
                 keep &= np.isin(vals, np.asarray(fl["in"]))
+            if "prefix" in fl:
+                # ES prefix query in filter context, on a KEYWORD doc-value
+                keep &= np.char.startswith(vals.astype(str), str(fl["prefix"]))
             if "gte" in fl:
                 keep &= vals >= fl["gte"]
             if "gt" in fl:

@@ -63,6 +63,11 @@ FILTER_CASES = [
     ("vector scan", {"field": "lang", "in": ["fr", "de"]}, lambda d: d["lang"].isin(["fr", "de"])),
     ("merge sort", {"field": "n_chars", "gte": 200, "lt": 900},
      lambda d: (d["n_chars"] >= 200) & (d["n_chars"] < 900)),
+    # r5: keyword-prefix and not-equal clauses in filter context
+    ("hash join", {"field": "source", "prefix": "src1"},
+     lambda d: d["source"].str.startswith("src1")),
+    ("vector scan", {"field": "lang", "neq": "en"},
+     lambda d: d["lang"] != "en"),
 ]
 
 
