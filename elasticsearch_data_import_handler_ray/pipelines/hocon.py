@@ -19,10 +19,16 @@ used, with no third-party dependency:
   A missing ``${?x}`` removes the key (empty string inside a concatenation);
   a missing ``${x}`` and substitution cycles raise ``HoconError``.
 
-Deliberately out of scope (raise cleanly): includes, ``+=``, multi-line
-strings, and self-referential overrides (``path = ${path}":x"`` — a cycle
-here). Those were environment plumbing in the reference; a pipeline spec
-needs none of them.
+* ``include "file"`` / ``include file("f")`` / ``include required("f")``
+  at statement position (one per line): the included document merges at
+  that point with later-keys-override, relative to the including file;
+  missing plain includes are no-ops, missing required() raises, cycles
+  raise. Substitutions resolve across the merged document (Typesafe).
+
+Deliberately out of scope (raise cleanly): ``+=``, multi-line strings,
+URL includes, and self-referential overrides (``path = ${path}":x"`` — a
+cycle here). Those were environment plumbing in the reference; a pipeline
+spec needs none of them.
 
 Usage: ``load_config(text)`` → plain dict, feed to PipelineSpec.from_dict.
 The CLI ``pipeline`` verb auto-detects ``.conf`` files.
@@ -351,14 +357,66 @@ def _resolve_tree(root: dict) -> dict:
     return root
 
 
-def load_config(text: str) -> dict:
-    """Parse a HOCON-subset document (or plain JSON — it is a superset)."""
-    if "include " in text or "include\t" in text:
-        raise HoconError("'include' is not supported — inline the file")
+_INCLUDE_RE = re.compile(
+    r'^[^\S\n]*include[^\S\n]+(required\()?[^\S\n]*(?:file\()?[^\S\n]*'
+    r'"([^"]+)"[^\S\n]*\)?[^\S\n]*\)?[^\S\n]*$',
+    re.MULTILINE,
+)
+
+
+def _inline_includes(text: str, base_dir: str | None, seen: frozenset) -> str:
+    """Typesafe-Config ``include`` (statement-position only, one per line):
+    the included document's root object merges at the include position —
+    which is EXACTLY what a textual splice gives under this parser's
+    later-keys-override rule, and substitutions resolve across the merged
+    document as Typesafe does. ``include "f"`` of a missing file is ignored
+    (Typesafe semantics); ``include required("f")`` raises. Relative paths
+    resolve against the including file's directory; cycles raise."""
+
+    def repl(m: "re.Match[str]") -> str:
+        required = bool(m.group(1))
+        rel = m.group(2)
+        if os.path.isabs(rel):
+            path = rel
+        elif base_dir is not None:
+            path = os.path.join(base_dir, rel)
+        else:
+            raise HoconError(
+                f"relative include {rel!r} needs a file-based load "
+                "(load_config_file)"
+            )
+        real = os.path.realpath(path)
+        if real in seen:
+            raise HoconError(f"include cycle at {rel!r}")
+        if not os.path.exists(real):
+            if required:
+                raise HoconError(f"required include missing: {rel!r}")
+            return ""  # plain include of a missing file is a no-op
+        with open(real) as f:
+            sub = f.read()
+        sub = _inline_includes(sub, os.path.dirname(real), seen | {real})
+        s = sub.strip()
+        if s.startswith("{") and s.endswith("}"):
+            sub = s[1:-1]  # braced root: splice the KEYS, not a value
+        return "\n" + sub + "\n"
+
+    return _INCLUDE_RE.sub(repl, text)
+
+
+def load_config(text: str, *, base_dir: str | None = None) -> dict:
+    """Parse a HOCON-subset document (or plain JSON — it is a superset).
+    ``base_dir`` anchors relative ``include`` statements (load_config_file
+    passes the file's directory; absolute includes work either way)."""
+    text = _inline_includes(text, base_dir, frozenset())
+    if re.search(r"^[^\S\n]*include\b", text, re.MULTILINE):
+        raise HoconError(
+            "unsupported include form (use: include \"file\" / "
+            "include file(\"f\") / include required(\"f\"))"
+        )
     toks, gaps = _tokenize(text)
     return _resolve_tree(_Parser(toks, gaps).parse_object(top=True))
 
 
 def load_config_file(path: str) -> dict:
     with open(path) as f:
-        return load_config(f.read())
+        return load_config(f.read(), base_dir=os.path.dirname(os.path.abspath(path)))

@@ -166,3 +166,73 @@ def test_hocon_spec_end_to_end(tmp_path):
         f"SELECT count(*) FROM read_parquet('{SF}/events.parquet') WHERE event_type='click'"
     ).fetchone()[0]
     assert got == want
+
+
+# ------------------------------------------------------------- r5: includes
+def test_include_merges_at_position(tmp_path):
+    from elasticsearch_data_import_handler_ray.pipelines.hocon import load_config_file
+
+    (tmp_path / "base.conf").write_text('a = 1\nb = { x = 10 }\n')
+    (tmp_path / "main.conf").write_text(
+        'include "base.conf"\nb.y = 20\na = 2\n'
+    )
+    cfg = load_config_file(str(tmp_path / "main.conf"))
+    assert cfg == {"a": 2, "b": {"x": 10, "y": 20}}
+
+
+def test_include_braced_root_and_nesting(tmp_path):
+    from elasticsearch_data_import_handler_ray.pipelines.hocon import load_config_file
+
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "inner.conf").write_text('{ deep = true }\n')
+    (sub / "mid.conf").write_text('include "inner.conf"\nmid = 1\n')
+    (tmp_path / "main.conf").write_text('include "sub/mid.conf"\ntop = ${mid}\n')
+    cfg = load_config_file(str(tmp_path / "main.conf"))
+    assert cfg == {"deep": True, "mid": 1, "top": 1}
+
+
+def test_include_missing_and_required(tmp_path):
+    from elasticsearch_data_import_handler_ray.pipelines.hocon import (
+        HoconError,
+        load_config_file,
+    )
+
+    (tmp_path / "a.conf").write_text('include "nope.conf"\nk = 1\n')
+    assert load_config_file(str(tmp_path / "a.conf")) == {"k": 1}
+    (tmp_path / "b.conf").write_text('include required("nope.conf")\nk = 1\n')
+    import pytest as _pytest
+
+    with _pytest.raises(HoconError, match="required include"):
+        load_config_file(str(tmp_path / "b.conf"))
+
+
+def test_include_cycle_raises(tmp_path):
+    from elasticsearch_data_import_handler_ray.pipelines.hocon import (
+        HoconError,
+        load_config_file,
+    )
+    import pytest as _pytest
+
+    (tmp_path / "x.conf").write_text('include "y.conf"\n')
+    (tmp_path / "y.conf").write_text('include "x.conf"\n')
+    with _pytest.raises(HoconError, match="cycle"):
+        load_config_file(str(tmp_path / "x.conf"))
+
+
+def test_include_in_string_value_untouched():
+    from elasticsearch_data_import_handler_ray.pipelines.hocon import load_config
+
+    cfg = load_config('q = "select include from t"\n')
+    assert cfg == {"q": "select include from t"}
+
+
+def test_relative_include_without_base_dir_raises():
+    from elasticsearch_data_import_handler_ray.pipelines.hocon import (
+        HoconError,
+        load_config,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(HoconError, match="file-based"):
+        load_config('include "x.conf"\n')
