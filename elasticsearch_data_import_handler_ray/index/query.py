@@ -2852,16 +2852,23 @@ class QueryEngine:
         return res
 
     def search_fuzzy(
-        self, text: str, k: int = 10, max_edits: int = 1, max_expansions: int = 50
+        self, text: str, k: int = 10, max_edits: int | str = 1,
+        max_expansions: int = 50,
     ):
         """ES fuzzy-query shape: the LAST analyzed token expands to every
         dictionary term within ``max_edits`` Levenshtein edits (vectorized DP
         per shard); expansions + the other tokens score as a normal OR query
-        with per-term idf."""
+        with per-term idf. ``max_edits="AUTO"`` applies ES's fuzziness:AUTO
+        rule — 0 edits for terms shorter than 3 chars, 1 for 3..5, 2 from 6."""
         toks = self.analyzer.analyze_query(text)
         if not toks:
             return []
         fuzz, rest = toks[-1], toks[:-1]
+        if isinstance(max_edits, str):
+            if max_edits.upper() != "AUTO":
+                raise ValueError(f"max_edits must be an int or 'AUTO', got {max_edits!r}")
+            n = len(fuzz)
+            max_edits = 0 if n < 3 else (1 if n < 6 else 2)
         per = ray.get(
             [a.expand_fuzzy.remote(fuzz, max_edits, max_expansions) for a in self._actors]
         )

@@ -363,3 +363,19 @@ def test_termvectors(engine, corpus):
             assert r["positions"] == want[r["term"]]["positions"]
             assert r["df"] == int(toks_all.apply(lambda x: r["term"] in x).sum())
     assert got[9999] == []
+
+
+def test_fuzzy_auto_rule(engine):
+    """fuzziness AUTO: <3 chars -> exact only, 3..5 -> 1 edit, >=6 -> 2."""
+    # "ha" (2 chars): AUTO = 0 edits = exact term only
+    exact = engine.search_fuzzy("ha", k=5, max_edits="AUTO")
+    # "ha" is not a corpus token; 0 edits -> no matches
+    assert exact == []
+    # "hask" (4 chars): AUTO = 1 edit -> matches "hash"
+    assert engine.search_fuzzy("hask", k=5, max_edits="AUTO") == \
+        engine.search_fuzzy("hask", k=5, max_edits=1)
+    # "vectorz" (7 chars): AUTO = 2 edits
+    assert engine.search_fuzzy("vectorz", k=5, max_edits="AUTO") == \
+        engine.search_fuzzy("vectorz", k=5, max_edits=2)
+    with pytest.raises(ValueError, match="AUTO"):
+        engine.search_fuzzy("hash", max_edits="auto-ish")
