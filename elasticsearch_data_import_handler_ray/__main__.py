@@ -119,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--composite", default=None, metavar="F1,F2[:SIZE]",
                    help="ES composite agg: ascending-key buckets walked with "
                         "the after cursor to exhaustion")
+    q.add_argument("--sorted-by", default=None, metavar="FIELD[:asc]",
+                   help="sort matches by a numeric doc-value instead of "
+                        "_score (desc unless ':asc'); --after VALUE,DOC_ID "
+                        "pages through the field sort")
     q.add_argument("--filter", action="append", default=[], metavar="FIELD OP VALUE",
                    nargs=3, help="doc-values filter clause, e.g. --filter lang eq en "
                    "or --filter n_chars gte 200 (ops: eq gte gt lte lt); repeatable")
@@ -329,6 +333,18 @@ def main(argv: list[str] | None = None) -> int:
                     flts = parse_filters(args.filter)
                     results = [
                         eng.search_filtered(t, flts, k=args.k, mode=args.mode, method=args.method)
+                        for t in args.text
+                    ]
+                elif args.sorted_by:
+                    fld, _, direction = args.sorted_by.partition(":")
+                    desc = direction.lower() != "asc"
+                    cursor = None
+                    if args.after:
+                        v, d = args.after.split(",")
+                        cursor = (float(v), int(d))
+                    results = [
+                        eng.search_sorted_by(t, fld, k=args.k, mode=args.mode,
+                                             descending=desc, after=cursor)
                         for t in args.text
                     ]
                 elif args.after:

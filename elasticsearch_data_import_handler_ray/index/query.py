@@ -1732,15 +1732,26 @@ class QueryShard:
         return (vc.index.tolist(), vc.to_numpy().tolist())
 
     def top_by_field(
-        self, terms: list[str], mode: str, field: str, k: int, descending: bool
+        self, terms: list[str], mode: str, field: str, k: int, descending: bool,
+        after: tuple | None = None,
     ) -> list[tuple]:
         """ES sort-by-field: this shard's top-k MATCHING docs ordered by a
         doc-value (tie → doc_id asc) — local match + local sort, only k rows
-        leave the actor."""
+        leave the actor. ``after=(value, doc_id)``: search_after over the
+        FIELD sort — only rows strictly after the cursor survive."""
         ids = self.match_doc_ids(terms, mode)
         if len(ids) == 0:
             return []
         vals = self._values_of(field, ids)
+        if after is not None:
+            av, ad = after
+            if descending:
+                keep = (vals < av) | ((vals == av) & (ids > np.uint64(int(ad))))
+            else:
+                keep = (vals > av) | ((vals == av) & (ids > np.uint64(int(ad))))
+            ids, vals = ids[keep], vals[keep]
+            if len(ids) == 0:
+                return []
         key = -vals if descending else vals
         order = np.lexsort((ids, key))[:k]
         return [(vals[i], int(ids[i])) for i in order]
@@ -3626,16 +3637,20 @@ class QueryEngine:
         *,
         mode: str = "or",
         descending: bool = True,
+        after: tuple | None = None,
     ) -> list[tuple[int, float]]:
         """ES sort-by-field: the top-k docs MATCHING the query ordered by a
         numeric doc-value instead of _score (tie → doc_id asc). Per-shard
-        local top-k + driver merge — exact, only shards×k rows move."""
+        local top-k + driver merge — exact, only shards×k rows move.
+        ``after=(field_value, doc_id)``: search_after pagination over the
+        FIELD sort — pass the previous page's last row to get the next k."""
         terms = sorted(set(self.analyzer.analyze_query(text)))
         if not terms or k <= 0:
             return []
         self._ensure_doc_values([field])
         per = ray.get(
-            [a.top_by_field.remote(terms, mode, field, k, descending) for a in self._actors]
+            [a.top_by_field.remote(terms, mode, field, k, descending, after)
+             for a in self._actors]
         )
         rows = [r for p in per for r in p]
         rows.sort(key=lambda vd: (-vd[0] if descending else vd[0], vd[1]))

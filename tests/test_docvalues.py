@@ -467,3 +467,22 @@ def test_hybrid_query_string_and_knn_filter(dv_engine, docs, ws_oracle, sf_dir):
     assert got  # non-vacuous
     # the knn filter actually bites: unfiltered vector list differs
     assert vec != ids.tolist()[:30]
+
+
+def test_sorted_by_search_after_pagination(dv_engine, docs):
+    """Field-sorted search_after: walking pages by (value, doc_id) cursor
+    reassembles the full field-ordered match list, both directions."""
+    text = "hash join query"
+    m = docs[_matches(docs, text)]
+    for descending in (True, False):
+        full = dv_engine.search_sorted_by(text, "n_chars", k=len(m),
+                                          descending=descending)
+        pages, after = [], None
+        while True:
+            page = dv_engine.search_sorted_by(
+                text, "n_chars", k=7, descending=descending, after=after)
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1][1], page[-1][0])  # (value, doc_id)
+        assert pages == full, descending
