@@ -993,6 +993,47 @@ def _split_union_all(toks: list[Tok]) -> tuple[list[list[Tok]], bool]:
     return out, bool(kinds) and all(kinds)
 
 
+def _extract_derived_tables(
+    toks: list[Tok],
+) -> tuple[list[Tok], list[tuple[str, str]]]:
+    """Lift derived tables — ``FROM ( SELECT ... ) alias`` / ``JOIN ( SELECT
+    ... ) alias`` — out of the token stream: each becomes a synthetic view
+    ``__dt<i>`` planned recursively by the caller. Nested derived tables
+    stay inside their subquery text (the recursive plan_sql extracts its
+    own)."""
+    out: list[Tok] = []
+    derived: list[tuple[str, str]] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if (
+            t.isword("from", "join")
+            and i + 2 < n
+            and toks[i + 1].text == "("
+            and toks[i + 2].isword("select")
+        ):
+            depth = 1
+            j = i + 2
+            while j < n and depth:
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise PlanError("unbalanced parentheses in FROM")
+            name = f"__dt{len(derived)}"
+            derived.append((name, _text(toks[i + 2 : j - 1])))
+            out.append(t)
+            out.append(Tok("id", name))
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    return out, derived
+
+
 def _alias_scalar_select(subsql: str) -> str:
     """Give a scalar subquery's single select item an output alias if the
     user wrote a bare expression (``SELECT avg(x) FROM v``) — the planner
@@ -1134,6 +1175,19 @@ def plan_sql(
         if trailing_limit is not None:
             out = out.limit(trailing_limit)
         return out
+
+    # ---- derived tables: FROM/JOIN ( SELECT ... ) alias -------------------
+    # Each subquery plans recursively into a Dataset registered as a
+    # synthetic view; the outer statement then reads it like any view
+    # (pruned scan, pushdown, joins). Sibling derived tables can't see each
+    # other (SQL scoping); nested ones resolve inside their own recursion.
+    toks0, derived = _extract_derived_tables(_tokenize(query.strip().rstrip(";")))
+    if derived:
+        views = dict(views)
+        base_views = dict(views)
+        for name, subsql in derived:
+            views[name] = plan_sql(subsql, base_views, concurrency=concurrency)
+        query = _text(toks0)
 
     st = parse(query, set(views))
 

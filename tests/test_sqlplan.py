@@ -755,3 +755,51 @@ def test_order_by_ordinal(views, oracle):
     )
     with pytest.raises(PlanError, match="out of range"):
         plan_sql("SELECT n_name AS x FROM nation ORDER BY 3", views)
+
+
+def test_derived_table_root(views, oracle):
+    check(
+        "SELECT t.seg AS seg, t.n AS n FROM "
+        "(SELECT c_mktsegment AS seg, count(*)::BIGINT AS n "
+        " FROM customer GROUP BY c_mktsegment) t "
+        "WHERE t.n > 20",
+        views,
+        oracle,
+    )
+
+
+def test_derived_table_join_side(views, oracle):
+    g = check(
+        "SELECT c.c_mktsegment AS seg, s.total AS total "
+        "FROM customer c JOIN "
+        "(SELECT o_custkey AS k, "
+        " sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total "
+        " FROM orders GROUP BY o_custkey) s "
+        "ON c.c_custkey = s.k WHERE s.total > 50000000",
+        views,
+        oracle,
+    )
+    assert len(g) > 0
+
+
+def test_derived_table_nested(views, oracle):
+    check(
+        "SELECT u.m AS m FROM "
+        "(SELECT max(x.n) AS m FROM "
+        " (SELECT n_regionkey AS r, count(*)::BIGINT AS n "
+        "  FROM nation GROUP BY n_regionkey) x) u",
+        views,
+        oracle,
+    )
+
+
+def test_derived_table_then_aggregate_outer(views, oracle):
+    check(
+        "SELECT t.seg AS seg, sum(t.total)::BIGINT AS grand "
+        "FROM (SELECT c.c_mktsegment AS seg, "
+        "      CAST(round(o.o_totalprice * 100) AS BIGINT) AS total "
+        "      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t "
+        "GROUP BY t.seg ORDER BY seg",
+        views,
+        oracle,
+    )
