@@ -1772,6 +1772,22 @@ _SQL_DIST_EXISTS = """
 """
 _sql_dist_exists = _make_sql_dist(_SQL_DIST_EXISTS, ("customer", "orders"))
 
+# r5 session 2: derived tables — the inner aggregate plans recursively into
+# a synthetic view, the outer statement joins and re-aggregates it.
+_SQL_DIST_DERIVED = """
+    SELECT c.c_mktsegment AS seg,
+           count(*)::BIGINT AS n_cust,
+           sum(s.total)::BIGINT AS cents
+    FROM customer c
+    JOIN (SELECT o_custkey AS k,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total
+          FROM orders GROUP BY o_custkey) s
+      ON c.c_custkey = s.k
+    GROUP BY c.c_mktsegment
+    ORDER BY seg
+"""
+_sql_dist_derived = _make_sql_dist(_SQL_DIST_DERIVED, ("customer", "orders"))
+
 
 def _sql_db_source(sf_dir: str):
     """SQL-database source (sources.jdbc parity): the documents table is
@@ -2819,6 +2835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sql_dist_window": _sql_dist_window,
             "sql_dist_outer_join": _sql_dist_outer_join,
             "sql_dist_exists": _sql_dist_exists,
+            "sql_dist_derived": _sql_dist_derived,
             "geo_distance_search": _geo_distance_search,
             "geo_knn_search": _geo_knn_search,
             "geotile_grid": _geotile_grid,
@@ -4796,6 +4813,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_dist_window": _SQL_DIST_WINDOW,
         "sql_dist_outer_join": _SQL_DIST_OUTER,
         "sql_dist_exists": _SQL_DIST_EXISTS,
+        "sql_dist_derived": _SQL_DIST_DERIVED,
         # geo/ip: the derivation CTE is the same arithmetic _geo_dataset runs
         # distributed; the formulas mirror stages/geoip.py operation-for-
         # operation (same association order) so float results agree.

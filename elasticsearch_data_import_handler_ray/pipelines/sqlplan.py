@@ -36,6 +36,11 @@ subqueries in WHERE are planned recursively and spliced back as literals
 before pushdown; ORDER BY accepts expressions over the output columns
 (computed into a temp column before the sort, dropped after).
 
+Derived tables — ``FROM/JOIN ( SELECT ... ) alias`` — plan recursively into
+synthetic views (pruned scans, pushdown and joins all apply to the planned
+subquery like any view; nesting recurses; SQL scoping keeps siblings
+blind to each other).
+
 Plain UNION (set semantics) distributes as concat + per-batch DISTINCT
 combiner + one global dedup groupby; mixing UNION and UNION ALL in one
 statement is non-associative and falls back. CROSS JOIN distributes as a
