@@ -2654,6 +2654,47 @@ def _multifield_search(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _combined_fields_search(sf_dir: str):
+    """ES combined_fields (Lucene CombinedFieldQuery / simple BM25F): score
+    as ONE synthetic field — tf pools across fields before saturation
+    (term-centric), the norm uses the weighted combined length, idf comes
+    from the any-field df. FULL SQL: the whole algebra over both fields'
+    whitespace token lists, accumulation in sorted-field then ascending-term
+    order exactly like the engine."""
+    from elasticsearch_data_import_handler_ray.index.multifield import (
+        MultiFieldEngine,
+        build_multifield_index,
+    )
+    from elasticsearch_data_import_handler_ray.state.manifest import IndexConfig
+
+    key = (os.path.abspath(sf_dir), "multifield")
+    index_dir = _INDEX_CACHE.get(key)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="edih_mf_idx_")
+        build_multifield_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            index_dir,
+            fields={"text": 1.0, "source": 2.0},
+            config=IndexConfig(analyzer="whitespace", num_segments=4, doc_id_col="doc_id"),
+        )
+        _INDEX_CACHE[key] = index_dir
+    eng = MultiFieldEngine(index_dir)
+    try:
+        results = [
+            eng.combined_fields_search("hash join", k=10, mode="or"),
+            eng.combined_fields_search("src3 vector", k=10, mode="or"),
+            eng.combined_fields_search("merge sort", k=10, mode="and"),
+        ]
+    finally:
+        eng.close()
+    rows = []
+    for qi, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, 1):
+            rows.append({"query_idx": qi, "rank": rank, "doc_id": int(doc_id),
+                         "score": round(score, 6)})
+    return pa.Table.from_pylist(rows)
+
+
 def _multimodal(sf_dir: str):
     """Binary media columns: synthesize REAL payloads (PPM images, WAV audio,
     concatenated-PPM video) keyed by doc_id and decode them with the real
@@ -2857,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "terms_stats_search": _terms_stats_search,
             "rank_feature_search": _rank_feature_search,
             "termvectors": _termvectors_search,
+            "combined_fields_search": _combined_fields_search,
             "stats_search": _stats_search,
             "percentiles_search": _percentiles_search,
             "histogram_search": _histogram_search,
@@ -3227,6 +3269,66 @@ def _bm25_oracles() -> dict[str, str]:
         {_bm25_topk_select('q2', 2,
             f"({c2['filter']}::INT + {c2['query']}::INT + {c2['scan']}::INT) >= 2", 10)}
     """
+
+    # combined_fields_search: BM25F over (source^2, text^1) — tf and dl are
+    # weighted sums in SORTED-FIELD order (source first: the engine
+    # accumulates over self.fields = sorted names), df is the any-field doc
+    # count, avgdl = (2·Σlen_s + 1·Σlen_t)/N; ascending-term score sum.
+    cf_queries = [  # (terms, mode)
+        (["hash", "join"], "or"),
+        (["src3", "vector"], "or"),
+        (["merge", "sort"], "and"),
+    ]
+    cf_parts = [
+        "d AS (\n        SELECT doc_id,\n"
+        "               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tt,\n"
+        "               list_filter(string_split_regex(lower(source), '\\s+'), x -> x <> '') AS ts\n"
+        "        FROM documents\n    )",
+        "st AS (\n        SELECT count(*) AS N,\n"
+        "               (2.0 * sum(len(ts)) + 1.0 * sum(len(tt))) / count(*) AS avgdl\n"
+        "        FROM d\n    )",
+    ]
+    cf_finals = []
+    for qi, (terms, mode) in enumerate(cf_queries):
+        ts_sorted = sorted(set(terms))
+        tf_cols = ",\n               ".join(
+            f"(2.0 * len(list_filter(ts, x -> x = {_sqlq(t)}))"
+            f" + 1.0 * len(list_filter(tt, x -> x = {_sqlq(t)}))) AS tf_{i}"
+            for i, t in enumerate(ts_sorted)
+        )
+        cf_parts.append(
+            f"cf_tf_q{qi} AS (\n        SELECT doc_id,"
+            f" (2.0 * len(ts) + 1.0 * len(tt)) AS dl,\n               {tf_cols}\n"
+            f"        FROM d\n    )"
+        )
+        df_cols = ", ".join(
+            f"(SELECT count(*) FROM cf_tf_q{qi} WHERE tf_{i} > 0) AS df_{i}"
+            for i in range(len(ts_sorted))
+        )
+        cf_parts.append(f"cf_df_q{qi} AS (SELECT {df_cols})")
+        score = " + ".join(
+            f"ln(1 + (N - df_{i} + 0.5) / (df_{i} + 0.5))"
+            f" * ((tf_{i} * (1.2 + 1.0)) / (tf_{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))"
+            for i in range(len(ts_sorted))
+        )
+        where = (
+            " AND ".join(f"tf_{i} > 0" for i in range(len(ts_sorted)))
+            if mode == "and"
+            else " OR ".join(f"tf_{i} > 0" for i in range(len(ts_sorted)))
+        )
+        cf_finals.append(
+            f"""SELECT * FROM (
+        SELECT {qi} AS query_idx,
+               ROW_NUMBER() OVER (ORDER BY f.score DESC, f.doc_id) AS "rank",
+               doc_id, ROUND(f.score, 6) AS score
+        FROM (SELECT doc_id, {score} AS score
+              FROM cf_tf_q{qi}, st, cf_df_q{qi} WHERE {where}) f
+        ORDER BY f.score DESC, f.doc_id LIMIT 10)"""
+        )
+    out["combined_fields_search"] = (
+        "WITH " + ",\n    ".join(cf_parts) + "\n        "
+        + " UNION ALL ".join(cf_finals)
+    )
 
     # terms_set_search: per-doc minimum_should_match — matched-flag count
     # compared against the SAME doc_id-derived threshold the index stored.

@@ -64,7 +64,11 @@ def build_multifield_index(
             os.path.join(index_dir, f"field_{f}"),
             mode=mode,
             config=cfg,
-            write_docmap=(i == 0),  # identity is field-independent
+            # every field keeps its docmap: identity is field-independent
+            # (field 0 is authoritative) but combined_fields (BM25F) needs
+            # PER-FIELD doc lengths for every candidate doc — the per-field
+            # docmap's doc_len column is that store
+            write_docmap=True,
             compute_sha=build_kwargs.pop("compute_sha", i == 0),
             **build_kwargs,
         )
@@ -117,6 +121,124 @@ class MultiFieldShard:
             f: [int(sum(r.df(t) for r in self.readers[f])) for t in terms]
             for f in self.fields
         }
+
+    # ------------------------------------------ combined_fields (BM25F)
+    def load_combined_dls(
+        self, docmap_files: dict[str, list[str]], num_segments: int
+    ) -> int:
+        """Per-field doc lengths for THIS actor's doc shards, from each
+        field sub-index's docmap (doc_id, doc_len). A doc absent from a
+        field's docmap (zero tokens in that field) reads as length 0."""
+        import pyarrow.parquet as pq
+
+        my_segs = np.array(
+            sorted({
+                int(r.meta["seg_id"]) for rs in self.readers.values() for r in rs
+            }),
+            dtype=np.uint64,
+        )
+        self._dls: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        total = 0
+        for f, files in docmap_files.items():
+            ids_parts, dl_parts = [], []
+            for p in files:
+                t = pq.read_table(p, columns=["doc_id", "doc_len"])
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                keep = np.isin(ids % np.uint64(num_segments), my_segs)
+                if keep.any():
+                    ids_parts.append(ids[keep])
+                    dl_parts.append(
+                        t["doc_len"].to_numpy(zero_copy_only=False)[keep]
+                        .astype(np.float64)
+                    )
+            if ids_parts:
+                ids = np.concatenate(ids_parts)
+                dls = np.concatenate(dl_parts)
+                o = np.argsort(ids)
+                self._dls[f] = (ids[o], dls[o])
+            else:
+                self._dls[f] = (np.empty(0, np.uint64), np.empty(0))
+            total += len(self._dls[f][0])
+        return total
+
+    def has_combined_dls(self) -> bool:
+        return hasattr(self, "_dls")
+
+    def combined_dfs(self, terms: list[str]) -> list[int]:
+        """Per-term COMBINED df partial: docs (of this actor) containing the
+        term in ANY field — the union across aligned per-field readers."""
+        out = []
+        r0 = self.fields[0]
+        for t in terms:
+            n = 0
+            for ri in range(len(self.readers[r0])):
+                ids = None
+                for f in self.fields:
+                    arrs = self._decoded(f, ri, t)
+                    if arrs is None:
+                        continue
+                    ids = arrs[0] if ids is None else np.union1d(ids, arrs[0])
+                if ids is not None:
+                    n += len(ids)
+            out.append(int(n))
+        return out
+
+    def combined_topk(
+        self, terms: list[str], idfs: dict, avgdl: float,
+        weights: dict[str, float], k: int, mode: str, k1: float, b: float,
+    ) -> list[tuple]:
+        """Lucene CombinedFieldQuery / BM25F partial: per term,
+        tf = Σ_f w_f·tf_f and the norm uses the COMBINED doc length
+        dl = Σ_f w_f·len_f (per-field lengths from load_combined_dls);
+        idf comes from the combined df. Field/term accumulation order is
+        sorted-fields, ascending-terms — the repo bit-exactness rule."""
+        cand_docs: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        r0 = self.fields[0]
+        for ri in range(len(self.readers[r0])):
+            data = {}
+            union_parts = []
+            for f in self.fields:
+                for t in terms:
+                    arrs = self._decoded(f, ri, t)
+                    if arrs is not None:
+                        data[(f, t)] = arrs
+                        union_parts.append(arrs[0])
+            if not union_parts:
+                continue
+            union = np.unique(np.concatenate(union_parts))
+            dlc = np.zeros(len(union), dtype=np.float64)
+            for f in self.fields:  # sorted-field accumulation order
+                ids_f, dls_f = self._dls[f]
+                pos = np.minimum(np.searchsorted(ids_f, union), max(len(ids_f) - 1, 0))
+                if len(ids_f):
+                    ok = ids_f[pos] == union
+                    dlc += weights[f] * np.where(ok, dls_f[pos], 0.0)
+            scores = np.zeros(len(union), dtype=np.float64)
+            hits = np.zeros(len(union), dtype=np.int64)
+            for t in terms:  # ascending-term accumulation order
+                tfc = np.zeros(len(union), dtype=np.float64)
+                present = False
+                for f in self.fields:
+                    arrs = data.get((f, t))
+                    if arrs is None:
+                        continue
+                    present = True
+                    pos = np.searchsorted(union, arrs[0])
+                    tfc[pos] += weights[f] * arrs[1]
+                if not present:
+                    continue
+                scores += bm25.contribution(idfs[t], tfc, dlc, avgdl, k1, b)
+                hits += tfc > 0
+            keep = hits == len(terms) if mode == "and" else hits > 0
+            cand_docs.append(union[keep])
+            cand_scores.append(scores[keep])
+        if not cand_docs:
+            return []
+        docs = np.concatenate(cand_docs)
+        scores = np.concatenate(cand_scores)
+        top = bm25.topk_indices(scores, docs, k)
+        return [(float(scores[i]), int(docs[i])) for i in top]
 
     def search_batch(self, queries: list[dict]) -> list[list[tuple[float, int]]]:
         """queries: [{terms (sorted), idfs: {field: {term: idf}},
@@ -323,6 +445,70 @@ class MultiFieldEngine:
 
     def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
         return self.search_many([{"text": text, "mode": mode}], k=k)[0]
+
+    def _ensure_combined_dls(self) -> None:
+        if getattr(self, "_dls_loaded", False):
+            return
+        from .tombstones import _run_docmap_files
+
+        files: dict[str, list[str]] = {}
+        for f in self.fields:
+            man = self.mans[f]
+            lst: list[str] = []
+            for _rid, r in man.complete_runs().items():
+                lst.extend(_run_docmap_files(man, r))
+            if not lst:
+                raise ValueError(
+                    "combined_fields needs per-field docmaps — rebuild the "
+                    "multifield index (builds from this version write them)"
+                )
+            files[f] = lst
+        nseg = self.mans[self.fields[0]].config.num_segments
+        ray.get([a.load_combined_dls.remote(files, nseg) for a in self._actors])
+        self._dls_loaded = True
+
+    def combined_fields_search(
+        self, text: str, k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """ES combined_fields query (Lucene CombinedFieldQuery / Robertson's
+        simple BM25F): score as if all fields were ONE field — per term,
+        tf = Σ_f boost_f·tf_f, the norm uses dl = Σ_f boost_f·len_f, idf
+        comes from the COMBINED df (docs with the term in ANY field), and
+        avgdl = Σ_f boost_f·sum_dl_f / N. This is term-centric (unlike the
+        field-centric weighted-sum search_many / dis_max best_fields): a
+        term's occurrences pool across fields BEFORE saturation, so
+        cross-field redundancy saturates like within-field redundancy.
+        Two scatters: combined df partials, then local top-k."""
+        terms = self.analyze(text)
+        if not terms:
+            return []
+        self._ensure_combined_dls()
+        per = ray.get([a.combined_dfs.remote(terms) for a in self._actors])
+        dfc = np.sum(np.array(per, dtype=np.int64), axis=0)
+        live = [t for t, d in zip(terms, dfc.tolist()) if d > 0]
+        if (mode == "and" and len(live) < len(terms)) or not live:
+            return []
+        N = self.N[self.fields[0]]
+        idfs = {t: float(bm25.idf(N, d)) for t, d in zip(terms, dfc.tolist()) if d > 0}
+        sum_dl_c = 0.0
+        for f in self.fields:  # sorted-field accumulation order
+            sum_dl_c += self.weights[f] * self.mans[f].sum_dl
+        avgdl = sum_dl_c / N
+        per = ray.get(
+            [
+                a.combined_topk.remote(
+                    live, idfs, avgdl, self.weights, k, mode, self.k1, self.b
+                )
+                for a in self._actors
+            ]
+        )
+        cand = [c for p in per for c in p]
+        if not cand:
+            return []
+        scores = np.array([c[0] for c in cand], dtype=np.float64)
+        docs = np.array([c[1] for c in cand], dtype=np.uint64)
+        top = bm25.topk_indices(scores, docs, k)
+        return [(int(docs[i]), float(scores[i])) for i in top]
 
     def search_many(self, queries: list[dict], k: int = 10) -> list[list[tuple[int, float]]]:
         all_terms = sorted({t for q in queries for t in self.analyze(q["text"])})

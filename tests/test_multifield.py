@@ -194,3 +194,88 @@ def test_multifield_query_string_errors(mf_built):
             eng.query_string("-hash")
     finally:
         eng.close()
+
+
+# ------------------------------------------------- r5: combined_fields (BM25F)
+@pytest.fixture(scope="module")
+def cf_env(sf_dir, tmp_path_factory):
+    """Whitespace multifield index (text^1, source^2) + the raw frame — the
+    combined_fields surface (whitespace keeps the naive oracle trivial)."""
+    index_dir = str(tmp_path_factory.mktemp("cf") / "idx")
+    build_multifield_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        fields={"text": 1.0, "source": 2.0},
+        config=IndexConfig(analyzer="whitespace", num_segments=4, doc_id_col="doc_id"),
+    )
+    eng = MultiFieldEngine(index_dir)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "source"])
+    tok = {
+        int(d): {"text": str(x).lower().split(), "source": str(s_).lower().split()}
+        for d, x, s_ in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                            t["source"].to_pylist())
+    }
+    yield eng, tok
+    eng.close()
+
+
+def test_combined_fields_bm25f_identity(cf_env):
+    """ES combined_fields (Lucene CombinedFieldQuery): term-centric BM25F —
+    tf pools across fields BEFORE saturation, the norm uses the weighted
+    combined length, idf uses the combined (any-field) df. Naive
+    full-recompute identity, both operators + a source-only query."""
+    import numpy as np
+
+    from elasticsearch_data_import_handler_ray.functions import bm25
+
+    eng, tok = cf_env
+    W = dict(eng.weights)
+    fields = sorted(W)
+    N = len(tok)
+    sdl = 0.0
+    for f in fields:
+        sdl += W[f] * sum(len(v[f]) for v in tok.values())
+    avgdl = sdl / N
+
+    def naive(text, mode="or", k=10):
+        terms = sorted(set(text.lower().split()))
+        dfc = {t: sum(1 for v in tok.values() if any(t in v[f] for f in fields))
+               for t in terms}
+        live = [t for t in terms if dfc[t] > 0]
+        if (mode == "and" and len(live) < len(terms)) or not live:
+            return []
+        out = []
+        for d, v in tok.items():
+            dlc = 0.0
+            for f in fields:
+                dlc += W[f] * len(v[f])
+            score, hits = 0.0, 0
+            for t in live:
+                tfc = 0.0
+                for f in fields:
+                    tfc += W[f] * v[f].count(t)
+                score += bm25.contribution(
+                    bm25.idf(N, dfc[t]), np.array([tfc]), np.array([dlc]),
+                    avgdl, 1.2, 0.75,
+                )[0]
+                hits += tfc > 0
+            if mode == "and" and hits < len(live):
+                continue
+            if hits == 0:
+                continue
+            out.append((score, d))
+        out.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(d, s) for s, d in out[:k]]
+
+    n_nonempty = 0
+    for text, mode in [("hash join", "or"), ("src3 vector", "or"),
+                       ("merge sort", "and"), ("src5", "or"),
+                       ("zz_nothing", "or")]:
+        got = eng.combined_fields_search(text, k=10, mode=mode)
+        want = naive(text, mode)
+        assert [d for d, _ in got] == [d for d, _ in want], (text, mode)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12)
+        n_nonempty += bool(got)
+    assert n_nonempty == 4
