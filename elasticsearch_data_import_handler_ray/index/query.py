@@ -2794,6 +2794,7 @@ class QueryEngine:
         like: str | int,
         k: int = 10,
         *,
+        unlike: str | None = None,
         max_query_terms: int = 25,
         min_term_freq: int = 1,
         min_doc_freq: int = 1,
@@ -2830,7 +2831,11 @@ class QueryEngine:
         from collections import Counter
 
         tf = Counter(toks)
-        terms = sorted(t for t, n in tf.items() if n >= min_term_freq)
+        # ES `unlike`: terms of the negative example(s) are struck from the
+        # interesting-term candidate set before selection (they never make
+        # the query, so they neither match nor score)
+        skip = set(self.analyzer.analyze_query(unlike)) if unlike else set()
+        terms = sorted(t for t, n in tf.items() if n >= min_term_freq and t not in skip)
         dfs = self.global_dfs(terms)
         cand = [
             (t, tf[t] * float(bm25.idf(self.N, df)))

@@ -74,3 +74,20 @@ def test_mlt_by_doc_id_needs_stored_source(sf_dir, tmp_path_factory):
             eng.more_like_this(int(0), k=5)
     finally:
         eng.close()
+
+
+def test_mlt_unlike_strikes_terms(mlt_setup):
+    """ES MLT `unlike`: the negative example's terms never enter the query —
+    equal to running MLT on the like-text with those terms removed."""
+    eng, docs, oracle = mlt_setup
+    like = str(docs["text"].iloc[0])
+    unlike = "hash join query scan"
+    got = eng.more_like_this(like, k=10, unlike=unlike, max_query_terms=10)
+    struck = set(unlike.split())
+    pruned = " ".join(t for t in like.lower().split() if t not in struck)
+    want = eng.more_like_this(pruned, k=10, max_query_terms=10)
+    assert got == want
+    # and differs from the un-struck query when a struck term was selected
+    base = eng.more_like_this(like, k=10, max_query_terms=10)
+    if any(t in struck for t in like.lower().split()):
+        assert got != base or pruned == like.lower()
