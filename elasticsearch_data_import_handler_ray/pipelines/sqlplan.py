@@ -1228,6 +1228,15 @@ def plan_sql(
     }
     used: dict[str, set[str]] = {a: set() for a in aliases}
 
+    # SELECT * — expanded to the view's columns in schema order. Single-view
+    # statements only: after a join the star would have to replay Ray's
+    # key-merged column layout, which is not SQL's (PlanError → fallback).
+    if len(st.select) == 1 and len(st.select[0]) == 1 and st.select[0][0].text == "*":
+        if len(aliases) != 1:
+            raise PlanError("SELECT * across joins is not distributable")
+        (a0,) = aliases
+        st.select = [[Tok("id", c)] for c in schemas[a0]]
+
     # mangle every expression context
     for item in st.select:
         _mangle_tokens(item, aliases, schemas, used)

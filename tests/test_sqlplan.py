@@ -803,3 +803,24 @@ def test_derived_table_then_aggregate_outer(views, oracle):
         views,
         oracle,
     )
+
+
+def test_select_star_single_view(views, oracle):
+    check("SELECT * FROM region WHERE r_regionkey < 4", views, oracle)
+    check("SELECT DISTINCT * FROM nation WHERE n_regionkey = 1", views, oracle)
+    # star over a derived table (single synthetic view)
+    check(
+        "SELECT * FROM (SELECT n_regionkey AS r, count(*)::BIGINT AS n "
+        "FROM nation GROUP BY n_regionkey) t WHERE t.n > 3",
+        views,
+        oracle,
+    )
+
+
+def test_select_star_across_join_falls_back(views, oracle):
+    sql = "SELECT * FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+    with pytest.raises(PlanError, match="across joins"):
+        plan_sql(sql, views)
+    got = distributed_sql_query(sql, views).to_pandas()
+    want = oracle.execute(sql).df()
+    assert len(got) == len(want)
