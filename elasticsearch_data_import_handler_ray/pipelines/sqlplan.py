@@ -1039,6 +1039,21 @@ def _extract_derived_tables(
     return out, derived
 
 
+def _output_names(subsql: str, view_names: set[str]) -> list[str]:
+    """The output column names a subquery's select list declares (first
+    union branch; ``*`` yields [] — caller must rely on the live schema)."""
+    toks, inner = _extract_derived_tables(_tokenize(subsql.strip().rstrip(";")))
+    names = set(view_names) | {n for n, _ in inner}
+    parts, _ = _split_union_all(toks)
+    st_part = parse(_text(parts[0]), names)
+    out: list[str] = []
+    for it in st_part.select:
+        if len(it) == 1 and it[0].text == "*":
+            return []
+        out.append(_item_output_name(it)[1])
+    return out
+
+
 def _alias_scalar_select(subsql: str) -> str:
     """Give a scalar subquery's single select item an output alias if the
     user wrote a bare expression (``SELECT avg(x) FROM v``) — the planner
@@ -1187,11 +1202,19 @@ def plan_sql(
     # (pruned scan, pushdown, joins). Sibling derived tables can't see each
     # other (SQL scoping); nested ones resolve inside their own recursion.
     toks0, derived = _extract_derived_tables(_tokenize(query.strip().rstrip(";")))
+    derived_names: dict[str, list[str]] = {}
     if derived:
         views = dict(views)
         base_views = dict(views)
         for name, subsql in derived:
             views[name] = plan_sql(subsql, base_views, concurrency=concurrency)
+            # schema fallback: Ray Data reports schema=None for an all-empty
+            # Dataset (0-row blocks lose their schema), so keep the output
+            # names the subquery's OWN select list declares
+            try:
+                derived_names[name] = _output_names(subsql, set(base_views))
+            except PlanError:
+                derived_names[name] = []
         query = _text(toks0)
 
     st = parse(query, set(views))
@@ -1223,9 +1246,17 @@ def plan_sql(
     aliases: dict[str, str] = st._aliases  # type: ignore[attr-defined]
     pending: list[tuple] = st._pending_joins  # type: ignore[attr-defined]
 
-    schemas = {
-        a: list(views[v].schema().names) for a, v in aliases.items()
-    }
+    schemas: dict[str, list[str]] = {}
+    live_schemas: dict[str, object] = {}
+    for a, v in aliases.items():
+        sch = views[v].schema()
+        live_schemas[a] = sch
+        if sch is not None:
+            schemas[a] = list(sch.names)
+        elif derived_names.get(v):
+            schemas[a] = list(derived_names[v])  # all-empty derived view
+        else:
+            raise PlanError(f"cannot determine the schema of view {v!r}")
     used: dict[str, set[str]] = {a: set() for a in aliases}
 
     # SELECT * — expanded to the view's columns in schema order. Single-view
@@ -1379,15 +1410,17 @@ def plan_sql(
     # the narrower side: integers → int64 (uint64 when both unsigned),
     # any float in the pair → float64; anything else mismatched → PlanError.
     view_types: dict[str, "pa.DataType"] = {}
-    for a, v in aliases.items():
-        sch = views[v].schema()
+    for a in aliases:
+        sch = live_schemas[a]
+        if sch is None:
+            continue  # all-empty derived view: no rows to widen anyway
         for nm, ty in zip(sch.names, sch.types):
             view_types[_mangle(a, nm)] = ty
 
     def _widen(lt, rt):
         import pyarrow.types as pt
 
-        if lt == rt:
+        if lt is None or rt is None or lt == rt:
             return None
         if pt.is_integer(lt) and pt.is_integer(rt):
             return pa.uint64() if pt.is_unsigned_integer(lt) and pt.is_unsigned_integer(rt) else pa.int64()
@@ -1433,7 +1466,7 @@ def plan_sql(
             right = _dup_cols(right, rdups)
         lcasts, rcasts = [], []
         for lc, rc in j.keys:
-            target = _widen(view_types[lc], view_types[rc])
+            target = _widen(view_types.get(lc), view_types.get(rc))
             if target is None:
                 continue
             if view_types[lc] != target:

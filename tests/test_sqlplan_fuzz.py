@@ -119,6 +119,12 @@ def statements(draw):
         if draw(st.booleans()):
             sql += " HAVING count(*) > 1"
         if draw(st.booleans()):
+            # r5: re-read the aggregate through a DERIVED TABLE (recursive
+            # plan) with an outer filter over its output columns
+            cols = ["g"] + [f"a{i}" for i in range(len(aggs))]
+            proj = ", ".join(f"dt.{c} AS {c}" for c in cols)
+            sql = f"SELECT {proj} FROM ({sql}) dt WHERE dt.g IS NOT NULL"
+        elif draw(st.booleans()):
             # expression order items resolve over the OUTPUT columns; the
             # trailing full column list keeps ties deterministic
             sql += draw(st.sampled_from([" ORDER BY g", " ORDER BY g || 'x'"]))
