@@ -121,6 +121,35 @@ def distance_feature_apply(vals: np.ndarray, origin: float, pivot: float) -> np.
     return pivot / (pivot + d)
 
 
+def significance_score(
+    fg: int, fg_total: int, bg: int, bg_total: int, heuristic: str = "jlh"
+) -> float:
+    """Shared significance heuristics (significant_terms / significant_text).
+
+    * ``jlh`` (ES default): (fg% − bg%) · fg%/bg%.
+    * ``chi_square``: the standard 2×2 chi-square with ES's
+      background_is_superset handling — the background counts are made
+      DISJOINT from the foreground first (bg −= fg, bgN −= fgN), then
+      score = N·(N11·N00 − N01·N10)² / ((N11+N01)(N11+N10)(N01+N00)(N10+N00))
+      over N11=fg, N01=bg', N10=fgN−fg, N00=bgN'−bg'.
+    """
+    if heuristic == "jlh":
+        fgp = fg / fg_total
+        bgp = bg / bg_total
+        return float((fgp - bgp) * fgp / bgp)
+    if heuristic == "chi_square":
+        b2 = bg - fg  # background_is_superset: make the sets disjoint
+        bn2 = bg_total - fg_total
+        n11, n01 = float(fg), float(b2)
+        n10, n00 = float(fg_total - fg), float(bn2 - b2)
+        n = n11 + n01 + n10 + n00
+        denom = (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+        if denom == 0.0:
+            return 0.0
+        return float(n * (n11 * n00 - n01 * n10) ** 2 / denom)
+    raise ValueError(f"heuristic must be 'jlh' or 'chi_square', got {heuristic!r}")
+
+
 RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
 
 
@@ -4197,12 +4226,13 @@ class QueryEngine:
         return sorted(agg.items())
 
     def significant_terms(
-        self, text: str, field: str, *, mode: str = "or", top: int = 10
+        self, text: str, field: str, *, mode: str = "or", top: int = 10,
+        heuristic: str = "jlh",
     ) -> list[dict]:
         """ES significant_terms aggregation on a keyword doc-value field:
         values over-represented in the query's match set (foreground) vs the
-        whole index (background), scored with the JLH heuristic
-        score = (fg_share - bg_share) * fg_share / bg_share. Per-actor
+        whole index (background), scored with the chosen heuristic (``jlh``,
+        ES's default, or ``chi_square`` — see significance_score). Per-actor
         partials for both counts (docs disjoint across actors), combined on
         the driver; only values appearing in the foreground are scored.
         Output rows: {value, fg_count, bg_count, score} sorted by
@@ -4236,9 +4266,7 @@ class QueryEngine:
             return []
         out = []
         for v, n in fg.items():
-            fgp = n / fg_total
-            bgp = bg[v] / bg_total
-            score = (fgp - bgp) * fgp / bgp
+            score = significance_score(n, fg_total, bg[v], bg_total, heuristic)
             out.append(
                 {"value": v, "fg_count": n, "bg_count": bg[v], "score": float(score)}
             )
@@ -4254,6 +4282,7 @@ class QueryEngine:
         top: int = 10,
         min_doc_count: int = 3,
         shard_sample: int | None = None,
+        heuristic: str = "jlh",
     ) -> list[dict]:
         """ES significant_text aggregation: terms over-represented in the
         RE-ANALYZED stored text of the query's match set vs the whole index,
@@ -4294,9 +4323,7 @@ class QueryEngine:
         bg = dict(zip(cand, self.global_dfs(cand).tolist()))
         out = []
         for t in cand:
-            fgp = fg[t] / fg_total
-            bgp = bg[t] / self.N
-            score = (fgp - bgp) * fgp / bgp
+            score = significance_score(fg[t], fg_total, int(bg[t]), self.N, heuristic)
             out.append(
                 {"term": t, "fg_count": fg[t], "bg_count": int(bg[t]),
                  "score": float(score)}

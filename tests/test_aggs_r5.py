@@ -379,3 +379,35 @@ def test_fuzzy_auto_rule(engine):
         engine.search_fuzzy("vectorz", k=5, max_edits=2)
     with pytest.raises(ValueError, match="AUTO"):
         engine.search_fuzzy("hash", max_edits="auto-ish")
+
+
+def test_chi_square_heuristic(engine, corpus):
+    """chi_square significance (2x2 with background_is_superset made
+    disjoint) vs a direct recompute; jlh results unchanged by the refactor."""
+    _, df = corpus
+    m = df[_match(df, "hash join", "and")]
+    fgN, bgN = len(m), len(df)
+    fg = m["lang"].value_counts().to_dict()
+    bg = df["lang"].value_counts().to_dict()
+
+    got = engine.significant_terms("hash join", "lang", mode="and",
+                                   top=10, heuristic="chi_square")
+    want = []
+    for v, n in fg.items():
+        b2, bn2 = bg[v] - n, bgN - fgN
+        n11, n01, n10, n00 = float(n), float(b2), float(fgN - n), float(bn2 - b2)
+        N = n11 + n01 + n10 + n00
+        den = (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+        sc = 0.0 if den == 0 else N * (n11 * n00 - n01 * n10) ** 2 / den
+        want.append({"value": v, "fg_count": n, "bg_count": bg[v], "score": sc})
+    want.sort(key=lambda r: (-r["score"], r["value"]))
+    assert [(r["value"], r["fg_count"]) for r in got] == [
+        (r["value"], r["fg_count"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+    with pytest.raises(ValueError, match="heuristic"):
+        engine.significant_terms("hash", "lang", heuristic="gnd")
+    # significant_text accepts the same heuristic switch
+    assert engine.significant_text("hash join", mode="and", top=3,
+                                   heuristic="chi_square")
