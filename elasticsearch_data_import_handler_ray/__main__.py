@@ -232,6 +232,20 @@ def main(argv: list[str] | None = None) -> int:
     nb.add_argument("--analyzer", default="whitespace")
     nb.add_argument("--num-segments", type=int, default=4)
 
+    mq = sub.add_parser("mf-query",
+                        help="search a multi-field index (build_multifield_index dir)")
+    mq.add_argument("index_dir")
+    mq.add_argument("text", nargs="+")
+    mq.add_argument("--mode", default="or", choices=["or", "and"])
+    mq.add_argument("-k", type=int, default=10)
+    mq.add_argument("--query-string", action="store_true", dest="query_string",
+                    help="parse TEXT as the cross-field Lucene mini-language "
+                         "(field: restrictions supported)")
+    mq.add_argument("--combined-fields", action="store_true",
+                    dest="combined_fields",
+                    help="term-centric BM25F (ES combined_fields) instead of "
+                         "the field-centric weighted sum")
+
     nq = sub.add_parser("nested-query", help="nested match: field=text clauses on the SAME child")
     nq.add_argument("index_dir")
     nq.add_argument("clauses", nargs="+", help="field=text pairs (repeat fields allowed)")
@@ -714,6 +728,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({f: {"n_docs": r.n_docs, "n_postings": r.n_postings}
                               for f, r in res.items()}))
+        elif args.cmd == "mf-query":
+            from .index.multifield import MultiFieldEngine
+
+            eng = MultiFieldEngine(args.index_dir)
+            try:
+                for t in args.text:
+                    if args.query_string:
+                        hits = eng.query_string(t, k=args.k)
+                    elif args.combined_fields:
+                        hits = eng.combined_fields_search(t, k=args.k, mode=args.mode)
+                    else:
+                        hits = eng.search(t, k=args.k, mode=args.mode)
+                    print(json.dumps({
+                        "query": t,
+                        "hits": [{"doc_id": d, "score": s} for d, s in hits],
+                    }))
+            finally:
+                eng.close()
         elif args.cmd == "nested-query":
             from .index.nested import NestedEngine
 
