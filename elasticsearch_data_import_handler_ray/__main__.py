@@ -140,8 +140,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="distinct count of FIELD over all matching docs")
     q.add_argument("--date-histogram", default=None, metavar="FIELD:INTERVAL",
                    help="calendar buckets (year|month|day) of an ISO date doc-value")
-    q.add_argument("--significant", default=None, metavar="FIELD",
-                   help="significant_terms (JLH) of FIELD under the query")
+    q.add_argument("--significant", default=None, metavar="FIELD[:HEURISTIC]",
+                   help="significant_terms of FIELD under the query "
+                        "(heuristic: jlh default, or chi_square)")
     q.add_argument("--top-hits", default=None, metavar="FIELD:N",
                    help="per-FIELD-value match counts with top-N hits each")
     q.add_argument("--boost", default=None, metavar="FIELD:MODIFIER:WEIGHT",
@@ -466,7 +467,8 @@ def main(argv: list[str] | None = None) -> int:
                     results = []
                 elif args.significant:
                     for t in args.text:
-                        print(json.dumps({"query": t, "significant": eng.significant_terms(t, args.significant, mode=args.mode)}))
+                        sfield, _, sheur = args.significant.partition(":")
+                        print(json.dumps({"query": t, "significant": eng.significant_terms(t, sfield, mode=args.mode, heuristic=sheur or "jlh")}))
                     results = []
                 elif args.top_hits:
                     field, n = args.top_hits.rsplit(":", 1)
