@@ -31,12 +31,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _compare(entrymod, name: str, sf_dir: str):
+    import glob
+
     got = entrymod.queries()[name](sf_dir).to_pandas()
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
-    )
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        v = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{p}')")
     want = con.execute(entrymod.oracle_sql()[name]).df()
     con.close()
     assert len(got) == len(want), name
@@ -57,6 +58,14 @@ def test_fuzzy_wildcard_full_sql(entrymod, sf_dir):
     "dis_max_search", "boosting_search", "suggest_phrase", "suggest_complete",
     "extended_stats_search", "range_agg_search", "filters_agg_search",
     "train_split", "shuffle_order",
+    # session 2
+    "search_as_you_type", "term_df_shingle", "span_search",
+    "match_bool_prefix_search", "multi_terms_search",
+    "adjacency_matrix_search", "rare_terms_search",
+    "significant_text_search", "terms_set_search", "composite_agg_search",
+    "distance_feature_search", "rank_feature_search", "terms_stats_search",
+    "termvectors", "combined_fields_search", "sql_dist_exists",
+    "sql_dist_derived",
 ])
 def test_round5_entries_vs_oracle(entrymod, sf_dir, name):
     # the round-5 additions, pinned in-suite with the driver's compare
