@@ -715,6 +715,28 @@ def _facet_search(sf_dir: str):
     )
 
 
+def _runtime_field_search(sf_dir: str):
+    """ES runtime mapping: a query-time computed doc-value (DuckDB
+    expression per shard over existing doc-values) aggregated like any
+    field. FULL SQL: the identical expression inline in the oracle. (The
+    float sum crosses shard partials — the usual distributed-sum order
+    caveat — but a 6-decimal rounding flip needs a value within ~1e-10 of
+    a boundary; green at sf0.001/0.01/0.1.)"""
+    eng = _dv_engine(sf_dir)
+    try:
+        eng.define_runtime_field(
+            "density", "n_chars::DOUBLE / (length(source) + 1)",
+            ["n_chars", "source"],
+        )
+        s = eng.stats("hash join query", "density", mode="or")
+    finally:
+        eng.close()
+    return pa.Table.from_pylist([{
+        "n": s["count"], "sum_v": round(s["sum"], 6),
+        "min_v": round(s["min"], 6), "max_v": round(s["max"], 6),
+    }])
+
+
 def _multi_terms_search(sf_dir: str):
     """ES multi_terms aggregation under a query: doc counts per composite
     (lang, source) key over ALL matching docs. top=1000 >> bucket count, so
@@ -2889,6 +2911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "repetition": _repetition,
             "facet_search": _facet_search,
             "multi_terms_search": _multi_terms_search,
+            "runtime_field_search": _runtime_field_search,
             "adjacency_matrix_search": _adjacency_matrix_search,
             "rare_terms_search": _rare_terms_search,
             "significant_text_search": _significant_text_search,
@@ -5166,6 +5189,15 @@ def oracle_sql() -> dict[str, str]:
                        AS page,
                    lang, source, doc_count
             FROM b
+        """,
+        "runtime_field_search": """
+            SELECT count(*)::BIGINT AS n,
+                   ROUND(sum(n_chars::DOUBLE / (length(source) + 1)), 6) AS sum_v,
+                   ROUND(min(n_chars::DOUBLE / (length(source) + 1)), 6) AS min_v,
+                   ROUND(max(n_chars::DOUBLE / (length(source) + 1)), 6) AS max_v
+            FROM documents
+            WHERE len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                                     ['hash', 'join', 'query'])) > 0
         """,
         "multi_terms_search": """
             SELECT lang, source, count(*)::BIGINT AS n FROM documents

@@ -1301,6 +1301,32 @@ class QueryShard:
     def has_doc_values(self, field: str) -> bool:
         return hasattr(self, "_doc_values") and field in self._doc_values
 
+    def derive_doc_value(self, name: str, expr_sql: str, sources: list[str]) -> int:
+        """ES runtime field: a NEW doc-value computed from existing ones by
+        one DuckDB expression per shard (the repo's evaluate-with-DuckDB
+        rule — no scalar re-implementation). Source fields share the docmap,
+        so their id arrays are identical; the derived column aligns by
+        construction and every filter/agg/sort surface works on it."""
+        import duckdb
+
+        ids0, _ = self._doc_values[sources[0]]
+        cols: dict = {}
+        for f in sources:
+            ids_f, vals_f = self._doc_values[f]
+            if len(ids_f) != len(ids0) or not np.array_equal(ids_f, ids0):
+                raise ValueError("runtime-field sources must share the docmap")
+            cols[f] = pa.array(vals_f)
+        t = pa.table(cols) if cols else pa.table({"__one": pa.array([])})
+        con = duckdb.connect()
+        try:
+            con.register("t", t)
+            out = con.execute(f"SELECT ({expr_sql}) AS v FROM t").arrow()
+        finally:
+            con.close()
+        vals = out["v"].to_numpy(zero_copy_only=False)
+        self._doc_values[name] = (ids0, vals)
+        return int(len(ids0))
+
     def _values_of(self, field: str, ids: np.ndarray) -> np.ndarray:
         """Field values aligned with ``ids``. Every id passed is a live doc
         of this actor (callers pass match results, and the docmap covers
@@ -3747,6 +3773,29 @@ class QueryEngine:
             method=method,
         )[0]
 
+    def define_runtime_field(
+        self, name: str, expr_sql: str, sources: list[str]
+    ) -> None:
+        """ES runtime mapping: define a query-time computed field from
+        existing doc-values with one SQL expression (evaluated by DuckDB in
+        each shard — the exact engine the oracles use). After this call the
+        field behaves like any doc-value: filters, sorts, every aggregation,
+        function_score/distance_feature/rank_feature boosts.
+
+            eng.define_runtime_field("chars_per_weight",
+                                     "n_chars::DOUBLE / weight", ["n_chars", "weight"])
+        """
+        if not sources:
+            raise ValueError("runtime field needs at least one source field")
+        self._ensure_doc_values(list(sources))
+        ray.get(
+            [
+                a.derive_doc_value.remote(name, expr_sql, list(sources))
+                for a in self._actors
+            ]
+        )
+        self._dv_loaded.add(name)
+
     def _ensure_doc_values(self, fields: list[str]) -> None:
         """Load doc-values for ``fields`` into every shard actor (once per
         field per engine): each actor keeps (doc_id → value) for ITS live
@@ -3755,6 +3804,8 @@ class QueryEngine:
 
         if not hasattr(self, "_dv_loaded"):
             self._dv_loaded: set[str] = set()
+        # runtime fields were derived into the shards directly — never in
+        # the docmap, already resident
         missing = [f for f in fields if f not in self._dv_loaded]
         if not missing:
             return

@@ -411,3 +411,32 @@ def test_chi_square_heuristic(engine, corpus):
     # significant_text accepts the same heuristic switch
     assert engine.significant_text("hash join", mode="and", top=3,
                                    heuristic="chi_square")
+
+
+def test_runtime_field(engine, corpus):
+    """ES runtime mapping: a query-time computed doc-value works in every
+    surface — stats, filters, sort-by-field, terms_stats."""
+    _, df = corpus
+    engine.define_runtime_field("cpw", "n_chars::DOUBLE / weight",
+                                ["n_chars", "weight"])
+    m = df[_match(df, "hash join", "or")]
+    want_vals = (m["n_chars"].astype(float) / m["weight"]).to_numpy()
+    got = engine.stats("hash join", "cpw")
+    assert got["count"] == len(m)
+    assert got["sum"] == pytest.approx(float(want_vals.sum()))
+    assert got["min"] == pytest.approx(float(want_vals.min()))
+    assert got["max"] == pytest.approx(float(want_vals.max()))
+    # filter context on the runtime field
+    flt = engine.search_filtered("hash join", {"field": "cpw", "gte": 10.0}, k=200)
+    allowed = set(
+        df.loc[_match(df, "hash join", "or")
+               & (df["n_chars"].astype(float) / df["weight"] >= 10.0), "doc_id"]
+    )
+    assert {d for d, _ in flt} <= allowed
+    # sort by the runtime field
+    top = engine.search_sorted_by("hash join", "cpw", k=5)
+    order = (m.assign(cpw=want_vals).sort_values(["cpw", "doc_id"],
+                                                 ascending=[False, True]))
+    assert [d for d, _ in top] == order["doc_id"].head(5).tolist()
+    with pytest.raises(ValueError, match="source"):
+        engine.define_runtime_field("x", "1", [])
