@@ -715,6 +715,48 @@ def _facet_search(sf_dir: str):
     )
 
 
+def _percolate_spans(sf_dir: str):
+    """r5: span queries registered in the percolator — evaluated against
+    each probe doc's OWN token stream with the engine's span kernels. FULL
+    SQL: every span condition is the same position-list predicate the
+    span_search oracle uses."""
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.sources.catalog import table
+    from elasticsearch_data_import_handler_ray.stages.percolate import percolate
+
+    ds = table(sf_dir, "documents", columns=["doc_id", "text"])
+    queries = [
+        {"query_id": "near0", "text": "hash join", "mode": "span", "slop": 0},
+        {"query_id": "near3", "text": "hash join", "mode": "span", "slop": 3},
+        {"query_id": "unord", "text": "join hash", "mode": "span", "slop": 2,
+         "in_order": False},
+    ]
+    return percolate(ds, queries, analyzer="whitespace")
+
+
+_PERCOLATE_SPANS_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+), p AS (
+    SELECT doc_id,
+           list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+           list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj
+    FROM d
+)
+SELECT doc_id, 'near0' AS query_id FROM p
+WHERE len(list_filter(ph, a -> len(list_filter(pj, b -> b > a AND b - a <= 1)) > 0)) > 0
+UNION ALL
+SELECT doc_id, 'near3' FROM p
+WHERE len(list_filter(ph, a -> len(list_filter(pj, b -> b > a AND b - a <= 4)) > 0)) > 0
+UNION ALL
+SELECT doc_id, 'unord' FROM p
+WHERE len(list_filter(pj, a -> len(list_filter(ph, b -> b <> a AND abs(b - a) <= 3)) > 0)) > 0
+"""
+
+
 def _runtime_field_search(sf_dir: str):
     """ES runtime mapping: a query-time computed doc-value (DuckDB
     expression per shard over existing doc-values) aggregated like any
@@ -2912,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "facet_search": _facet_search,
             "multi_terms_search": _multi_terms_search,
             "runtime_field_search": _runtime_field_search,
+            "percolate_spans": _percolate_spans,
             "adjacency_matrix_search": _adjacency_matrix_search,
             "rare_terms_search": _rare_terms_search,
             "significant_text_search": _significant_text_search,
@@ -5190,6 +5233,7 @@ def oracle_sql() -> dict[str, str]:
                    lang, source, doc_count
             FROM b
         """,
+        "percolate_spans": _PERCOLATE_SPANS_SQL,
         "runtime_field_search": """
             SELECT count(*)::BIGINT AS n,
                    ROUND(sum(n_chars::DOUBLE / (length(source) + 1)), 6) AS sum_v,

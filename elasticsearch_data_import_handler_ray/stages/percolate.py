@@ -40,12 +40,23 @@ def _prepare(queries: list[dict], analyzer: str):
             continue
         uniq = sorted(set(toks))
         qi = len(meta)
+        span = None
+        if q.get("mode") == "span":
+            in_order = bool(q.get("in_order", True))
+            if not in_order and len(set(toks)) != len(toks):
+                raise ValueError(
+                    "unordered span percolation with repeated clause terms "
+                    "is not supported (same rule as span_near_search)"
+                )
+            span = {"clauses": toks, "slop": max(0, int(q.get("slop", 0))),
+                    "in_order": in_order}
         meta.append(
             {
                 "query_id": q["query_id"],
                 "mode": q.get("mode", "or"),
                 "n_terms": len(uniq),
                 "phrase": toks if q.get("mode") == "phrase" else None,
+                "span": span,
             }
         )
         qi_terms.extend((qi, t) for t in uniq)
@@ -56,6 +67,22 @@ def _prepare(queries: list[dict], analyzer: str):
 def _match_phrase_in(toks: list[str], phrase: list[str]) -> bool:
     n = len(phrase)
     return any(toks[i : i + n] == phrase for i in range(len(toks) - n + 1))
+
+
+def _match_span_in(toks: list[str], span: dict) -> bool:
+    """Lucene span check over ONE probe doc's token stream — the same
+    ordered-chain / smallest-range kernels the query engine uses."""
+    from ..index.query import _span_ordered_ok, _span_unordered_ok
+
+    pls = []
+    for c in span["clauses"]:
+        pl = np.array([i for i, x in enumerate(toks) if x == c], dtype=np.int64)
+        if pl.size == 0:
+            return False
+        pls.append(pl)
+    if span["in_order"]:
+        return _span_ordered_ok(pls, span["slop"])
+    return _span_unordered_ok(pls, span["slop"])
 
 
 def percolate(
@@ -98,30 +125,39 @@ def percolate(
             return empty
         counts = hits.groupby(["doc", "qi"], sort=False).size().reset_index(name="k")
         need = np.array([m["n_terms"] for m in meta], dtype=np.int64)
-        modes = np.array([0 if m["mode"] == "or" else 1 for m in meta])  # phrase counts as 1
+        modes = np.array([0 if m["mode"] == "or" else 1 for m in meta])  # phrase/span count as 1
         qi = counts["qi"].to_numpy()
         k = counts["k"].to_numpy()
         ok = np.where(modes[qi] == 0, k >= 1, k == need[qi])
         cand = counts[ok]
         doc_ids = t[id_col].to_numpy(zero_copy_only=False)
         qids = np.array([m["query_id"] for m in meta], dtype=object)
-        is_phrase = np.array([m["phrase"] is not None for m in meta])
+        is_positional = np.array(
+            [m["phrase"] is not None or m["span"] is not None for m in meta]
+        )
         cqi = cand["qi"].to_numpy()
         cdoc = cand["doc"].to_numpy()
-        # non-phrase matches: fully vectorized emit
-        plain = ~is_phrase[cqi]
+        # non-positional matches: fully vectorized emit
+        plain = ~is_positional[cqi]
         out_d = [doc_ids[cdoc[plain]].astype(np.int64)]
         out_q = [qids[cqi[plain]]]
-        # phrase candidates (already contain every term): adjacency confirm —
-        # the only per-row Python, bounded by the OUTPUT size, not the corpus
+        # phrase/span candidates (already contain every term): positional
+        # confirm — the only per-row Python, bounded by the OUTPUT size,
+        # not the corpus
         toks_py: dict[int, list[str]] = {}
         pd_, pq_ = [], []
         for doc, q_idx in zip(cdoc[~plain].tolist(), cqi[~plain].tolist()):
             if doc not in toks_py:
                 toks_py[doc] = [x for x in (tok_list[doc].as_py() or []) if x]
-            if _match_phrase_in(toks_py[doc], meta[q_idx]["phrase"]):
+            m = meta[q_idx]
+            hit = (
+                _match_phrase_in(toks_py[doc], m["phrase"])
+                if m["phrase"] is not None
+                else _match_span_in(toks_py[doc], m["span"])
+            )
+            if hit:
                 pd_.append(int(doc_ids[doc]))
-                pq_.append(meta[q_idx]["query_id"])
+                pq_.append(m["query_id"])
         out_d.append(np.array(pd_, dtype=np.int64))
         out_q.append(np.array(pq_, dtype=object))
         return pa.table(

@@ -211,3 +211,69 @@ def test_percolate_query_string_rejects_field_prefixed_expansions():
         with pytest.raises(ValueError, match="field-prefixed"):
             percolate_query_string(ray.data.from_pandas(df),
                                    [{"query_id": "x", "q": bad}])
+
+
+def test_percolate_span_queries(sf_dir):
+    """r5: span queries register in the percolator — the same ordered-chain /
+    smallest-range kernels the query engine uses, over each probe doc's own
+    token stream. Naive recompute oracle."""
+    import itertools
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.percolate import percolate
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(docs)
+    queries = [
+        {"query_id": "near0", "text": "hash join", "mode": "span", "slop": 0},
+        {"query_id": "near3", "text": "hash join", "mode": "span", "slop": 3},
+        {"query_id": "unord", "text": "join hash", "mode": "span", "slop": 2,
+         "in_order": False},
+        {"query_id": "or_pl", "text": "merge sort", "mode": "or"},
+    ]
+    got = percolate(ds, queries, analyzer="whitespace").to_pandas()
+    got_pairs = set(zip(got["doc_id"], got["query_id"]))
+
+    def span_match(ts, clauses, slop, in_order):
+        pls = [[i for i, x in enumerate(ts) if x == c] for c in clauses]
+        if any(not p for p in pls):
+            return False
+        n = len(clauses)
+        for sel in itertools.product(*pls):
+            if in_order and not all(sel[i] < sel[i + 1] for i in range(n - 1)):
+                continue
+            if not in_order and len(set(sel)) != n:
+                continue
+            if (max(sel) - min(sel) + 1) - n <= slop:
+                return True
+        return False
+
+    want = set()
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        ts = txt.lower().split()
+        if span_match(ts, ["hash", "join"], 0, True):
+            want.add((d, "near0"))
+        if span_match(ts, ["hash", "join"], 3, True):
+            want.add((d, "near3"))
+        if span_match(ts, ["join", "hash"], 2, False):
+            want.add((d, "unord"))
+        if "merge" in ts or "sort" in ts:
+            want.add((d, "or_pl"))
+    assert got_pairs == want
+    assert any(q == "near3" for _, q in got_pairs)
+
+
+def test_percolate_span_unordered_dup_rejected(sf_dir):
+    import pytest as _pytest
+    import ray.data
+
+    from elasticsearch_data_import_handler_ray.stages.percolate import percolate
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "a b"}])
+    with _pytest.raises(ValueError, match="repeated"):
+        percolate(ds, [{"query_id": "x", "text": "a a", "mode": "span",
+                        "in_order": False}], analyzer="whitespace")
