@@ -65,7 +65,7 @@ def test_fuzzy_wildcard_full_sql(entrymod, sf_dir):
     "significant_text_search", "terms_set_search", "composite_agg_search",
     "distance_feature_search", "rank_feature_search", "terms_stats_search",
     "termvectors", "combined_fields_search", "sql_dist_exists",
-    "sql_dist_derived",
+    "sql_dist_derived", "runtime_field_search", "percolate_spans",
 ])
 def test_round5_entries_vs_oracle(entrymod, sf_dir, name):
     # the round-5 additions, pinned in-suite with the driver's compare

@@ -128,6 +128,11 @@ def statements(draw):
             # expression order items resolve over the OUTPUT columns; the
             # trailing full column list keeps ties deterministic
             sql += draw(st.sampled_from([" ORDER BY g", " ORDER BY g || 'x'"]))
+    elif not joined and draw(st.booleans()) and draw(st.booleans()) and draw(st.booleans()):
+        # r5: SELECT * (single-view expansion) with a predicate pool draw
+        preds_ = draw(st.lists(st.sampled_from(_PREDS), max_size=2, unique=True))
+        w_ = (" WHERE " + " AND ".join(preds_)) if preds_ else ""
+        return f"SELECT * FROM t1{w_}"
     else:
         exprs = draw(
             st.lists(st.sampled_from(_SCALARS), min_size=1, max_size=3, unique=True)
